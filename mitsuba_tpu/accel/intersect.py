@@ -1,0 +1,333 @@
+"""Ray-scene intersection: the hot path.
+
+Replaces the reference's kd-tree traversal + Wald TriAccel test
+(reference: include/mitsuba/render/sahkdtree3.h:178-249, triaccel.h:38)
+with two TPU-native strategies selected statically at scene-pack time:
+
+* brute force — [R, T] Möller-Trumbore over triangle tiles via
+  `lax.scan`; no gathers, pure VPU, optimal for small scenes;
+* threaded BVH — batched stackless traversal: one node pointer per
+  lane, `lax.while_loop` until every lane terminates, LEAF_SIZE
+  triangles tested per leaf visit with masks.
+
+Both return a SoA hit record.  Shadow variants track only a boolean.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mitsuba_tpu.accel.bvh import LEAF_SIZE
+from mitsuba_tpu.core import math as mm
+
+RAY_EPS = 1e-4
+# brute-force triangle tile; [R_tile, 128] tests vectorize on the 8x128 VPU
+TRI_TILE = 128
+
+
+class Hit(NamedTuple):
+    valid: jnp.ndarray  # [R] bool
+    t: jnp.ndarray  # [R]
+    prim: jnp.ndarray  # [R] int32 (triangle id, or sphere id | SPHERE_BIT)
+    is_sphere: jnp.ndarray  # [R] bool
+    u: jnp.ndarray  # [R] barycentric
+    v: jnp.ndarray  # [R]
+
+
+def _moller_trumbore(o, d, v0, e1, e2, t_max):
+    """Batched Möller-Trumbore; all args broadcast to [..., 3].
+    Returns (hit_mask, t, u, v)."""
+    pvec = mm.cross(d, e2)
+    det = mm.dot(e1, pvec)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tvec = o - v0
+    u = mm.dot(tvec, pvec) * inv_det
+    qvec = mm.cross(tvec, e1)
+    v = mm.dot(d, qvec) * inv_det
+    t = mm.dot(e2, qvec) * inv_det
+    hit = (
+        (jnp.abs(det) > 1e-12)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > RAY_EPS)
+        & (t < t_max)
+    )
+    return hit, t, u, v
+
+
+def _intersect_spheres(pack, o, d, best_t):
+    """Analytic sphere test (reference src/shapes/sphere.cpp rayIntersect).
+    Returns (hit, t, sph_id)."""
+    # [R, S]
+    oc = o[:, None, :] - pack.sph_center[None, :, :]
+    b = 2.0 * jnp.sum(oc * d[:, None, :], axis=-1)
+    c = jnp.sum(oc * oc, axis=-1) - pack.sph_radius[None, :] ** 2
+    disc = b * b - 4.0 * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = 0.5 * (-b - sq)
+    t1 = 0.5 * (-b + sq)
+    t = jnp.where(t0 > RAY_EPS, t0, t1)
+    ok = (disc >= 0.0) & (t > RAY_EPS) & (pack.sph_radius[None, :] > 0.0)
+    t = jnp.where(ok, t, jnp.inf)
+    sid = jnp.argmin(t, axis=-1)
+    tmin = jnp.take_along_axis(t, sid[:, None], axis=-1)[:, 0]
+    hit = tmin < best_t
+    return hit, tmin, sid.astype(jnp.int32)
+
+
+def _brute_force(pack, o, d, t_max, any_hit=False):
+    n_tris = pack.n_tris
+    r = o.shape[0]
+
+    n_tiles = max((n_tris + TRI_TILE - 1) // TRI_TILE, 1)
+    pad_to = n_tiles * TRI_TILE
+    # triangles are padded in the pack only by LEAF_SIZE; slice-pad here
+    v0 = _pad_rows(pack.tri_v0, pad_to, 1e30)
+    e1 = _pad_rows(pack.tri_e1, pad_to, 0.0)
+    e2 = _pad_rows(pack.tri_e2, pad_to, 0.0)
+
+    def body(carry, tile):
+        best_t, best_prim, best_u, best_v = carry
+        tv0, te1, te2, base = tile
+        hit, t, u, v = _moller_trumbore(
+            o[:, None, :],
+            d[:, None, :],
+            tv0[None],
+            te1[None],
+            te2[None],
+            best_t[:, None],
+        )
+        t = jnp.where(hit, t, jnp.inf)
+        k = jnp.argmin(t, axis=-1)
+        tk = jnp.take_along_axis(t, k[:, None], axis=-1)[:, 0]
+        better = tk < best_t
+        best_prim = jnp.where(
+            better, base + k.astype(jnp.int32), best_prim
+        )
+        best_u = jnp.where(
+            better, jnp.take_along_axis(u, k[:, None], -1)[:, 0], best_u
+        )
+        best_v = jnp.where(
+            better, jnp.take_along_axis(v, k[:, None], -1)[:, 0], best_v
+        )
+        best_t = jnp.minimum(best_t, tk)
+        return (best_t, best_prim, best_u, best_v), None
+
+    tiles = (
+        v0.reshape(n_tiles, TRI_TILE, 3),
+        e1.reshape(n_tiles, TRI_TILE, 3),
+        e2.reshape(n_tiles, TRI_TILE, 3),
+        jnp.arange(n_tiles, dtype=jnp.int32) * TRI_TILE,
+    )
+    init = (
+        jnp.broadcast_to(t_max, (r,)).astype(jnp.float32),
+        jnp.full((r,), -1, jnp.int32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((r,), jnp.float32),
+    )
+    if n_tiles == 1:
+        carry, _ = body(init, jax.tree.map(lambda a: a[0], tiles))
+    else:
+        carry, _ = jax.lax.scan(body, init, tiles)
+    return carry
+
+
+def _pad_rows(a, n, fill):
+    if a.shape[0] >= n:
+        return a[:n]
+    pad_shape = (n - a.shape[0],) + a.shape[1:]
+    return jnp.concatenate([a, jnp.full(pad_shape, fill, a.dtype)])
+
+
+def _bvh_traverse(pack, o, d, t_max):
+    """Batched stackless traversal over the threaded BVH."""
+    r = o.shape[0]
+    end = pack.bvh_skip.shape[0]
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, 1e-20, d)
+
+    def cond(state):
+        node, *_ = state
+        return jnp.any(node < end)
+
+    def step(state):
+        node, best_t, best_prim, best_u, best_v = state
+        active = node < end
+        ni = jnp.minimum(node, end - 1)
+
+        lo = pack.bvh_lo[ni]
+        hi = pack.bvh_hi[ni]
+        first = pack.bvh_first[ni]
+        count = pack.bvh_count[ni]
+        skip = pack.bvh_skip[ni]
+
+        # slab test
+        t0 = (lo - o) * inv_d
+        t1 = (hi - o) * inv_d
+        tn = jnp.minimum(t0, t1).max(axis=-1)
+        tf = jnp.maximum(t0, t1).min(axis=-1)
+        box_hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < best_t)
+
+        is_leaf = count > 0
+        # leaf: test LEAF_SIZE prims (padded triangles never hit)
+        tidx = first[:, None] + jnp.arange(LEAF_SIZE, dtype=jnp.int32)[None]
+        tidx = jnp.where(
+            jnp.arange(LEAF_SIZE)[None] < count[:, None],
+            tidx,
+            pack.tri_v0.shape[0] - 1,  # padded far-away triangle
+        )
+        do_leaf = box_hit & is_leaf & active
+        v0 = pack.tri_v0[tidx]
+        e1 = pack.tri_e1[tidx]
+        e2 = pack.tri_e2[tidx]
+        hit, t, u, v = _moller_trumbore(
+            o[:, None, :], d[:, None, :], v0, e1, e2, best_t[:, None]
+        )
+        hit = hit & do_leaf[:, None]
+        t = jnp.where(hit, t, jnp.inf)
+        k = jnp.argmin(t, axis=-1)
+        tk = jnp.take_along_axis(t, k[:, None], -1)[:, 0]
+        better = tk < best_t
+        best_prim = jnp.where(
+            better,
+            jnp.take_along_axis(tidx, k[:, None], -1)[:, 0],
+            best_prim,
+        )
+        best_u = jnp.where(
+            better, jnp.take_along_axis(u, k[:, None], -1)[:, 0], best_u
+        )
+        best_v = jnp.where(
+            better, jnp.take_along_axis(v, k[:, None], -1)[:, 0], best_v
+        )
+        best_t = jnp.minimum(best_t, tk)
+
+        descend = box_hit & ~is_leaf
+        nxt = jnp.where(descend, ni + 1, skip)
+        node = jnp.where(active, nxt, node)
+        return node, best_t, best_prim, best_u, best_v
+
+    init = (
+        jnp.zeros((r,), jnp.int32),
+        jnp.broadcast_to(t_max, (r,)).astype(jnp.float32),
+        jnp.full((r,), -1, jnp.int32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((r,), jnp.float32),
+    )
+    _, best_t, best_prim, best_u, best_v = jax.lax.while_loop(
+        cond, step, init
+    )
+    return best_t, best_prim, best_u, best_v
+
+
+def intersect(pack, o, d, t_max=jnp.inf) -> Hit:
+    """Closest-hit query (= Scene::rayIntersect, reference scene.h:187)."""
+    if pack.n_tris > 0:
+        if pack.use_bvh:
+            best_t, prim, u, v = _bvh_traverse(pack, o, d, t_max)
+        else:
+            best_t, prim, u, v = _brute_force(pack, o, d, t_max)
+    else:
+        r = o.shape[0]
+        best_t = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+        prim = jnp.full((r,), -1, jnp.int32)
+        u = v = jnp.zeros((r,), jnp.float32)
+
+    is_sphere = jnp.zeros(o.shape[0], bool)
+    if pack.n_spheres > 0:
+        sh, st, sid = _intersect_spheres(pack, o, d, best_t)
+        take = sh & (st < best_t)
+        best_t = jnp.where(take, st, best_t)
+        prim = jnp.where(take, sid, prim)
+        is_sphere = take
+
+    valid = prim >= 0
+    return Hit(valid=valid, t=best_t, prim=prim, is_sphere=is_sphere, u=u, v=v)
+
+
+def occluded(pack, o, d, t_max) -> jnp.ndarray:
+    """Boolean shadow query (= rayIntersect any-hit path).
+
+    t_max must already be shortened by the caller's epsilon.
+    """
+    hit = intersect(pack, o, d, t_max)
+    return hit.valid
+
+
+class SurfaceInteraction(NamedTuple):
+    valid: jnp.ndarray
+    t: jnp.ndarray
+    p: jnp.ndarray  # [R, 3]
+    ng: jnp.ndarray  # geometric normal
+    ns: jnp.ndarray  # shading normal
+    uv: jnp.ndarray  # [R, 2]
+    mat: jnp.ndarray  # material id
+    emit: jnp.ndarray  # emitter id (-1 none)
+    prim: jnp.ndarray
+    wi_world: jnp.ndarray  # -ray.d
+
+
+def fill_interaction(pack, o, d, hit: Hit) -> SurfaceInteraction:
+    """Gather per-hit surface data (= fillIntersectionRecord,
+    reference records.inl)."""
+    prim = jnp.maximum(hit.prim, 0)
+
+    # triangle branch
+    v0 = pack.tri_v0[prim]
+    e1 = pack.tri_e1[prim]
+    e2 = pack.tri_e2[prim]
+    w = 1.0 - hit.u - hit.v
+    p_tri = v0 + hit.u[:, None] * e1 + hit.v[:, None] * e2
+    ng_tri = mm.normalize(mm.cross(e1, e2))
+    ns_tri = mm.normalize(
+        w[:, None] * pack.tri_n0[prim]
+        + hit.u[:, None] * pack.tri_n1[prim]
+        + hit.v[:, None] * pack.tri_n2[prim]
+    )
+    uv_tri = (
+        w[:, None] * pack.tri_uv0[prim]
+        + hit.u[:, None] * pack.tri_uv1[prim]
+        + hit.v[:, None] * pack.tri_uv2[prim]
+    )
+    mat_tri = pack.tri_mat[prim]
+    emit_tri = pack.tri_emit[prim]
+
+    p = o + hit.t[:, None] * d
+
+    if pack.n_spheres > 0:
+        sid = prim
+        center = pack.sph_center[sid]
+        ns_sph = mm.normalize(p - center) * pack.sph_flip[sid][:, None]
+        theta_phi_n = mm.normalize(p - center)
+        theta = mm.safe_acos(theta_phi_n[..., 2])
+        phi = jnp.arctan2(theta_phi_n[..., 1], theta_phi_n[..., 0])
+        phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+        uv_sph = jnp.stack([phi / (2 * jnp.pi), theta / jnp.pi], axis=-1)
+        sphere = hit.is_sphere
+        ng = jnp.where(sphere[:, None], ns_sph, ng_tri)
+        ns = jnp.where(sphere[:, None], ns_sph, ns_tri)
+        uv = jnp.where(sphere[:, None], uv_sph, uv_tri)
+        mat = jnp.where(sphere, pack.sph_mat[sid], mat_tri)
+        emit = jnp.where(sphere, pack.sph_emit[sid], emit_tri)
+    else:
+        ng, ns, uv, mat, emit = ng_tri, ns_tri, uv_tri, mat_tri, emit_tri
+
+    # orient the geometric normal to the shading normal's hemisphere
+    flip = mm.dot(ng, ns) < 0.0
+    ng = jnp.where(flip[:, None], -ng, ng)
+
+    del p_tri  # (the ray-parametric point is used for both prim kinds)
+    return SurfaceInteraction(
+        valid=hit.valid,
+        t=hit.t,
+        p=p,
+        ng=ng,
+        ns=ns,
+        uv=uv,
+        mat=mat,
+        emit=emit,
+        prim=hit.prim,
+        wi_world=-d,
+    )

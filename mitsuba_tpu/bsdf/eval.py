@@ -1,0 +1,643 @@
+"""Vectorized BSDF sample / eval / pdf over SoA lanes.
+
+This replaces the reference's per-plugin virtual dispatch
+(reference: include/mitsuba/render/bsdf.h:215-440) with a TPU-native
+scheme: every *present* material type is evaluated branch-free on all
+lanes and the results are selected by type mask.  The set of present
+types is static (baked at scene-pack time), so XLA only compiles the
+branches a scene actually uses.
+
+Conventions (identical to the reference):
+* `wi`, `wo` live in the local shading frame, +z = shading normal,
+  both point away from the surface.
+* `eval` returns f(wi, wo) * |cos(theta_o)| (ESolidAngle measure);
+  delta lobes return 0 from eval/pdf.
+* `sample` returns the importance weight  f * |cos| / pdf  with the
+  discrete lobe-selection probability already folded in, matching
+  BSDF::sample (reference bsdf.h:369).
+
+Shading parameters arrive as a dict of per-lane arrays (see
+`shading_params` in scene/builder.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from mitsuba_tpu.core import math as mm
+from mitsuba_tpu.core import warp
+from mitsuba_tpu.bsdf import microfacet as mf
+from mitsuba_tpu.bsdf.plugins import (
+    CONDUCTOR,
+    DIELECTRIC,
+    DIFFTRANS,
+    DIFFUSE,
+    NULL_BSDF,
+    PHONG_BSDF,
+    PLASTIC,
+    ROUGHCONDUCTOR,
+    ROUGHDIELECTRIC,
+    ROUGHDIFFUSE,
+    ROUGHPLASTIC,
+    THINDIELECTRIC,
+    WARD,
+)
+
+INV_PI = 1.0 / jnp.pi
+
+DELTA_TYPES = (CONDUCTOR, DIELECTRIC, THINDIELECTRIC, NULL_BSDF)
+TRANSMISSIVE_TYPES = (
+    DIELECTRIC,
+    THINDIELECTRIC,
+    ROUGHDIELECTRIC,
+    DIFFTRANS,
+    NULL_BSDF,
+)
+
+
+class BSDFSample(NamedTuple):
+    wo: jnp.ndarray  # [..., 3] local frame
+    weight: jnp.ndarray  # [..., 3] f*cos/pdf (rgb)
+    pdf: jnp.ndarray  # [...] solid-angle pdf (1 for delta lobes)
+    delta: jnp.ndarray  # [...] bool — sampled a Dirac lobe
+    eta: jnp.ndarray  # [...] relative IOR change (1 if none)
+
+
+def _mask3(mask, rgb):
+    return jnp.where(mask[..., None], rgb, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# per-type eval (f * cos_o) and pdf
+# ---------------------------------------------------------------------------
+
+def _diffuse_eval(sp, wi, wo):
+    mask = (mm.cos_theta(wi) > 0) & (mm.cos_theta(wo) > 0)
+    return _mask3(mask, sp["cA"] * (INV_PI * jnp.maximum(mm.cos_theta(wo), 0.0))[..., None])
+
+
+def _diffuse_pdf(sp, wi, wo):
+    mask = (mm.cos_theta(wi) > 0) & (mm.cos_theta(wo) > 0)
+    return jnp.where(mask, warp.square_to_cosine_hemisphere_pdf(wo), 0.0)
+
+
+def _roughdiffuse_eval(sp, wi, wo):
+    """Oren-Nayar (fast approximation), sigma = alpha/sqrt(2)
+    (reference: src/bsdfs/roughdiffuse.cpp:128-175)."""
+    ci, co = mm.cos_theta(wi), mm.cos_theta(wo)
+    mask = (ci > 0) & (co > 0)
+    sigma = sp["alpha_u"] * (1.0 / jnp.sqrt(2.0))
+    s2 = sigma * sigma
+    si, so = mm.sin_theta(wi), mm.sin_theta(wo)
+    spi, cpi = mm.sin_phi_cos_phi(wi)
+    spo, cpo = mm.sin_phi_cos_phi(wo)
+    cos_phi_diff = jnp.where(
+        (si > 1e-4) & (so > 1e-4), cpi * cpo + spi * spo, 0.0
+    )
+    A = 1.0 - 0.5 * s2 / (s2 + 0.33)
+    B = 0.45 * s2 / (s2 + 0.09)
+    sin_alpha = jnp.where(ci > co, so, si)
+    tan_beta = jnp.where(
+        ci > co,
+        si / jnp.maximum(ci, 1e-6),
+        so / jnp.maximum(co, 1e-6),
+    )
+    val = (
+        INV_PI
+        * jnp.maximum(co, 0.0)
+        * (A + B * jnp.maximum(cos_phi_diff, 0.0) * sin_alpha * tan_beta)
+    )
+    return _mask3(mask, sp["cA"] * val[..., None])
+
+
+def _roughconductor_eval(sp, wi, wo):
+    ci, co = mm.cos_theta(wi), mm.cos_theta(wo)
+    mask = (ci > 0) & (co > 0)
+    h = mm.normalize(wi + wo)
+    d = mf.microfacet_D(sp["dist"], sp["alpha_u"], sp["alpha_v"], h)
+    g = mf.smith_g(sp["dist"], sp["alpha_u"], sp["alpha_v"], wi, wo, h)
+    f = mm.fresnel_conductor(mm.dot(wi, h), sp["cC"], sp["cD"])
+    val = (d * g / jnp.maximum(4.0 * ci, 1e-8))[..., None] * f * sp["cB"]
+    return _mask3(mask & (d > 0), val)
+
+
+def _roughconductor_pdf(sp, wi, wo):
+    ci, co = mm.cos_theta(wi), mm.cos_theta(wo)
+    mask = (ci > 0) & (co > 0)
+    h = mm.normalize(wi + wo)
+    pm = mf.pdf_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], h)
+    jac = 1.0 / jnp.maximum(4.0 * jnp.abs(mm.dot(wo, h)), 1e-8)
+    return jnp.where(mask, pm * jac, 0.0)
+
+
+def _plastic_probs(sp, cos_i):
+    fi, _, _ = mm.fresnel_dielectric(cos_i, sp["eta"])
+    sw = sp["spec_w"]
+    prob = (fi * sw) / jnp.maximum(fi * sw + (1.0 - fi) * (1.0 - sw), 1e-8)
+    return fi, prob
+
+
+def _plastic_diffuse_factor(sp, fi, fo):
+    """Internal scattering correction (reference plastic.cpp eval)."""
+    diff = sp["cA"]
+    fdr = sp["fdr_int"][..., None]
+    denom = jnp.where(
+        sp["nonlinear"][..., None] > 0.5, 1.0 - diff * fdr, 1.0 - fdr
+    )
+    inv_eta2 = 1.0 / (sp["eta"] * sp["eta"])
+    return (
+        diff
+        / jnp.maximum(denom, 1e-4)
+        * ((1.0 - fi) * (1.0 - fo) * inv_eta2)[..., None]
+    )
+
+
+def _plastic_eval(sp, wi, wo):
+    ci, co = mm.cos_theta(wi), mm.cos_theta(wo)
+    mask = (ci > 0) & (co > 0)
+    fi, _, _ = mm.fresnel_dielectric(ci, sp["eta"])
+    fo, _, _ = mm.fresnel_dielectric(co, sp["eta"])
+    val = _plastic_diffuse_factor(sp, fi, fo) * (
+        INV_PI * jnp.maximum(co, 0.0)
+    )[..., None]
+    return _mask3(mask, val)
+
+
+def _plastic_pdf(sp, wi, wo):
+    ci, co = mm.cos_theta(wi), mm.cos_theta(wo)
+    mask = (ci > 0) & (co > 0)
+    _, prob = _plastic_probs(sp, ci)
+    return jnp.where(
+        mask, (1.0 - prob) * warp.square_to_cosine_hemisphere_pdf(wo), 0.0
+    )
+
+
+def _roughplastic_eval(sp, wi, wo):
+    ci, co = mm.cos_theta(wi), mm.cos_theta(wo)
+    mask = (ci > 0) & (co > 0)
+    h = mm.normalize(wi + wo)
+    d = mf.microfacet_D(sp["dist"], sp["alpha_u"], sp["alpha_v"], h)
+    g = mf.smith_g(sp["dist"], sp["alpha_u"], sp["alpha_v"], wi, wo, h)
+    fh, _, _ = mm.fresnel_dielectric(mm.dot(wi, h), sp["eta"])
+    spec = sp["cB"] * (fh * d * g / jnp.maximum(4.0 * ci, 1e-8))[..., None]
+    # diffuse with smooth-Fresnel transmittance factors (the reference
+    # uses precomputed rough transmittance tables, rtrans.h — planned)
+    fi, _, _ = mm.fresnel_dielectric(ci, sp["eta"])
+    fo, _, _ = mm.fresnel_dielectric(co, sp["eta"])
+    diff = _plastic_diffuse_factor(sp, fi, fo) * (
+        INV_PI * jnp.maximum(co, 0.0)
+    )[..., None]
+    return _mask3(mask, spec + diff)
+
+
+def _roughplastic_pdf(sp, wi, wo):
+    ci, co = mm.cos_theta(wi), mm.cos_theta(wo)
+    mask = (ci > 0) & (co > 0)
+    h = mm.normalize(wi + wo)
+    _, prob = _plastic_probs(sp, ci)
+    pm = mf.pdf_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], h)
+    spec_pdf = pm / jnp.maximum(4.0 * jnp.abs(mm.dot(wo, h)), 1e-8)
+    diff_pdf = warp.square_to_cosine_hemisphere_pdf(wo)
+    return jnp.where(mask, prob * spec_pdf + (1.0 - prob) * diff_pdf, 0.0)
+
+
+def _phong_eval(sp, wi, wo):
+    ci, co = mm.cos_theta(wi), mm.cos_theta(wo)
+    mask = (ci > 0) & (co > 0)
+    r = mm.reflect_local(wi)
+    cos_a = jnp.maximum(mm.dot(r, wo), 0.0)
+    e = sp["exponent"]
+    spec = sp["cB"] * (
+        (e + 2.0) * (0.5 * INV_PI) * jnp.power(cos_a, e) * co
+    )[..., None]
+    diff = sp["cA"] * (INV_PI * co)[..., None]
+    return _mask3(mask, spec + diff)
+
+
+def _phong_pdf(sp, wi, wo):
+    ci, co = mm.cos_theta(wi), mm.cos_theta(wo)
+    mask = (ci > 0) & (co > 0)
+    r = mm.reflect_local(wi)
+    cos_a = jnp.maximum(mm.dot(r, wo), 0.0)
+    e = sp["exponent"]
+    spec_pdf = (e + 1.0) * (0.5 * INV_PI) * jnp.power(cos_a, e)
+    sw = sp["spec_w"]
+    return jnp.where(
+        mask,
+        sw * spec_pdf + (1.0 - sw) * warp.square_to_cosine_hemisphere_pdf(wo),
+        0.0,
+    )
+
+
+def _ward_eval(sp, wi, wo):
+    """Balanced Ward-Duer variant (reference src/bsdfs/ward.cpp)."""
+    ci, co = mm.cos_theta(wi), mm.cos_theta(wo)
+    mask = (ci > 0) & (co > 0)
+    h = wi + wo
+    au, av = mf.clamp_alpha(sp["alpha_u"]), mf.clamp_alpha(sp["alpha_v"])
+    hz2 = jnp.maximum(h[..., 2] * h[..., 2], 1e-12)
+    exp_arg = -((h[..., 0] / au) ** 2 + (h[..., 1] / av) ** 2) / hz2
+    # balanced: factor 1/(4 pi au av sqrt(ci co)) -> here Ward-balanced
+    spec_val = jnp.exp(exp_arg) / (
+        4.0 * jnp.pi * au * av * jnp.sqrt(jnp.maximum(ci * co, 1e-8))
+    )
+    spec = sp["cB"] * (spec_val * co)[..., None]
+    diff = sp["cA"] * (INV_PI * co)[..., None]
+    return _mask3(mask, spec + diff)
+
+
+def _ward_pdf(sp, wi, wo):
+    ci, co = mm.cos_theta(wi), mm.cos_theta(wo)
+    mask = (ci > 0) & (co > 0)
+    h = mm.normalize(wi + wo)
+    au, av = mf.clamp_alpha(sp["alpha_u"]), mf.clamp_alpha(sp["alpha_v"])
+    ct = jnp.maximum(mm.cos_theta(h), 1e-6)
+    t2 = mm.tan_theta2(h)
+    sphi, cphi = mm.sin_phi_cos_phi(h)
+    exp_arg = -t2 * ((cphi / au) ** 2 + (sphi / av) ** 2)
+    ph = jnp.exp(exp_arg) / (
+        jnp.pi * au * av * ct * ct * ct
+    )
+    spec_pdf = ph / jnp.maximum(4.0 * jnp.abs(mm.dot(wo, h)), 1e-8)
+    sw = sp["spec_w"]
+    return jnp.where(
+        mask,
+        sw * spec_pdf + (1.0 - sw) * warp.square_to_cosine_hemisphere_pdf(wo),
+        0.0,
+    )
+
+
+def _difftrans_eval(sp, wi, wo):
+    mask = mm.cos_theta(wi) * mm.cos_theta(wo) < 0
+    return _mask3(
+        mask, sp["cA"] * (INV_PI * jnp.abs(mm.cos_theta(wo)))[..., None]
+    )
+
+
+def _difftrans_pdf(sp, wi, wo):
+    mask = mm.cos_theta(wi) * mm.cos_theta(wo) < 0
+    return jnp.where(mask, jnp.abs(mm.cos_theta(wo)) * INV_PI, 0.0)
+
+
+def _roughdielectric_eval(sp, wi, wo):
+    """Walter et al. 2007 rough dielectric, radiance transport
+    (reference src/bsdfs/roughdielectric.cpp eval)."""
+    ci, co = mm.cos_theta(wi), mm.cos_theta(wo)
+    reflect = ci * co > 0
+    eta = jnp.where(ci > 0, sp["eta"], 1.0 / sp["eta"])
+
+    # half vectors
+    h_r = mm.normalize(wi + wo) * mm.sign(ci)[..., None]
+    h_t = -mm.normalize(wi + wo * eta[..., None])
+    h_t = h_t * mm.sign(mm.cos_theta(h_t))[..., None]
+    h = jnp.where(reflect[..., None], h_r, h_t)
+
+    d = mf.microfacet_D(sp["dist"], sp["alpha_u"], sp["alpha_v"], h)
+    g = mf.smith_g(sp["dist"], sp["alpha_u"], sp["alpha_v"], wi, wo, h)
+    f, _, _ = mm.fresnel_dielectric(mm.dot(wi, h), sp["eta"])
+
+    val_r = f * d * g / jnp.maximum(4.0 * jnp.abs(ci), 1e-8)
+
+    # Walter et al. 2007 eq. 21 (BTDF * |cos_o|) carries an eta^2 factor;
+    # radiance transport multiplies by 1/eta^2 for solid-angle compression
+    # (reference roughdielectric.cpp eval: value *= factor*factor with
+    # factor = 1/eta) — the two cancel:
+    wih = mm.dot(wi, h)
+    woh = mm.dot(wo, h)
+    sqrt_denom = wih + eta * woh
+    val_t = (
+        jnp.abs(wih * woh)
+        * (1.0 - f)
+        * d
+        * g
+        / jnp.maximum(
+            jnp.abs(ci) * sqrt_denom * sqrt_denom, 1e-8
+        )
+    )
+
+    rgb = jnp.where(
+        reflect[..., None],
+        sp["cB"] * val_r[..., None],
+        sp["cC"] * val_t[..., None],
+    )
+    valid = d > 0
+    return _mask3(valid, rgb)
+
+
+def _roughdielectric_pdf(sp, wi, wo):
+    ci, co = mm.cos_theta(wi), mm.cos_theta(wo)
+    reflect = ci * co > 0
+    eta = jnp.where(ci > 0, sp["eta"], 1.0 / sp["eta"])
+    h_r = mm.normalize(wi + wo) * mm.sign(ci)[..., None]
+    h_t = -mm.normalize(wi + wo * eta[..., None])
+    h_t = h_t * mm.sign(mm.cos_theta(h_t))[..., None]
+    h = jnp.where(reflect[..., None], h_r, h_t)
+    pm = mf.pdf_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], h)
+    f, _, _ = mm.fresnel_dielectric(mm.dot(wi, h), sp["eta"])
+    wih, woh = mm.dot(wi, h), mm.dot(wo, h)
+    jac_r = 1.0 / jnp.maximum(4.0 * jnp.abs(woh), 1e-8)
+    sqrt_denom = wih + eta * woh
+    jac_t = (
+        eta * eta * jnp.abs(woh)
+        / jnp.maximum(sqrt_denom * sqrt_denom, 1e-8)
+    )
+    return jnp.where(
+        reflect, pm * f * jac_r, pm * (1.0 - f) * jac_t
+    )
+
+
+# ---------------------------------------------------------------------------
+# public dispatch
+# ---------------------------------------------------------------------------
+
+_EVAL_FNS = {
+    DIFFUSE: _diffuse_eval,
+    ROUGHDIFFUSE: _roughdiffuse_eval,
+    ROUGHCONDUCTOR: _roughconductor_eval,
+    ROUGHDIELECTRIC: _roughdielectric_eval,
+    PLASTIC: _plastic_eval,
+    ROUGHPLASTIC: _roughplastic_eval,
+    PHONG_BSDF: _phong_eval,
+    WARD: _ward_eval,
+    DIFFTRANS: _difftrans_eval,
+}
+
+_PDF_FNS = {
+    DIFFUSE: _diffuse_pdf,
+    ROUGHDIFFUSE: _diffuse_pdf,
+    ROUGHCONDUCTOR: _roughconductor_pdf,
+    ROUGHDIELECTRIC: _roughdielectric_pdf,
+    PLASTIC: _plastic_pdf,
+    ROUGHPLASTIC: _roughplastic_pdf,
+    PHONG_BSDF: _phong_pdf,
+    WARD: _ward_pdf,
+    DIFFTRANS: _difftrans_pdf,
+}
+
+
+def _flip_twosided(sp, wi, *rest):
+    """Two-sided handling: mirror the frame when hit from the back
+    (reference src/bsdfs/twosided.cpp)."""
+    flip = (sp["twosided"] > 0.5) & (mm.cos_theta(wi) < 0)
+    fz = jnp.where(flip, -1.0, 1.0)[..., None]
+    flip_vec = jnp.concatenate(
+        [jnp.ones_like(fz), jnp.ones_like(fz), fz], axis=-1
+    )
+    out = [wi * flip_vec] + [w * flip_vec for w in rest]
+    return flip_vec, out
+
+
+def bsdf_eval(sp, wi, wo, present):
+    """f(wi,wo) * |cos_o| for the per-lane material; smooth lobes only."""
+    _, (wi, wo) = _flip_twosided(sp, wi, wo)
+    out = jnp.zeros(wi.shape[:-1] + (3,), jnp.float32)
+    for t in present:
+        fn = _EVAL_FNS.get(t)
+        if fn is None:
+            continue  # delta or unsupported-from-eval types contribute 0
+        out = jnp.where((sp["type"] == t)[..., None], fn(sp, wi, wo), out)
+    return out
+
+
+def bsdf_pdf(sp, wi, wo, present):
+    _, (wi, wo) = _flip_twosided(sp, wi, wo)
+    out = jnp.zeros(wi.shape[:-1], jnp.float32)
+    for t in present:
+        fn = _PDF_FNS.get(t)
+        if fn is None:
+            continue
+        out = jnp.where(sp["type"] == t, fn(sp, wi, wo), out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+def _sample_cosine(sp, wi, u2):
+    wo = warp.square_to_cosine_hemisphere(u2)
+    return wo
+
+
+def bsdf_sample(sp, wi, u2, ulobe, present):
+    """Sample an outgoing direction for every lane.
+
+    Returns BSDFSample; lanes whose sample failed get weight 0.
+    """
+    flip_vec, (wi,) = _flip_twosided(sp, wi)
+
+    n = wi.shape[:-1]
+    wo = jnp.zeros(n + (3,), jnp.float32)
+    weight = jnp.zeros(n + (3,), jnp.float32)
+    pdf = jnp.zeros(n, jnp.float32)
+    delta = jnp.zeros(n, bool)
+    eta_s = jnp.ones(n, jnp.float32)
+
+    def put(mask, wo_t, w_t, pdf_t, delta_t, eta_t):
+        nonlocal wo, weight, pdf, delta, eta_s
+        wo = jnp.where(mask[..., None], wo_t, wo)
+        weight = jnp.where(mask[..., None], w_t, weight)
+        pdf = jnp.where(mask, pdf_t, pdf)
+        delta = jnp.where(mask, delta_t, delta)
+        eta_s = jnp.where(mask, eta_t, eta_s)
+
+    ci = mm.cos_theta(wi)
+
+    for t in present:
+        tm = sp["type"] == t
+        if t == DIFFUSE:
+            wo_t = _sample_cosine(sp, wi, u2)
+            w_t = _mask3(ci > 0, sp["cA"])
+            pdf_t = warp.square_to_cosine_hemisphere_pdf(wo_t)
+            put(tm, wo_t, w_t, pdf_t, False, 1.0)
+        elif t == ROUGHDIFFUSE:
+            wo_t = _sample_cosine(sp, wi, u2)
+            pdf_t = warp.square_to_cosine_hemisphere_pdf(wo_t)
+            f = _roughdiffuse_eval(sp, wi, wo_t)
+            w_t = f / jnp.maximum(pdf_t, 1e-8)[..., None]
+            put(tm, wo_t, w_t, pdf_t, False, 1.0)
+        elif t == CONDUCTOR:
+            wo_t = mm.reflect_local(wi)
+            f = mm.fresnel_conductor(ci, sp["cC"], sp["cD"])
+            w_t = _mask3(ci > 0, sp["cB"] * f)
+            put(tm, wo_t, jnp.where(tm[..., None], w_t, 0.0), 1.0, True, 1.0)
+        elif t == ROUGHCONDUCTOR:
+            m = mf.sample_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], u2)
+            wo_t = 2.0 * mm.dot(wi, m, keepdims=True) * m - wi
+            pdf_t = _roughconductor_pdf(sp, wi, wo_t)
+            f = _roughconductor_eval(sp, wi, wo_t)
+            ok = (pdf_t > 1e-10) & (mm.cos_theta(wo_t) > 0) & (ci > 0)
+            w_t = jnp.where(
+                ok[..., None], f / jnp.maximum(pdf_t, 1e-10)[..., None], 0.0
+            )
+            put(tm, wo_t, w_t, pdf_t, False, 1.0)
+        elif t == DIELECTRIC:
+            F, cos_t, eta_rel = mm.fresnel_dielectric(ci, sp["eta"])
+            refl = ulobe <= F
+            wo_refl = mm.reflect_local(wi)
+            wo_refr, tir, _ = mm.refract_local(wi, sp["eta"])
+            wo_t = jnp.where(refl[..., None], wo_refl, wo_refr)
+            inv_eta2 = 1.0 / (eta_rel * eta_rel)
+            w_t = jnp.where(
+                refl[..., None],
+                sp["cB"],
+                sp["cC"] * inv_eta2[..., None],
+            )
+            pdf_t = jnp.where(refl, F, 1.0 - F)
+            eta_t = jnp.where(refl, 1.0, eta_rel)
+            put(tm, wo_t, w_t, pdf_t, True, eta_t)
+        elif t == THINDIELECTRIC:
+            F, _, _ = mm.fresnel_dielectric(jnp.abs(ci), sp["eta"])
+            # account for internal reflections: R' = 2F/(1+F)
+            R = jnp.where(F < 1.0, 2.0 * F / (1.0 + F), 1.0)
+            refl = ulobe <= R
+            wo_t = jnp.where(
+                refl[..., None], mm.reflect_local(wi), -wi
+            )
+            w_t = jnp.where(refl[..., None], sp["cB"], sp["cC"])
+            pdf_t = jnp.where(refl, R, 1.0 - R)
+            put(tm, wo_t, w_t, pdf_t, True, 1.0)
+        elif t == ROUGHDIELECTRIC:
+            # m keeps its +z orientation (= outside of the interface), so
+            # the SIGNED dot(wi, m) carries the entering/exiting info just
+            # like cos_theta does for the smooth case
+            m = mf.sample_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], u2)
+            wih = mm.dot(wi, m)
+            F, _, eta_rel = mm.fresnel_dielectric(wih, sp["eta"])
+            refl = ulobe <= F
+            wo_refl = 2.0 * wih[..., None] * m - wi
+            # refraction about m: wo = -wi/eta + (|c|/eta - cos_t) * m_s
+            inv_eta = 1.0 / eta_rel
+            c = jnp.abs(wih)
+            ct_t = mm.safe_sqrt(1.0 - (1.0 - c * c) * inv_eta * inv_eta)
+            m_signed = m * mm.sign(wih)[..., None]
+            wo_refr = (
+                -wi * inv_eta[..., None]
+                + (inv_eta * c - ct_t)[..., None] * m_signed
+            )
+            wo_t = jnp.where(refl[..., None], wo_refl, wo_refr)
+            wo_t = mm.normalize(wo_t)
+            pdf_t = _roughdielectric_pdf(sp, wi, wo_t)
+            f = _roughdielectric_eval(sp, wi, wo_t)
+            side_ok = jnp.where(
+                refl, mm.cos_theta(wo_t) * ci > 0, mm.cos_theta(wo_t) * ci < 0
+            )
+            ok = (pdf_t > 1e-10) & side_ok
+            w_t = jnp.where(
+                ok[..., None], f / jnp.maximum(pdf_t, 1e-10)[..., None], 0.0
+            )
+            eta_t = jnp.where(refl, 1.0, eta_rel)
+            put(tm, wo_t, w_t, pdf_t, False, eta_t)
+        elif t in (PLASTIC, ROUGHPLASTIC):
+            fi, prob = _plastic_probs(sp, ci)
+            spec_sel = ulobe <= prob
+            if t == PLASTIC:
+                wo_spec = mm.reflect_local(wi)
+                w_spec = sp["cB"] * (fi / jnp.maximum(prob, 1e-8))[..., None]
+                pdf_spec = prob
+                delta_spec = True
+            else:
+                m = mf.sample_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], u2)
+                wo_spec = 2.0 * mm.dot(wi, m, keepdims=True) * m - wi
+                delta_spec = False
+            wo_diff = _sample_cosine(sp, wi, u2)
+            wo_t = jnp.where(spec_sel[..., None], wo_spec, wo_diff)
+            if t == PLASTIC:
+                # diffuse branch weight: f*cos/pdf with combined pdf
+                pdf_diff = (1.0 - prob) * warp.square_to_cosine_hemisphere_pdf(
+                    wo_t
+                )
+                f_diff = _plastic_eval(sp, wi, wo_t)
+                w_diff = f_diff / jnp.maximum(pdf_diff, 1e-8)[..., None]
+                wo_out = wo_t
+                w_out = jnp.where(spec_sel[..., None], w_spec, w_diff)
+                pdf_out = jnp.where(spec_sel, pdf_spec, pdf_diff)
+                ok = ci > 0
+                put(
+                    tm,
+                    wo_out,
+                    jnp.where(ok[..., None], w_out, 0.0),
+                    pdf_out,
+                    spec_sel,
+                    1.0,
+                )
+            else:
+                pdf_t = _roughplastic_pdf(sp, wi, wo_t)
+                f = _roughplastic_eval(sp, wi, wo_t)
+                ok = (pdf_t > 1e-10) & (mm.cos_theta(wo_t) > 0) & (ci > 0)
+                w_t = jnp.where(
+                    ok[..., None],
+                    f / jnp.maximum(pdf_t, 1e-10)[..., None],
+                    0.0,
+                )
+                put(tm, wo_t, w_t, pdf_t, False, 1.0)
+        elif t == PHONG_BSDF:
+            sw = sp["spec_w"]
+            spec_sel = ulobe <= sw
+            e = sp["exponent"]
+            cos_a = jnp.power(
+                jnp.clip(u2[..., 0], 0.0, mm.ONE_MINUS_EPS), 1.0 / (e + 1.0)
+            )
+            sin_a = mm.safe_sqrt(1.0 - cos_a * cos_a)
+            phi = 2.0 * jnp.pi * u2[..., 1]
+            lobe_local = jnp.stack(
+                [sin_a * jnp.cos(phi), sin_a * jnp.sin(phi), cos_a], axis=-1
+            )
+            r = mm.reflect_local(wi)
+            fr = mm.Frame.from_normal(r)
+            wo_spec = fr.to_world(lobe_local)
+            wo_diff = _sample_cosine(sp, wi, u2)
+            wo_t = jnp.where(spec_sel[..., None], wo_spec, wo_diff)
+            pdf_t = _phong_pdf(sp, wi, wo_t)
+            f = _phong_eval(sp, wi, wo_t)
+            ok = (pdf_t > 1e-10) & (mm.cos_theta(wo_t) > 0) & (ci > 0)
+            w_t = jnp.where(
+                ok[..., None], f / jnp.maximum(pdf_t, 1e-10)[..., None], 0.0
+            )
+            put(tm, wo_t, w_t, pdf_t, False, 1.0)
+        elif t == WARD:
+            sw = sp["spec_w"]
+            spec_sel = ulobe <= sw
+            au = mf.clamp_alpha(sp["alpha_u"])
+            av = mf.clamp_alpha(sp["alpha_v"])
+            phi_h = jnp.arctan2(
+                av * jnp.sin(2.0 * jnp.pi * u2[..., 1]),
+                au * jnp.cos(2.0 * jnp.pi * u2[..., 1]),
+            )
+            cp, sph = jnp.cos(phi_h), jnp.sin(phi_h)
+            t2 = -jnp.log(
+                jnp.maximum(1.0 - u2[..., 0], 1e-20)
+            ) / jnp.maximum((cp / au) ** 2 + (sph / av) ** 2, 1e-8)
+            ct_h = 1.0 / jnp.sqrt(1.0 + t2)
+            st_h = mm.safe_sqrt(1.0 - ct_h * ct_h)
+            h = jnp.stack([st_h * cp, st_h * sph, ct_h], axis=-1)
+            wo_spec = 2.0 * mm.dot(wi, h, keepdims=True) * h - wi
+            wo_diff = _sample_cosine(sp, wi, u2)
+            wo_t = jnp.where(spec_sel[..., None], wo_spec, wo_diff)
+            pdf_t = _ward_pdf(sp, wi, wo_t)
+            f = _ward_eval(sp, wi, wo_t)
+            ok = (pdf_t > 1e-10) & (mm.cos_theta(wo_t) > 0) & (ci > 0)
+            w_t = jnp.where(
+                ok[..., None], f / jnp.maximum(pdf_t, 1e-10)[..., None], 0.0
+            )
+            put(tm, wo_t, w_t, pdf_t, False, 1.0)
+        elif t == DIFFTRANS:
+            wo_t = _sample_cosine(sp, wi, u2)
+            wo_t = wo_t * jnp.stack(
+                [
+                    jnp.ones_like(ci),
+                    jnp.ones_like(ci),
+                    -mm.sign(ci),
+                ],
+                axis=-1,
+            )
+            pdf_t = jnp.abs(mm.cos_theta(wo_t)) * INV_PI
+            put(tm, wo_t, sp["cA"], pdf_t, False, 1.0)
+        elif t == NULL_BSDF:
+            put(tm, -wi, jnp.ones(n + (3,), jnp.float32), 1.0, True, 1.0)
+
+    # un-flip wo back to the true frame for two-sided lanes
+    wo = wo * flip_vec
+    return BSDFSample(wo, weight, pdf, delta, eta_s)

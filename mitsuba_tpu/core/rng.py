@@ -93,6 +93,31 @@ def radical_inverse_base2(bits):
     return _to_float01(bits)
 
 
+def sobol_2d_scrambled(index, scramble_x, scramble_y):
+    """sobol_2d with per-lane uint32 scramble arrays (random-digit XOR
+    scrambling, as in reference ldsampler.cpp sample02 usage)."""
+    index = jnp.asarray(index, _U32)
+    x_bits = _reverse_bits(index) ^ jnp.asarray(scramble_x, _U32)
+    result = jnp.asarray(scramble_y, _U32) | jnp.zeros_like(index)
+    direction = 1 << 31
+    for i in range(32):
+        result = jnp.where(
+            (index >> i) & _U32(1), result ^ _U32(direction), result
+        )
+        direction = (direction ^ (direction >> 1)) & 0xFFFFFFFF
+    return jnp.stack([_to_float01(x_bits), _to_float01(result)], axis=-1)
+
+
+def _reverse_bits(bits):
+    bits = bits.astype(_U32)
+    bits = ((bits << 16) | (bits >> 16)).astype(_U32)
+    bits = ((bits & _U32(0x00FF00FF)) << 8) | ((bits & _U32(0xFF00FF00)) >> 8)
+    bits = ((bits & _U32(0x0F0F0F0F)) << 4) | ((bits & _U32(0xF0F0F0F0)) >> 4)
+    bits = ((bits & _U32(0x33333333)) << 2) | ((bits & _U32(0xCCCCCCCC)) >> 2)
+    bits = ((bits & _U32(0x55555555)) << 1) | ((bits & _U32(0xAAAAAAAA)) >> 1)
+    return bits
+
+
 def sobol_2d(index, scramble_x=0, scramble_y=0):
     """First two dimensions of the Sobol' (0,2)-sequence with Owen-style
     XOR scrambling (reference: src/samplers/ldsampler.cpp sample02).

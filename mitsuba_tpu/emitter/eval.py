@@ -1,0 +1,329 @@
+"""Device-side emitter sampling and evaluation.
+
+Rebuild of Scene::sampleEmitterDirect / pdfEmitterDirect / evalEnvironment
+(reference: src/librender/scene.cpp:828-841, scene.h:482-760) over the
+packed emitter table: pick an emitter from the scene PMF
+(sampleReuse-style re-uniformization), then sample it per kind —
+triangle-area CDF for area lights, 2D luminance CDF for env maps.
+All quantities are per-lane arrays; the returned `value` is Le/pdf with
+the emitter-selection probability folded in.
+"""
+
+from __future__ import annotations
+
+import math as _pymath
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+def np_ceil_log2(n: int) -> int:
+    return int(_pymath.ceil(_pymath.log2(max(n, 2))))
+
+from mitsuba_tpu.core import math as mm
+from mitsuba_tpu.core import warp
+from mitsuba_tpu.emitter.plugins import (
+    AREA,
+    COLLIMATED,
+    CONSTANT,
+    DIRECTIONAL,
+    ENVMAP,
+    POINT,
+    SPOT,
+)
+
+INV_PI = 1.0 / jnp.pi
+INV_TWOPI = 0.5 / jnp.pi
+INV_FOURPI = 0.25 / jnp.pi
+ENV_DIST = 1e7  # pseudo-distance for env/directional lights
+
+
+class DirectSample(NamedTuple):
+    d: jnp.ndarray  # [R, 3] unit direction ref -> light
+    dist: jnp.ndarray  # [R]
+    pdf: jnp.ndarray  # [R] solid-angle pdf incl. emitter PMF (delta: mass)
+    value: jnp.ndarray  # [R, 3] Le / pdf
+    delta: jnp.ndarray  # [R] bool
+    n: jnp.ndarray  # [R, 3] light-side normal (area lights)
+
+
+def _searchsorted_segment(cdf, u, lo, hi, iters=None):
+    """Per-lane binary search: smallest i in [lo, hi) with u < cdf[i].
+    cdf holds per-segment normalized cumulative sums."""
+    if iters is None:
+        iters = np_ceil_log2(int(cdf.shape[0]) + 1)
+    lo = lo.astype(jnp.int32)
+    hi = hi.astype(jnp.int32)
+    left, right = lo, jnp.maximum(hi, lo + 1)
+    for _ in range(iters):
+        mid = (left + right) // 2
+        go_right = u >= cdf[jnp.clip(mid, 0, cdf.shape[0] - 1)]
+        left = jnp.where(go_right & (mid < right - 1),
+                         jnp.minimum(mid + 1, right - 1), left)
+        right = jnp.where(go_right, right, jnp.minimum(mid + 1, right))
+        left = jnp.minimum(left, right - 1)
+    return left
+
+
+def _env_uv_from_dir(pack, d):
+    """World direction -> lat-long uv (reference envmap.cpp eval)."""
+    dl = d @ pack.env_to_local[:3, :3].T
+    dl = mm.normalize(dl)
+    u = jnp.arctan2(dl[..., 0], -dl[..., 2]) * INV_TWOPI
+    u = jnp.where(u < 0.0, u + 1.0, u)
+    v = mm.safe_acos(jnp.clip(dl[..., 1], -1.0, 1.0)) * INV_PI
+    return jnp.stack([u, v], axis=-1)
+
+
+def _env_dir_from_uv(pack, uv):
+    phi = uv[..., 0] * 2.0 * jnp.pi
+    theta = uv[..., 1] * jnp.pi
+    st = jnp.sin(theta)
+    dl = jnp.stack(
+        [st * jnp.sin(phi), jnp.cos(theta), -st * jnp.cos(phi)], axis=-1
+    )
+    return mm.normalize(dl @ pack.env_to_world[:3, :3].T)
+
+
+def _env_bilinear(pack, uv):
+    img = pack.env_image
+    h, w = img.shape[0], img.shape[1]
+    fx = uv[..., 0] * w - 0.5
+    fy = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    ax = (fx - x0)[..., None]
+    ay = (fy - y0)[..., None]
+
+    def fetch(x, y):
+        x = jnp.mod(x, w)
+        y = jnp.clip(y, 0, h - 1)
+        return img[y, x]
+
+    return (
+        fetch(x0, y0) * (1 - ax) * (1 - ay)
+        + fetch(x0 + 1, y0) * ax * (1 - ay)
+        + fetch(x0, y0 + 1) * (1 - ax) * ay
+        + fetch(x0 + 1, y0 + 1) * ax * ay
+    )
+
+
+def eval_env(pack, d):
+    """Radiance for rays escaping to the environment
+    (= Scene::evalEnvironment)."""
+    if not pack.has_env:
+        return jnp.zeros(d.shape[:-1] + (3,), jnp.float32)
+    e = pack.env_idx
+    base = jnp.broadcast_to(pack.em_rgb[e], d.shape[:-1] + (3,))
+    if pack.has_envmap:
+        return _env_bilinear(pack, _env_uv_from_dir(pack, d))
+    return base
+
+
+def _env_pdf_dir(pack, d):
+    """Solid-angle pdf of env sampling for direction d (no PMF factor)."""
+    if pack.has_envmap:
+        uv = _env_uv_from_dir(pack, d)
+        h, w = pack.env_density.shape
+        col = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
+        row = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+        dens = pack.env_density[row, col]
+        sin_t = jnp.maximum(jnp.sin(uv[..., 1] * jnp.pi), 1e-6)
+        return dens / (2.0 * jnp.pi * jnp.pi * sin_t)
+    return jnp.full(d.shape[:-1], INV_FOURPI)
+
+
+def _sample_env_dir(pack, u2):
+    """Importance-sample the env map's 2D luminance CDF
+    (reference envmap.cpp sampleDirection)."""
+    h, w = pack.env_density.shape
+    row = jnp.clip(
+        jnp.searchsorted(pack.env_marginal_cdf, u2[..., 1], side="right") - 1,
+        0,
+        h - 1,
+    )
+    lo_m = pack.env_marginal_cdf[row]
+    dv = jnp.maximum(pack.env_marginal_cdf[row + 1] - lo_m, 1e-12)
+    vfrac = jnp.clip((u2[..., 1] - lo_m) / dv, 0.0, mm.ONE_MINUS_EPS)
+    v = (row.astype(jnp.float32) + vfrac) / h
+
+    # per-lane binary search in the row's conditional CDF (point gathers
+    # only — a full row gather would be W+1 floats per lane)
+    ccdf = pack.env_conditional_cdf
+    left = jnp.zeros_like(row)
+    right = jnp.full_like(row, w)
+    uq = u2[..., 0]
+    iters = max(int(np_ceil_log2(w + 1)), 1)
+    for _ in range(iters):
+        mid = (left + right) // 2
+        val = ccdf[row, jnp.minimum(mid + 1, w)]
+        go_right = uq >= val
+        left = jnp.where(go_right, jnp.minimum(mid + 1, w - 1), left)
+        right = jnp.where(go_right, right, mid)
+        left = jnp.minimum(left, right)
+    col = jnp.clip(left, 0, w - 1)
+    lo_c = ccdf[row, col]
+    hi_c = ccdf[row, col + 1]
+    ufrac = jnp.clip(
+        (uq - lo_c) / jnp.maximum(hi_c - lo_c, 1e-12), 0.0, mm.ONE_MINUS_EPS
+    )
+    u = (col.astype(jnp.float32) + ufrac) / w
+    uv = jnp.stack([u, v], axis=-1)
+    d = _env_dir_from_uv(pack, uv)
+    dens = pack.env_density[row, col]
+    sin_t = jnp.maximum(jnp.sin(v * jnp.pi), 1e-6)
+    pdf = dens / (2.0 * jnp.pi * jnp.pi * sin_t)
+    return d, pdf
+
+
+def sample_direct(pack, p_ref, u3):
+    """NEE: pick emitter + sample a direction toward it.
+
+    u3: [R, 3] uniforms (selection + 2D).  Returns DirectSample.
+    """
+    r = p_ref.shape[0]
+    u_sel = u3[..., 0]
+    u2 = u3[..., 1:3]
+
+    # emitter selection with sample reuse (reference pmf.h sampleReuse)
+    e = jnp.clip(
+        jnp.searchsorted(pack.emitter_cdf, u_sel, side="right") - 1,
+        0,
+        pack.emitter_pmf.shape[0] - 1,
+    )
+    pmf = pack.emitter_pmf[e]
+
+    kind = pack.em_kind[e]
+    rgb = pack.em_rgb[e]
+
+    d = jnp.zeros((r, 3), jnp.float32)
+    dist = jnp.full((r,), ENV_DIST, jnp.float32)
+    pdf = jnp.zeros((r,), jnp.float32)
+    value = jnp.zeros((r, 3), jnp.float32)
+    delta = jnp.zeros((r,), bool)
+    n_l = jnp.zeros((r, 3), jnp.float32)
+
+    def put(mask, d_t, dist_t, pdf_t, val_t, delta_t, n_t=None):
+        nonlocal d, dist, pdf, value, delta, n_l
+        d = jnp.where(mask[..., None], d_t, d)
+        dist = jnp.where(mask, dist_t, dist)
+        pdf = jnp.where(mask, pdf_t, pdf)
+        value = jnp.where(mask[..., None], val_t, value)
+        delta = jnp.where(mask, delta_t, delta)
+        if n_t is not None:
+            n_l = jnp.where(mask[..., None], n_t, n_l)
+
+    # ---- area lights: triangle from per-emitter area CDF ----
+    if pack.has_area:
+        tri_slot = _searchsorted_segment(
+            pack.area_tri_cdf, u2[..., 0], pack.em_tri_lo[e], pack.em_tri_hi[e]
+        )
+        tri = pack.area_tri_idx[tri_slot]
+        # re-uniformize the triangle-selection sample
+        lo_c = jnp.where(
+            tri_slot > pack.em_tri_lo[e],
+            pack.area_tri_cdf[jnp.maximum(tri_slot - 1, 0)],
+            0.0,
+        )
+        hi_c = pack.area_tri_cdf[tri_slot]
+        u0 = jnp.clip(
+            (u2[..., 0] - lo_c) / jnp.maximum(hi_c - lo_c, 1e-12),
+            0.0,
+            mm.ONE_MINUS_EPS,
+        )
+        bary = warp.square_to_uniform_triangle(
+            jnp.stack([u0, u2[..., 1]], axis=-1)
+        )
+        v0 = pack.tri_v0[tri]
+        e1 = pack.tri_e1[tri]
+        e2 = pack.tri_e2[tri]
+        p_l = v0 + bary[..., 0:1] * e1 + bary[..., 1:2] * e2
+        ng = mm.cross(e1, e2)
+        ng = mm.normalize(ng)
+        to_l = p_l - p_ref
+        dist_a = mm.length(to_l)
+        d_a = to_l / jnp.maximum(dist_a, 1e-12)[..., None]
+        cos_l = -mm.dot(d_a, ng)
+        area = pack.em_area[e]
+        # pdf_area = 1/area; convert to solid angle
+        pdf_a = (
+            pmf
+            * (dist_a * dist_a)
+            / jnp.maximum(cos_l * area, 1e-12)
+        )
+        ok = cos_l > 1e-6  # one-sided area emitters (reference area.cpp)
+        val_a = jnp.where(
+            (ok & (pdf_a > 0))[..., None],
+            rgb / jnp.maximum(pdf_a, 1e-12)[..., None],
+            0.0,
+        )
+        put(kind == AREA, d_a, dist_a, pdf_a, val_a, False, ng)
+
+    # ---- point ----
+    to_l = pack.em_pos[e] - p_ref
+    dist_p = mm.length(to_l)
+    d_p = to_l / jnp.maximum(dist_p, 1e-12)[..., None]
+    inv_d2 = 1.0 / jnp.maximum(dist_p * dist_p, 1e-12)
+    val_p = rgb * (inv_d2 / jnp.maximum(pmf, 1e-12))[..., None]
+    put(kind == POINT, d_p, dist_p, pmf, val_p, True)
+
+    # ---- spot: linear falloff between beamWidth and cutoff ----
+    cos_f = -mm.dot(d_p, pack.em_dir[e])
+    cc = pack.em_cos_cutoff[e]
+    cb = pack.em_cos_beam[e]
+    fall = jnp.clip((cos_f - cc) / jnp.maximum(cb - cc, 1e-6), 0.0, 1.0)
+    fall = jnp.where(cos_f >= cb, 1.0, fall)
+    fall = jnp.where(cos_f <= cc, 0.0, fall)
+    val_s = val_p * fall[..., None]
+    put(kind == SPOT, d_p, dist_p, pmf, val_s, True)
+
+    # ---- directional ----
+    d_dir = -pack.em_dir[e]
+    val_d = rgb / jnp.maximum(pmf, 1e-12)[..., None]
+    put(
+        kind == DIRECTIONAL,
+        jnp.broadcast_to(d_dir, (r, 3)),
+        jnp.full((r,), ENV_DIST),
+        pmf,
+        val_d,
+        True,
+    )
+
+    # ---- constant env ----
+    d_c = warp.square_to_uniform_sphere(u2)
+    pdf_c = pmf * INV_FOURPI
+    val_c = rgb / jnp.maximum(pdf_c, 1e-12)[..., None]
+    put(kind == CONSTANT, d_c, jnp.full((r,), ENV_DIST), pdf_c, val_c, False)
+
+    # ---- envmap ----
+    if pack.has_envmap:
+        d_e, pdf_e = _sample_env_dir(pack, u2)
+        le = _env_bilinear(pack, _env_uv_from_dir(pack, d_e))
+        pdf_e = pmf * pdf_e
+        val_e = jnp.where(
+            (pdf_e > 1e-12)[..., None],
+            le / jnp.maximum(pdf_e, 1e-12)[..., None],
+            0.0,
+        )
+        put(
+            kind == ENVMAP, d_e, jnp.full((r,), ENV_DIST), pdf_e, val_e, False
+        )
+
+    return DirectSample(d=d, dist=dist, pdf=pdf, value=value, delta=delta, n=n_l)
+
+
+def pdf_direct_area(pack, emit_id, dist, cos_l):
+    """Solid-angle pdf of sample_direct having produced this area-light
+    hit (for MIS on BSDF-sampled rays; reference scene.cpp pdfEmitterDirect)."""
+    e = jnp.maximum(emit_id, 0)
+    pmf = pack.emitter_pmf[e]
+    area = pack.em_area[e]
+    pdf = pmf * (dist * dist) / jnp.maximum(cos_l * area, 1e-12)
+    return jnp.where((emit_id >= 0) & (cos_l > 1e-6), pdf, 0.0)
+
+
+def pdf_direct_env(pack, d):
+    if not pack.has_env:
+        return jnp.zeros(d.shape[:-1], jnp.float32)
+    pmf = pack.emitter_pmf[pack.env_idx]
+    return pmf * _env_pdf_dir(pack, d)

@@ -1,0 +1,115 @@
+"""Device-side film accumulation: reconstruction-filtered splatting.
+
+Rebuild of ImageBlock::put (reference:
+include/mitsuba/render/imageblock.h:113-170): every radiance sample is
+splatted into its filter footprint; the film carries (weighted RGB sum,
+weight sum) and `develop` divides.  Instead of the reference's 31-entry
+filter LUT (rfilter.h:28) the kernels are evaluated exactly — ALU beats
+a gather on TPU.  The scatter-add compiles to an XLA scatter; a Pallas
+tile-local accumulation kernel is the planned upgrade for the splat
+stage.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from mitsuba_tpu.film.plugins import (
+    BOX,
+    CATMULLROM,
+    GAUSSIAN,
+    LANCZOS,
+    MITCHELL,
+    TENT,
+    RFilterRecord,
+)
+
+
+def filter_eval_1d(rec: RFilterRecord, x):
+    """Evaluate the (static) reconstruction kernel at offsets x."""
+    ax = jnp.abs(x)
+    if rec.kind == BOX:
+        return jnp.where(ax <= 0.5, 1.0, 0.0)
+    if rec.kind == TENT:
+        return jnp.maximum(1.0 - ax, 0.0)
+    if rec.kind == GAUSSIAN:
+        alpha = -1.0 / (2.0 * rec.stddev * rec.stddev)
+        return jnp.maximum(
+            jnp.exp(alpha * ax * ax)
+            - math.exp(alpha * rec.radius * rec.radius),
+            0.0,
+        )
+    if rec.kind in (MITCHELL, CATMULLROM):
+        b, c = rec.b, rec.c
+        x2 = ax * ax
+        x3 = x2 * ax
+        inner = (
+            (12.0 - 9.0 * b - 6.0 * c) * x3
+            + (-18.0 + 12.0 * b + 6.0 * c) * x2
+            + (6.0 - 2.0 * b)
+        ) * (1.0 / 6.0)
+        outer = (
+            (-b - 6.0 * c) * x3
+            + (6.0 * b + 30.0 * c) * x2
+            + (-12.0 * b - 48.0 * c) * ax
+            + (8.0 * b + 24.0 * c)
+        ) * (1.0 / 6.0)
+        return jnp.where(ax < 1.0, inner, jnp.where(ax < 2.0, outer, 0.0))
+    if rec.kind == LANCZOS:
+        def sinc(t):
+            t = jnp.abs(t) * jnp.pi
+            return jnp.where(t < 1e-5, 1.0, jnp.sin(t) / jnp.maximum(t, 1e-20))
+
+        return jnp.where(
+            ax < rec.radius, sinc(ax) * sinc(ax / rec.lobes), 0.0
+        )
+    raise ValueError(f"unknown filter kind {rec.kind}")
+
+
+def new_film(height, width):
+    """(weighted rgb, weight) accumulator."""
+    return jnp.zeros((height, width, 4), jnp.float32)
+
+
+def splat(film, pos, value, rfilter: RFilterRecord, valid=None):
+    """Splat values into the film.
+
+    film: [H, W, 4]; pos: [R, 2] continuous pixel coords (x, y) with
+    pixel centers at (i+0.5); value: [R, 3].
+    """
+    h, w = film.shape[0], film.shape[1]
+    radius = rfilter.radius
+    fw = int(math.ceil(2.0 * radius))  # footprint width in pixels
+    value = jnp.nan_to_num(value, nan=0.0, posinf=0.0, neginf=0.0)
+    if valid is not None:
+        value = jnp.where(valid[..., None], value, 0.0)
+
+    x, y = pos[..., 0], pos[..., 1]
+    # leftmost pixel whose center might be inside the kernel support
+    x0 = jnp.floor(x - radius + 0.5).astype(jnp.int32)
+    y0 = jnp.floor(y - radius + 0.5).astype(jnp.int32)
+
+    flat = film.reshape(-1, 4)
+    contrib = jnp.concatenate(
+        [value, jnp.ones(value.shape[:-1] + (1,), value.dtype)], axis=-1
+    )
+    for dy in range(fw):
+        py = y0 + dy
+        wy = filter_eval_1d(rfilter, py.astype(jnp.float32) + 0.5 - y)
+        for dx in range(fw):
+            px = x0 + dx
+            wx = filter_eval_1d(rfilter, px.astype(jnp.float32) + 0.5 - x)
+            wgt = wx * wy
+            inside = (px >= 0) & (px < w) & (py >= 0) & (py < h)
+            idx = jnp.where(inside, py * w + px, 0)
+            amount = jnp.where(inside & (wgt > 0), wgt, 0.0)[..., None]
+            flat = flat.at[idx].add(contrib * amount)
+    return flat.reshape(h, w, 4)
+
+
+def develop(film):
+    """Weighted average -> final image (reference film.h develop)."""
+    w = film[..., 3:4]
+    return jnp.where(w > 1e-8, film[..., :3] / jnp.maximum(w, 1e-8), 0.0)

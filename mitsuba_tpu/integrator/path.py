@@ -1,0 +1,286 @@
+"""Wavefront MIS path tracer.
+
+Rebuild of MIPathTracer::Li (reference:
+src/integrators/path/path.cpp:119-300) as a fixed-shape wavefront loop:
+the per-ray recursion becomes a `lax.while_loop` over the whole SoA lane
+batch — one closest-hit trace + one NEE shadow trace per bounce, power-
+heuristic MIS between emitter and BSDF sampling, eta-scaled Russian
+roulette after `rrDepth` (path.cpp:276-285).  The loop exits as soon as
+every lane has terminated, so deep maxDepth costs nothing once paths die.
+
+Also hosts the shared-machinery integrators: direct (MIDirect), ao,
+field/AOV — all are one-bounce specializations of the same kernel.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mitsuba_tpu.accel.intersect import fill_interaction, intersect, occluded
+from mitsuba_tpu.bsdf.eval import bsdf_eval, bsdf_pdf, bsdf_sample
+from mitsuba_tpu.core import math as mm
+from mitsuba_tpu.core import rng
+from mitsuba_tpu.emitter import eval as em
+from mitsuba_tpu.scene.texture_eval import shading_params
+
+SHADOW_EPS = 1e-3
+MAX_BOUNCES_CAP = 64  # hard cap when maxDepth = -1 (infinite)
+
+# RNG decision slots per bounce (keep stable for reproducibility)
+_SLOTS_PER_BOUNCE = 4
+_SLOT_NEE = 1
+_SLOT_BSDF = 2
+_SLOT_RR = 3
+
+
+def mi_weight(pdf_a, pdf_b):
+    """Power heuristic, beta = 2 (reference path.cpp:296-300)."""
+    pdf_a = pdf_a * pdf_a
+    pdf_b = pdf_b * pdf_b
+    return jnp.where(
+        pdf_a + pdf_b > 0, pdf_a / jnp.maximum(pdf_a + pdf_b, 1e-30), 0.0
+    )
+
+
+def _offset_ray(p, n, d):
+    """Offset a spawn point along the geometric normal to dodge
+    self-intersection (cheap version of ray epsilons; RAY_EPS in the
+    t-range does the rest)."""
+    s = mm.sign(mm.dot(n, d))[..., None]
+    return p + n * s * 1e-4
+
+
+def path_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
+    """Trace a batch of camera rays to completion.
+
+    pack: ScenePack; integ: IntegratorRecord; o, d: [R, 3];
+    lane/sample_idx: int arrays for the counter RNG; sampler: SamplerRecord.
+    Returns L [R, 3].
+    """
+    r = o.shape[0]
+    present = pack.present_types
+    max_depth = integ.max_depth if integ.max_depth > 0 else MAX_BOUNCES_CAP
+    rr_depth = max(integ.rr_depth, 1)
+
+    def u4(depth, slot):
+        return rng.rand4(
+            lane, sample_idx, depth * _SLOTS_PER_BOUNCE + slot, seed
+        )
+
+    state = dict(
+        L=jnp.zeros((r, 3), jnp.float32),
+        thr=jnp.ones((r, 3), jnp.float32),
+        eta=jnp.ones((r,), jnp.float32),
+        o=o,
+        d=d,
+        active=jnp.ones((r,), bool),
+        prev_pdf=jnp.ones((r,), jnp.float32),
+        prev_delta=jnp.ones((r,), bool),  # depth-0 hits count fully
+        depth=jnp.int32(0),
+    )
+
+    def cond(s):
+        return (s["depth"] < max_depth) & jnp.any(s["active"])
+
+    def body(s):
+        depth = s["depth"]
+        o, d = s["o"], s["d"]
+        active = s["active"]
+        thr, L = s["thr"], s["L"]
+
+        hit = intersect(pack, o, d)
+        its = fill_interaction(pack, o, d, hit)
+        found = its.valid & active
+
+        # ---- escaped rays: environment radiance with MIS ----
+        if pack.has_env:
+            escape = active & ~its.valid
+            env_l = em.eval_env(pack, d)
+            w_env = jnp.where(
+                s["prev_delta"],
+                1.0,
+                mi_weight(s["prev_pdf"], em.pdf_direct_env(pack, d)),
+            )
+            if integ.hide_emitters:
+                w_env = jnp.where(depth == 0, 0.0, w_env)
+            L = L + jnp.where(escape[..., None], thr * env_l * w_env[..., None], 0.0)
+
+        # ---- direct emitter hit (area lights) with MIS ----
+        # (reference path.cpp:148-150 and :255-263)
+        if pack.has_area:
+            cos_l = mm.dot(its.ns, its.wi_world)
+            emissive = found & (its.emit >= 0) & (cos_l > 0)
+            le = pack.em_rgb[jnp.maximum(its.emit, 0)]
+            p_direct = em.pdf_direct_area(pack, its.emit, its.t, cos_l)
+            w_hit = jnp.where(
+                s["prev_delta"], 1.0, mi_weight(s["prev_pdf"], p_direct)
+            )
+            if integ.hide_emitters:
+                w_hit = jnp.where(depth == 0, 0.0, w_hit)
+            L = L + jnp.where(
+                emissive[..., None], thr * le * w_hit[..., None], 0.0
+            )
+
+        active = found
+
+        # ---- local frame + shading params ----
+        frame = mm.Frame.from_normal(its.ns)
+        wi_l = frame.to_local(its.wi_world)
+        sp = shading_params(pack, its.mat, its.uv)
+
+        # strict normals: reject rays that hit shading/geo-inconsistent
+        # configurations (reference path.cpp:165-172)
+        if integ.strict_normals:
+            wi_g = mm.dot(its.wi_world, its.ng)
+            active = active & (wi_g * mm.cos_theta(wi_l) > 0)
+
+        # ---- next-event estimation ----
+        # (reference path.cpp:176-198 / scene.cpp:828-841)
+        if pack.meta["n_emitters"] > 0:
+            u_n = u4(depth, _SLOT_NEE)
+            ds = em.sample_direct(pack, its.p, u_n[..., :3])
+            wo_l = frame.to_local(ds.d)
+            f = bsdf_eval(sp, wi_l, wo_l, present)
+            contributes = active & (jnp.max(ds.value, axis=-1) > 0) & (
+                jnp.max(f, axis=-1) > 0
+            )
+            o_sh = _offset_ray(its.p, its.ng, ds.d)
+            shadow_t = jnp.where(
+                ds.dist >= em.ENV_DIST, 1e7, ds.dist * (1.0 - SHADOW_EPS)
+            )
+            occ = occluded(
+                pack,
+                jnp.where(contributes[..., None], o_sh, o_sh),
+                ds.d,
+                shadow_t,
+            )
+            b_pdf = jnp.where(
+                ds.delta, 0.0, bsdf_pdf(sp, wi_l, wo_l, present)
+            )
+            w_nee = jnp.where(ds.delta, 1.0, mi_weight(ds.pdf, b_pdf))
+            L = L + jnp.where(
+                (contributes & ~occ)[..., None],
+                thr * ds.value * f * w_nee[..., None],
+                0.0,
+            )
+
+        # ---- BSDF sampling (reference path.cpp:209-253) ----
+        u_b = u4(depth, _SLOT_BSDF)
+        bs = bsdf_sample(sp, wi_l, u_b[..., :2], u_b[..., 2], present)
+        thr = thr * jnp.where(active[..., None], bs.weight, 1.0)
+        eta = s["eta"] * jnp.where(active, bs.eta, 1.0)
+        d_new = frame.to_world(bs.wo)
+        if integ.strict_normals:
+            wo_g = mm.dot(d_new, its.ng)
+            active = active & (wo_g * mm.cos_theta(bs.wo) > 0)
+        o_new = _offset_ray(its.p, its.ng, d_new)
+
+        active = active & (jnp.max(thr, axis=-1) > 0)
+
+        # ---- Russian roulette (reference path.cpp:276-285) ----
+        u_r = u4(depth, _SLOT_RR)[..., 0]
+        q = jnp.minimum(jnp.max(thr, axis=-1) * eta * eta, 0.95)
+        do_rr = depth + 1 >= rr_depth
+        keep = jnp.where(do_rr, u_r < q, True)
+        thr = jnp.where(
+            (do_rr & keep)[..., None], thr / jnp.maximum(q, 1e-6)[..., None], thr
+        )
+        active = active & keep
+
+        return dict(
+            L=L,
+            thr=thr,
+            eta=eta,
+            o=jnp.where(active[..., None], o_new, s["o"]),
+            d=jnp.where(active[..., None], d_new, s["d"]),
+            active=active,
+            prev_pdf=jnp.where(active, bs.pdf, s["prev_pdf"]),
+            prev_delta=jnp.where(active, bs.delta, s["prev_delta"]),
+            depth=depth + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out["L"]
+
+
+def direct_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
+    """MIDirect: emitter + BSDF sampling of direct illumination only
+    (reference src/integrators/direct/direct.cpp)."""
+    one_bounce = type(integ)(**{**integ.__dict__, "max_depth": 2, "rr_depth": 100})
+    return path_trace(pack, one_bounce, o, d, lane, sample_idx, sampler, seed)
+
+
+def ao_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
+    """Ambient occlusion (reference src/integrators/direct/ao.cpp)."""
+    hit = intersect(pack, o, d)
+    its = fill_interaction(pack, o, d, hit)
+    frame = mm.Frame.from_normal(its.ns)
+    u = rng.rand4(lane, sample_idx, 1, seed)
+    from mitsuba_tpu.core import warp
+
+    wo_l = warp.square_to_cosine_hemisphere(u[..., :2])
+    wo = frame.to_world(wo_l)
+    length = (
+        integ.ray_length
+        if integ.ray_length > 0
+        else 1e7  # reference: bsphere-derived default
+    )
+    o_sh = _offset_ray(its.p, its.ng, wo)
+    occ = occluded(pack, o_sh, wo, jnp.full(o.shape[0], length))
+    vis = jnp.where(its.valid & ~occ, 1.0, 0.0)
+    vis = jnp.where(its.valid, vis, 0.0)
+    return jnp.repeat(vis[..., None], 3, axis=-1)
+
+
+def field_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
+    """AOV extraction (reference src/integrators/misc/field.cpp)."""
+    hit = intersect(pack, o, d)
+    its = fill_interaction(pack, o, d, hit)
+    name = integ.field_name
+    if name == "position":
+        v = its.p
+    elif name == "relPosition":
+        v = its.p - o
+    elif name == "distance":
+        v = jnp.repeat(its.t[..., None], 3, -1)
+    elif name in ("geoNormal",):
+        v = its.ng
+    elif name in ("shNormal", "normal"):
+        v = its.ns
+    elif name == "uv":
+        v = jnp.concatenate(
+            [its.uv, jnp.zeros(its.uv.shape[:-1] + (1,))], axis=-1
+        )
+    elif name == "albedo":
+        sp = shading_params(pack, its.mat, its.uv)
+        v = sp["cA"]
+    elif name == "primIndex":
+        v = jnp.repeat(its.prim[..., None].astype(jnp.float32), 3, -1)
+    elif name == "emission":
+        le = pack.em_rgb[jnp.maximum(its.emit, 0)]
+        v = jnp.where((its.emit >= 0)[..., None], le, 0.0)
+    else:
+        raise ValueError(f"field: unknown field '{name}'")
+    return jnp.where(its.valid[..., None], v, 0.0)
+
+
+TRACE_FNS = {
+    "path": path_trace,
+    "volpath": None,  # filled by integrator/volpath.py on import
+    "direct": direct_trace,
+    "ao": ao_trace,
+    "field": field_trace,
+    # bidirectional/photon family currently rendered by the path backend
+    # (radiometrically matching; their variance-reduction machinery is
+    # the planned follow-up per SURVEY.md §7 stages 8-9)
+    "bdpt": path_trace,
+    "pssmlt": path_trace,
+    "mlt": path_trace,
+    "erpt": path_trace,
+    "ptracer": path_trace,
+    "photonmapper": path_trace,
+    "ppm": path_trace,
+    "sppm": path_trace,
+    "vpl": path_trace,
+}

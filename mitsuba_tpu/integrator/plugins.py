@@ -1,0 +1,211 @@
+"""Integrator plugins (host-side configuration records).
+
+Parity targets (reference src/integrators/*): path, volpath,
+volpath_simple, direct, ao, bdpt, pssmlt, mlt, erpt, photonmapper,
+ppm, sppm, ptracer, vpl, adaptive, irrcache, multichannel, field,
+motion.  Round 1 wires path / volpath / direct / ao / field(depth,
+normal, ...) into the wavefront renderer; the bidirectional and photon
+families are planned follow-ups (SURVEY.md §7 stages 8-9).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from mitsuba_tpu.scene.registry import register
+
+
+@dataclass
+class IntegratorRecord:
+    kind: str = "path"
+    max_depth: int = -1
+    rr_depth: int = 5
+    strict_normals: bool = False
+    hide_emitters: bool = False
+    # direct
+    emitter_samples: int = 1
+    bsdf_samples: int = 1
+    # ao
+    ray_length: float = -1.0
+    shading_samples: int = 1
+    # field
+    field_name: str = "position"
+    # bdpt / mlt family
+    light_image: bool = True
+    sample_direct: bool = True
+    # pssmlt
+    bidirectional: bool = False
+    luminance_samples: int = 100000
+    two_stage: bool = False
+    p_large: float = 0.3
+    mutations_per_pixel: int = 100
+    sub_integrator: "IntegratorRecord | None" = None
+
+
+class _IntBase:
+    kind = "path"
+
+    def __init__(self, props):
+        self.record = IntegratorRecord(
+            kind=self.kind,
+            max_depth=props.get_int("maxDepth", -1),
+            rr_depth=props.get_int("rrDepth", 5),
+            strict_normals=props.get_bool("strictNormals", False),
+            hide_emitters=props.get_bool("hideEmitters", False),
+        )
+        self._finish(props)
+
+    def _finish(self, props):
+        pass
+
+
+@register("integrator", "path")
+class PathIntegrator(_IntBase):
+    """reference: src/integrators/path/path.cpp:110 (MIPathTracer)."""
+
+    kind = "path"
+
+
+@register("integrator", "volpath")
+class VolPathIntegrator(_IntBase):
+    """reference: src/integrators/path/volpath.cpp:76."""
+
+    kind = "volpath"
+
+
+@register("integrator", "volpath_simple")
+class VolPathSimpleIntegrator(_IntBase):
+    kind = "volpath"
+
+
+@register("integrator", "direct")
+class DirectIntegrator(_IntBase):
+    """reference: src/integrators/direct/direct.cpp (MIDirect)."""
+
+    kind = "direct"
+
+    def _finish(self, props):
+        s = props.get_int("shadingSamples", 1)
+        self.record.emitter_samples = props.get_int("emitterSamples", s)
+        self.record.bsdf_samples = props.get_int("bsdfSamples", s)
+
+
+@register("integrator", "ao")
+class AOIntegrator(_IntBase):
+    """reference: src/integrators/direct/ao.cpp."""
+
+    kind = "ao"
+
+    def _finish(self, props):
+        self.record.ray_length = props.get_float("rayLength", -1.0)
+        self.record.shading_samples = props.get_int("shadingSamples", 1)
+
+
+@register("integrator", "field")
+class FieldIntegrator(_IntBase):
+    """reference: src/integrators/misc/field.cpp — AOV extraction."""
+
+    kind = "field"
+
+    def _finish(self, props):
+        self.record.field_name = props.get_string("field", "position")
+
+
+@register("integrator", "depth")
+class DepthIntegrator(_IntBase):
+    kind = "field"
+
+    def _finish(self, props):
+        self.record.field_name = "distance"
+
+
+@register("integrator", "bdpt")
+class BDPTIntegrator(_IntBase):
+    """reference: src/integrators/bdpt/bdpt.cpp:133 — planned; currently
+    renders with the unidirectional path backend (matching radiometry,
+    without the bidirectional variance reduction)."""
+
+    kind = "bdpt"
+
+    def _finish(self, props):
+        self.record.light_image = props.get_bool("lightImage", True)
+        self.record.sample_direct = props.get_bool("sampleDirect", True)
+
+
+@register("integrator", "pssmlt")
+class PSSMLTIntegrator(_IntBase):
+    """reference: src/integrators/pssmlt/pssmlt.cpp:150 — planned;
+    currently renders with the path backend."""
+
+    kind = "pssmlt"
+
+    def _finish(self, props):
+        self.record.bidirectional = props.get_bool("bidirectional", True)
+        self.record.luminance_samples = props.get_int(
+            "luminanceSamples", 100000
+        )
+        self.record.two_stage = props.get_bool("twoStage", False)
+        self.record.p_large = props.get_float("pLarge", 0.3)
+
+
+@register("integrator", "mlt")
+class MLTIntegrator(PSSMLTIntegrator):
+    kind = "mlt"
+
+
+@register("integrator", "erpt")
+class ERPTIntegrator(PSSMLTIntegrator):
+    kind = "erpt"
+
+
+@register("integrator", "ptracer")
+class PTracerIntegrator(_IntBase):
+    """reference: src/integrators/ptracer/ptracer.cpp — planned."""
+
+    kind = "ptracer"
+
+
+@register("integrator", "photonmapper")
+class PhotonMapper(_IntBase):
+    kind = "photonmapper"
+
+
+@register("integrator", "ppm")
+class PPMIntegrator(_IntBase):
+    kind = "ppm"
+
+
+@register("integrator", "sppm")
+class SPPMIntegrator(_IntBase):
+    kind = "sppm"
+
+
+@register("integrator", "vpl")
+class VPLIntegrator(_IntBase):
+    kind = "vpl"
+
+
+class _MetaIntegrator(_IntBase):
+    def _finish(self, props):
+        for name, child in props.children:
+            rec = getattr(child, "record", None)
+            if isinstance(rec, IntegratorRecord):
+                self.record.sub_integrator = rec
+
+
+@register("integrator", "adaptive")
+class AdaptiveIntegrator(_MetaIntegrator):
+    """reference: src/integrators/misc/adaptive.cpp — meta-integrator;
+    currently forwards to the nested integrator."""
+
+    kind = "adaptive"
+
+
+@register("integrator", "irrcache")
+class IrrCacheIntegrator(_MetaIntegrator):
+    kind = "irrcache"
+
+
+@register("integrator", "multichannel")
+class MultiChannelIntegrator(_MetaIntegrator):
+    kind = "multichannel"

@@ -1,0 +1,252 @@
+"""Participating media, phase functions, and volume data sources.
+
+Parity targets: homogeneous / heterogeneous media
+(reference src/medium/{homogeneous,heterogeneous}.cpp), phase functions
+isotropic/hg/rayleigh/kkay/microflake/mixturephase (src/phase/*),
+volume sources constvolume/gridvolume/hgridvolume/volcache (src/volume/*).
+
+Round 1 ships the host-side records and the `.vol` grid loader; the
+volpath integrator consumes homogeneous + grid media (Woodcock/delta
+tracking as a masked wavefront loop).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from mitsuba_tpu.core.transform import Transform
+from mitsuba_tpu.scene.registry import register
+
+ISOTROPIC = 0
+HG = 1
+RAYLEIGH = 2
+
+HOMOGENEOUS = 0
+HETEROGENEOUS = 1
+
+
+@dataclass
+class PhaseRecord:
+    kind: int = ISOTROPIC
+    g: float = 0.0
+
+
+class _PhaseBase:
+    kind = ISOTROPIC
+
+    def __init__(self, props):
+        self.record = PhaseRecord(kind=self.kind)
+        self._finish(props)
+
+    def _finish(self, props):
+        pass
+
+
+@register("phase", "isotropic")
+class IsotropicPhase(_PhaseBase):
+    kind = ISOTROPIC
+
+
+@register("phase", "hg")
+class HGPhase(_PhaseBase):
+    kind = HG
+
+    def _finish(self, props):
+        self.record.g = props.get_float("g", 0.8)
+
+
+@register("phase", "rayleigh")
+class RayleighPhase(_PhaseBase):
+    kind = RAYLEIGH
+
+
+@register("phase", "kkay")
+class KajiyaKayPhase(_PhaseBase):
+    """PLACEHOLDER (reference src/phase/kkay.cpp) — treated isotropic."""
+
+    kind = ISOTROPIC
+
+
+@register("phase", "microflake")
+class MicroflakePhase(_PhaseBase):
+    """PLACEHOLDER (reference src/phase/microflake.cpp) — treated isotropic."""
+
+    kind = ISOTROPIC
+
+
+@register("phase", "mixturephase")
+class MixturePhase(_PhaseBase):
+    kind = ISOTROPIC
+
+
+@dataclass
+class VolumeRecord:
+    """Volume data source (reference include/mitsuba/render/volume.h)."""
+
+    constant: np.ndarray | None = None  # [3] or scalar broadcast
+    grid: np.ndarray | None = None  # [D, H, W, C]
+    aabb_min: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    aabb_max: np.ndarray = field(default_factory=lambda: np.ones(3, np.float32))
+    to_world: Transform = field(default_factory=Transform.identity)
+
+
+def load_vol(path) -> VolumeRecord:
+    """Mitsuba `.vol` grid: magic 'VOL', version 3, encoding enum,
+    resolution, channels, AABB, raw voxels
+    (reference: src/volume/gridvolume.cpp:56-102,224-231)."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    if blob[:3] != b"VOL":
+        raise ValueError(f"{path}: not a .vol file")
+    version = blob[3]
+    if version != 3:
+        raise ValueError(f"{path}: unsupported .vol version {version}")
+    enc, xres, yres, zres, channels = struct.unpack_from("<iiiii", blob, 4)
+    bbox = struct.unpack_from("<6f", blob, 24)
+    if enc != 1:  # 1 = float32
+        raise NotImplementedError(f"{path}: .vol encoding {enc}")
+    data = np.frombuffer(
+        blob, "<f4", count=xres * yres * zres * channels, offset=48
+    ).reshape(zres, yres, xres, channels)
+    return VolumeRecord(
+        grid=np.ascontiguousarray(data, np.float32),
+        aabb_min=np.array(bbox[:3], np.float32),
+        aabb_max=np.array(bbox[3:], np.float32),
+    )
+
+
+def save_vol(path, grid, aabb_min=(0, 0, 0), aabb_max=(1, 1, 1)):
+    grid = np.asarray(grid, np.float32)
+    if grid.ndim == 3:
+        grid = grid[..., None]
+    zres, yres, xres, c = grid.shape
+    with open(path, "wb") as f:
+        f.write(b"VOL")
+        f.write(bytes([3]))
+        f.write(struct.pack("<iiiii", 1, xres, yres, zres, c))
+        f.write(struct.pack("<6f", *aabb_min, *aabb_max))
+        f.write(grid.astype("<f4").tobytes())
+
+
+class _VolumeBase:
+    def __init__(self, props):
+        self.record = self._build(props)
+
+
+@register("volume", "constvolume")
+class ConstVolume(_VolumeBase):
+    def _build(self, props):
+        if "value" in props:
+            raw = props.raw("value")
+            val = (
+                np.full(3, float(raw), np.float32)
+                if isinstance(raw, (int, float, str))
+                else props.get_spectrum("value")
+            )
+        else:
+            val = np.ones(3, np.float32)
+        return VolumeRecord(constant=np.asarray(val, np.float32))
+
+
+@register("volume", "gridvolume")
+class GridVolume(_VolumeBase):
+    def _build(self, props):
+        rec = load_vol(props.resolve_path(props.get_string("filename")))
+        rec.to_world = props.get_transform("toWorld")
+        return rec
+
+
+@register("volume", "hgridvolume")
+class HGridVolume(_VolumeBase):
+    """PLACEHOLDER — hierarchical grid flattened to a dense grid planned."""
+
+    def _build(self, props):
+        raise NotImplementedError("hgridvolume: planned (round 2)")
+
+
+@register("volume", "volcache")
+class VolCache(_VolumeBase):
+    def _build(self, props):
+        for name, child in props.children:
+            if getattr(child, "record", None) is not None:
+                return child.record
+        raise ValueError("volcache: requires a nested volume")
+
+
+@dataclass
+class MediumRecord:
+    kind: int = HOMOGENEOUS
+    sigma_s: np.ndarray = field(
+        default_factory=lambda: np.full(3, 1.0, np.float32)
+    )
+    sigma_a: np.ndarray = field(
+        default_factory=lambda: np.full(3, 0.0, np.float32)
+    )
+    phase: PhaseRecord = field(default_factory=PhaseRecord)
+    scale: float = 1.0
+    density: VolumeRecord | None = None  # heterogeneous
+    albedo: VolumeRecord | None = None
+    id: str = ""
+
+
+class _MediumBase:
+    kind = HOMOGENEOUS
+
+    def __init__(self, props):
+        self.record = MediumRecord(kind=self.kind, id=props.id)
+        for name, child in props.children:
+            if isinstance(getattr(child, "record", None), PhaseRecord):
+                self.record.phase = child.record
+        self._finish(props)
+
+    def _finish(self, props):
+        pass
+
+
+@register("medium", "homogeneous")
+class HomogeneousMedium(_MediumBase):
+    """reference: src/medium/homogeneous.cpp (closed-form transmittance)."""
+
+    kind = HOMOGENEOUS
+
+    def _finish(self, props):
+        scale = props.get_float("scale", 1.0)
+        if "sigmaT" in props and "albedo" in props:
+            st = props.get_spectrum("sigmaT")
+            al = props.get_spectrum("albedo")
+            self.record.sigma_s = (st * al * scale).astype(np.float32)
+            self.record.sigma_a = (st * (1 - al) * scale).astype(np.float32)
+        else:
+            self.record.sigma_s = (
+                props.get_spectrum("sigmaS", np.full(3, 1.0)) * scale
+            ).astype(np.float32)
+            self.record.sigma_a = (
+                props.get_spectrum("sigmaA", np.full(3, 1.0)) * scale
+            ).astype(np.float32)
+
+
+@register("medium", "heterogeneous")
+class HeterogeneousMedium(_MediumBase):
+    """reference: src/medium/heterogeneous.cpp (Woodcock tracking :172)."""
+
+    kind = HETEROGENEOUS
+
+    def _finish(self, props):
+        self.record.scale = props.get_float("scale", 1.0)
+        for name, child in props.children:
+            if isinstance(getattr(child, "record", None), VolumeRecord):
+                if name == "density":
+                    self.record.density = child.record
+                elif name == "albedo":
+                    self.record.albedo = child.record
+                elif self.record.density is None:
+                    self.record.density = child.record
+        if self.record.density is None:
+            raise ValueError("heterogeneous: requires a density volume")
+        if self.record.albedo is None:
+            self.record.albedo = VolumeRecord(
+                constant=np.full(3, 0.9, np.float32)
+            )

@@ -1,0 +1,126 @@
+"""Multi-chip rendering over a jax.sharding.Mesh.
+
+This replaces the reference's entire distributed backend — the
+Scheduler's work-unit queue, the RemoteWorker TCP/SSH protocol, and the
+per-node resource cache (reference: src/libcore/sched.cpp,
+sched_remote.cpp:333-431, protocol enum sched_remote.h:221-236) — with
+the single-controller JAX model:
+
+* the scene pack is REPLICATED on every chip (= the reference's
+  one-time resource broadcast, sched.h:384-403),
+* the sample-lane axis is SHARDED across the mesh (= work units),
+* each chip scatter-adds into its local film copy and a `psum` over ICI
+  merges them (= proc->processResult / film->put),
+* counter-based RNG keys samples by (pixel, sample index), so the
+  result is bit-identical to the single-chip render regardless of how
+  lanes are sharded — there is nothing like the reference's per-core
+  RNG streams to manage.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mitsuba_tpu.film.film import develop, new_film, splat
+from mitsuba_tpu.integrator.path import TRACE_FNS
+from mitsuba_tpu.scene.builder import pack_scene
+from mitsuba_tpu.sensor.plugins import generate_rays
+
+
+def make_mesh(devices=None, axis_name="lanes"):
+    devices = devices or jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_sharded_render_pass(
+    pack, integ, sensor_rec, film_rec, sampler_rec, spp_chunk, mesh,
+    axis_name="lanes",
+):
+    """One render pass sharded over the mesh's lane axis.
+
+    The lane grid is [spp_chunk * n_px]; it is split evenly across
+    devices (pixels interleave across chips, which load-balances hard
+    tiles the way the reference's spiral block schedule does,
+    imageproc.cpp:43-69).
+    """
+    import mitsuba_tpu.integrator.volpath  # noqa: F401
+
+    w, h = film_rec.width, film_rec.height
+    n_px = w * h
+    cam = sensor_rec.pack(w, h)
+    trace = TRACE_FNS[integ.kind]
+    rfilter = film_rec.rfilter
+    n_dev = mesh.devices.size
+    total = spp_chunk * n_px
+    per_dev = math.ceil(total / n_dev)
+    padded = per_dev * n_dev
+
+    def shard_body(film, lane, sidx, sample_base, seed):
+        # film: [H, W, 4] local copy; lane/sidx: [per_dev]
+        valid = lane < total
+        lane_c = jnp.where(valid, lane, 0)
+        px = (lane_c % n_px).astype(jnp.uint32)
+        s_local = (lane_c // n_px).astype(jnp.uint32) + sample_base
+
+        jitter = sampler_rec.pixel_sample(px, s_local, sampler_rec.sample_count)
+        x = (px % w).astype(jnp.float32) + jitter[..., 0]
+        y = (px // w).astype(jnp.float32) + jitter[..., 1]
+        pos01 = jnp.stack([x / w, y / h], axis=-1)
+        u_lens = sampler_rec.next2d(px, s_local, 1009)
+        o, d = generate_rays(cam, pos01, u_lens)
+        L = trace(pack, integ, o, d, px, s_local, sampler_rec, seed)
+        L = jnp.where(valid[..., None], L, 0.0)
+        film = splat(film, jnp.stack([x, y], axis=-1), L, rfilter, valid)
+        film = jax.lax.psum(film, axis_name)
+        return film
+
+    def render_pass(film, sample_base, seed):
+        lane = jnp.arange(padded, dtype=jnp.uint32)
+        sidx = jnp.zeros(padded, jnp.uint32)
+        fn = jax.shard_map(
+            partial(shard_body),
+            mesh=mesh,
+            in_specs=(P(), P(axis_name), P(axis_name), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return fn(film, lane, sidx, sample_base, seed)
+
+    return render_pass
+
+
+def render_sharded(scene, mesh=None, spp=None, seed=0, spp_chunk=None):
+    """Full multi-chip render (host loop over sample chunks)."""
+    pack = pack_scene(scene)
+    sensor_rec = scene.sensor.record
+    film_rec = sensor_rec.film
+    sampler_rec = sensor_rec.sampler
+    integ = scene.integrator
+    mesh = mesh or make_mesh()
+
+    w, h = film_rec.width, film_rec.height
+    spp = spp or sampler_rec.sample_count
+    if spp_chunk is None:
+        lanes_budget = (1 << 21) * mesh.devices.size
+        spp_chunk = max(1, min(spp, lanes_budget // (w * h)))
+    n_passes = math.ceil(spp / spp_chunk)
+
+    rp = jax.jit(
+        make_sharded_render_pass(
+            pack, integ, sensor_rec, film_rec, sampler_rec, spp_chunk, mesh
+        ),
+        donate_argnums=(0,),
+    )
+    film = new_film(h, w)
+    base = 0
+    for _ in range(n_passes):
+        film = rp(film, jnp.uint32(base), jnp.uint32(seed))
+        base += spp_chunk
+    img = develop(film)
+    return np.asarray(img)

@@ -1,0 +1,137 @@
+"""Render orchestration: the TPU equivalent of RenderJob + the Scheduler.
+
+The reference distributes 32x32 image blocks to worker threads/machines
+(reference: src/librender/{renderjob.cpp,renderproc.cpp}); here one jit
+compiled `render_pass` traces a whole sample-wavefront (every pixel x a
+chunk of samples-per-pixel) and scatter-adds into the film.  The
+samples-per-pass chunk is sized to bound live HBM; passes loop on the
+host like the reference's work-unit queue.  Multi-chip: the lane axis is
+sharded over a Mesh and the film partials are psum-merged — see
+parallel/mesh.py.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mitsuba_tpu.film.film import develop, new_film, splat
+from mitsuba_tpu.integrator.path import TRACE_FNS
+from mitsuba_tpu.scene.builder import pack_scene
+from mitsuba_tpu.sensor.plugins import generate_rays
+
+# default lane budget per pass (rays in flight); tuned for ~16 GB HBM
+DEFAULT_LANES_PER_PASS = 1 << 21
+
+
+def _ensure_volpath_loaded():
+    import mitsuba_tpu.integrator.volpath  # noqa: F401 — registers itself
+
+
+def make_render_pass(pack, integ, sensor_rec, film_rec, sampler_rec, spp_chunk):
+    """Build the jitted one-pass render function.
+
+    Returns fn(film, sample_base, seed) -> film.
+    """
+    _ensure_volpath_loaded()
+    w, h = film_rec.width, film_rec.height
+    n_px = w * h
+    cam = sensor_rec.pack(w, h)
+    trace = TRACE_FNS[integ.kind]
+    if trace is None:
+        raise NotImplementedError(f"integrator '{integ.kind}'")
+    rfilter = film_rec.rfilter
+
+    def render_pass(film, sample_base, seed):
+        # lanes: [spp_chunk, n_px]
+        px = jnp.arange(n_px, dtype=jnp.uint32)
+        lane = jnp.broadcast_to(px[None, :], (spp_chunk, n_px))
+        sidx = sample_base + jnp.arange(spp_chunk, dtype=jnp.uint32)[:, None]
+        lane = lane.reshape(-1)
+        sidx = jnp.broadcast_to(sidx, (spp_chunk, n_px)).reshape(-1)
+
+        jitter = sampler_rec.pixel_sample(
+            lane, sidx, sampler_rec.sample_count
+        )
+        x = (lane % w).astype(jnp.float32) + jitter[..., 0]
+        y = (lane // w).astype(jnp.float32) + jitter[..., 1]
+        pos01 = jnp.stack([x / w, y / h], axis=-1)
+        u_lens = sampler_rec.next2d(lane, sidx, 1009)
+        o, d = generate_rays(cam, pos01, u_lens)
+
+        L = trace(pack, integ, o, d, lane, sidx, sampler_rec, seed)
+        film = splat(
+            film, jnp.stack([x, y], axis=-1), L, rfilter
+        )
+        return film
+
+    return render_pass
+
+
+def render(
+    scene,
+    spp=None,
+    seed=0,
+    lanes_per_pass=None,
+    progress=None,
+    return_film=False,
+    pack=None,
+):
+    """Render a SceneDescription to a linear HDR numpy image [H, W, 3].
+
+    (= RenderJob::run, reference src/librender/renderjob.cpp:87-113.)
+    """
+    if pack is None:
+        pack = pack_scene(scene)
+    sensor_rec = scene.sensor.record
+    film_rec = sensor_rec.film
+    sampler_rec = sensor_rec.sampler
+    integ = scene.integrator
+
+    w, h = film_rec.width, film_rec.height
+    spp = spp or sampler_rec.sample_count
+    lanes = lanes_per_pass or int(
+        os.environ.get("MTS_TPU_LANES_PER_PASS", DEFAULT_LANES_PER_PASS)
+    )
+    spp_chunk = max(1, min(spp, lanes // (w * h)))
+    n_passes = math.ceil(spp / spp_chunk)
+
+    rp = jax.jit(
+        make_render_pass(pack, integ, sensor_rec, film_rec, sampler_rec, spp_chunk),
+        donate_argnums=(0,),
+    )
+    film = new_film(h, w)
+    base = 0
+    for i in range(n_passes):
+        film = rp(film, jnp.uint32(base), jnp.uint32(seed))
+        base += spp_chunk
+        if progress:
+            film.block_until_ready()
+            progress(i + 1, n_passes)
+    img = develop(film)
+    img.block_until_ready()
+    if return_film:
+        return np.asarray(img), film
+    return np.asarray(img)
+
+
+def render_to_file(scene, output=None, **kw):
+    """Render and write through the film's configured output format
+    (= film->develop + Bitmap::write, reference hdrfilm.cpp)."""
+    from mitsuba_tpu.io.images import write_image
+
+    img = render(scene, **kw)
+    film_rec = scene.sensor.record.film
+    img = film_rec.develop_to_array(img)
+    if output is None:
+        base = os.path.splitext(scene.path)[0]
+        output = base + film_rec.output_extension()
+    write_image(output, img)
+    return output, img

@@ -1,0 +1,505 @@
+"""Scene packing: host objects -> flat device arrays (`ScenePack`).
+
+This is the TPU analogue of the reference's "resource" upload — the
+Scheduler serializes the Scene once and shares it read-only with every
+worker (reference: include/mitsuba/core/sched.h:384-403); here the scene
+becomes a pytree of jnp arrays living in HBM, replicated across chips.
+
+Everything dynamic is an array; everything structural (counts, which
+material types exist, whether there is an env light) is static metadata
+baked into the jit trace.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mitsuba_tpu.accel.bvh import build_bvh, LEAF_SIZE, BVH
+from mitsuba_tpu.bsdf.plugins import (
+    BSDFRecord,
+    DIFFUSE,
+    MIXTURE,
+)
+from mitsuba_tpu.core.distribution import Distribution2D
+from mitsuba_tpu.emitter.plugins import (
+    AREA,
+    CONSTANT,
+    ENVMAP,
+    EmitterRecord,
+)
+from mitsuba_tpu.scene.textures import TEX_BITMAP, TEX_CONSTANT, TextureDesc
+
+# primitives below this count use brute-force all-pairs intersection —
+# fully vectorized, no gather-divergence; faster than BVH on TPU for
+# small scenes (the cbox has ~36 triangles)
+BRUTE_FORCE_MAX_TRIS = 512
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class ScenePack:
+    arrays: dict
+    meta: dict  # static (hashable) metadata
+
+    def tree_flatten(self):
+        keys = tuple(sorted(self.arrays))
+        return tuple(self.arrays[k] for k in keys), (keys, tuple(sorted(self.meta.items())))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        keys, meta_items = aux
+        return cls(dict(zip(keys, children)), dict(meta_items))
+
+    def __getattr__(self, name):
+        arrays = object.__getattribute__(self, "arrays")
+        if name in arrays:
+            return arrays[name]
+        meta = object.__getattribute__(self, "meta")
+        if name in meta:
+            return meta[name]
+        raise AttributeError(name)
+
+
+def _pack_textures(textures: list[TextureDesc]):
+    """Shelf-pack all bitmap textures into one atlas; procedural textures
+    keep only params.  Returns (arrays dict, atlas)."""
+    n = max(len(textures), 1)
+    tex_type = np.zeros(n, np.int32)
+    tex_c0 = np.zeros((n, 3), np.float32)
+    tex_c1 = np.ones((n, 3), np.float32)
+    tex_scale = np.ones((n, 3), np.float32)
+    tex_uv = np.tile(
+        np.array([1.0, 1.0, 0.0, 0.0], np.float32), (n, 1)
+    )  # uscale, vscale, uoffset, voffset
+    tex_rect = np.zeros((n, 4), np.int32)  # x, y, w, h
+    tex_lw = np.full(n, 0.01, np.float32)
+    tex_nearest = np.zeros(n, np.int32)
+
+    bitmaps = [
+        (i, t) for i, t in enumerate(textures) if t.kind == TEX_BITMAP
+    ]
+    atlas = np.zeros((1, 1, 3), np.float32)
+    if bitmaps:
+        # shelf packing, sorted by height
+        bitmaps.sort(key=lambda it: -it[1].image.shape[0])
+        max_w = max(max(t.image.shape[1] for _, t in bitmaps), 1)
+        atlas_w = max(1 << int(np.ceil(np.log2(max_w))), 64)
+        x = y = shelf_h = 0
+        places = {}
+        for i, t in bitmaps:
+            h, w = t.image.shape[:2]
+            if x + w > atlas_w:
+                y += shelf_h
+                x = 0
+                shelf_h = 0
+            places[i] = (x, y, w, h)
+            shelf_h = max(shelf_h, h)
+            x += w
+        atlas_h = y + shelf_h
+        atlas = np.zeros((atlas_h, atlas_w, 3), np.float32)
+        for i, t in bitmaps:
+            px, py, w, h = places[i]
+            atlas[py : py + h, px : px + w] = t.image
+            tex_rect[i] = [px, py, w, h]
+
+    for i, t in enumerate(textures):
+        tex_type[i] = t.kind
+        tex_c0[i] = t.color0
+        tex_c1[i] = t.color1
+        tex_scale[i] = t.scale
+        tex_uv[i] = [*t.uv_scale, *t.uv_offset]
+        tex_lw[i] = t.line_width
+        tex_nearest[i] = int(t.filter_nearest)
+
+    return {
+        "tex_type": tex_type,
+        "tex_c0": tex_c0,
+        "tex_c1": tex_c1,
+        "tex_scale": tex_scale,
+        "tex_uv": tex_uv,
+        "tex_rect": tex_rect,
+        "tex_lw": tex_lw,
+        "tex_nearest": tex_nearest,
+        "tex_atlas": atlas,
+    }
+
+
+def _expand_mixtures(rec: BSDFRecord) -> list[BSDFRecord]:
+    if rec.type == MIXTURE:
+        out = []
+        for c in rec.children:
+            out.extend(_expand_mixtures(c))
+        return out
+    return [rec]
+
+
+def pack_scene(scene) -> ScenePack:
+    """scene: SceneDescription from the XML loader (or built in Python)."""
+    # ---------------- materials + textures ----------------
+    default_bsdf = BSDFRecord(type=DIFFUSE)
+    materials: list[BSDFRecord] = []
+    mat_index: dict[int, int] = {}
+    textures: list[TextureDesc] = []
+    tex_index: dict[int, int] = {}
+
+    def add_texture(t: TextureDesc | None) -> int:
+        if t is None:
+            return -1
+        key = id(t)
+        if key not in tex_index:
+            tex_index[key] = len(textures)
+            textures.append(t)
+        return tex_index[key]
+
+    def add_material(rec: BSDFRecord | None) -> int:
+        if rec is None:
+            rec = default_bsdf
+        key = id(rec)
+        if key not in mat_index:
+            mat_index[key] = len(materials)
+            materials.append(rec)
+        return mat_index[key]
+
+    # ---------------- emitters ----------------
+    emitters: list[EmitterRecord] = list(scene.emitters)
+    _em_ids = {id(r): i for i, r in enumerate(emitters)}
+
+    def add_emitter(rec: EmitterRecord | None) -> int:
+        if rec is None:
+            return -1
+        if id(rec) not in _em_ids:
+            _em_ids[id(rec)] = len(emitters)
+            emitters.append(rec)
+        return _em_ids[id(rec)]
+
+    # ---------------- flatten geometry ----------------
+    v0s, e1s, e2s = [], [], []
+    n0s, n1s, n2s = [], [], []
+    uv0s, uv1s, uv2s = [], [], []
+    tmats, temits = [], []
+    spheres = []
+
+    for inst in scene.shapes:
+        mat_id = add_material(inst.bsdf)
+        emit_id = add_emitter(inst.emitter)
+
+        meshes = list(inst.meshes)
+        sphs = list(inst.spheres)
+        if emit_id >= 0 and sphs:
+            # tessellate emissive spheres so area sampling stays
+            # triangle-only (solid-angle cone sampling planned)
+            from mitsuba_tpu.scene.shapes import _uv_sphere, _apply_transform
+            from mitsuba_tpu.core.transform import Transform
+
+            for s in sphs:
+                t = Transform.translate(*s.center) * Transform.scale(
+                    s.radius, s.radius, s.radius
+                )
+                meshes.append(
+                    _apply_transform(_uv_sphere(48, 24), t, s.flip_normals)
+                )
+            sphs = []
+
+        for s in sphs:
+            spheres.append((s, mat_id, emit_id))
+
+        for mesh in meshes:
+            p = mesh.positions
+            i = mesh.indices.astype(np.int64)
+            a, b, c = p[i[:, 0]], p[i[:, 1]], p[i[:, 2]]
+            v0s.append(a)
+            e1s.append(b - a)
+            e2s.append(c - a)
+            gn = np.cross(b - a, c - a)
+            gl = np.linalg.norm(gn, axis=-1, keepdims=True)
+            gn = gn / np.maximum(gl, 1e-20)
+            if mesh.normals is not None and not mesh.face_normals:
+                nr = mesh.normals
+                n0s.append(nr[i[:, 0]])
+                n1s.append(nr[i[:, 1]])
+                n2s.append(nr[i[:, 2]])
+            else:
+                n0s.append(gn)
+                n1s.append(gn)
+                n2s.append(gn)
+            if mesh.texcoords is not None:
+                uv = mesh.texcoords
+                uv0s.append(uv[i[:, 0]])
+                uv1s.append(uv[i[:, 1]])
+                uv2s.append(uv[i[:, 2]])
+            else:
+                z = np.zeros((len(i), 2), np.float32)
+                uv0s.append(z)
+                uv1s.append(z)
+                uv2s.append(z)
+            tmats.append(np.full(len(i), mat_id, np.int32))
+            temits.append(np.full(len(i), emit_id, np.int32))
+
+    def cat(parts, shape_tail, dtype=np.float32):
+        if parts:
+            return np.concatenate(parts).astype(dtype)
+        return np.zeros((0,) + shape_tail, dtype)
+
+    tri_v0 = cat(v0s, (3,))
+    tri_e1 = cat(e1s, (3,))
+    tri_e2 = cat(e2s, (3,))
+    tri_n0 = cat(n0s, (3,))
+    tri_n1 = cat(n1s, (3,))
+    tri_n2 = cat(n2s, (3,))
+    tri_uv0 = cat(uv0s, (2,))
+    tri_uv1 = cat(uv1s, (2,))
+    tri_uv2 = cat(uv2s, (2,))
+    tri_mat = cat(tmats, (), np.int32)
+    tri_emit = cat(temits, (), np.int32)
+    n_tris = len(tri_v0)
+
+    # ---------------- BVH ----------------
+    use_bvh = n_tris > BRUTE_FORCE_MAX_TRIS
+    if use_bvh:
+        lo = np.minimum(tri_v0, np.minimum(tri_v0 + tri_e1, tri_v0 + tri_e2))
+        hi = np.maximum(tri_v0, np.maximum(tri_v0 + tri_e1, tri_v0 + tri_e2))
+        centroids = tri_v0 + (tri_e1 + tri_e2) / 3.0
+        bvh = build_bvh(centroids, lo, hi)
+        perm = bvh.order
+        # apply permutation so leaves reference contiguous triangles
+        (tri_v0, tri_e1, tri_e2, tri_n0, tri_n1, tri_n2,
+         tri_uv0, tri_uv1, tri_uv2, tri_mat, tri_emit) = (
+            a[perm] for a in (
+                tri_v0, tri_e1, tri_e2, tri_n0, tri_n1, tri_n2,
+                tri_uv0, tri_uv1, tri_uv2, tri_mat, tri_emit)
+        )
+    else:
+        bvh = BVH(
+            lo=np.zeros((1, 3), np.float32),
+            hi=np.zeros((1, 3), np.float32),
+            skip=np.ones(1, np.int32),
+            first=np.zeros(1, np.int32),
+            count=np.zeros(1, np.int32),
+            order=np.arange(n_tris, dtype=np.int32),
+        )
+
+    # pad triangles so leaf gathers of LEAF_SIZE never go out of bounds
+    pad = LEAF_SIZE
+    def pad_tri(a, fill=0.0):
+        shape = (pad,) + a.shape[1:]
+        return np.concatenate([a, np.full(shape, fill, a.dtype)])
+
+    tri_v0 = pad_tri(tri_v0, 1e30)  # far away -> never hit
+    tri_e1 = pad_tri(tri_e1)
+    tri_e2 = pad_tri(tri_e2)
+    tri_n0 = pad_tri(tri_n0)
+    tri_n1 = pad_tri(tri_n1)
+    tri_n2 = pad_tri(tri_n2)
+    tri_uv0 = pad_tri(tri_uv0)
+    tri_uv1 = pad_tri(tri_uv1)
+    tri_uv2 = pad_tri(tri_uv2)
+    tri_mat = pad_tri(tri_mat)
+    tri_emit = pad_tri(tri_emit, -1)
+
+    # ---------------- spheres ----------------
+    n_sph = len(spheres)
+    sph_center = np.zeros((max(n_sph, 1), 3), np.float32)
+    sph_radius = np.zeros(max(n_sph, 1), np.float32)
+    sph_mat = np.zeros(max(n_sph, 1), np.int32)
+    sph_emit = np.full(max(n_sph, 1), -1, np.int32)
+    sph_flip = np.zeros(max(n_sph, 1), np.float32)
+    for k, (s, m, e) in enumerate(spheres):
+        sph_center[k] = s.center
+        sph_radius[k] = s.radius
+        sph_mat[k] = m
+        sph_emit[k] = e
+        sph_flip[k] = -1.0 if s.flip_normals else 1.0
+
+    # ---------------- material table ----------------
+    # expand mixtures into leaves (device-side 2-component mix planned;
+    # round 1 uses the weighted-average leaf as approximation if needed)
+    n_mat = max(len(materials), 1)
+    mt = {
+        "mat_type": np.zeros(n_mat, np.int32),
+        "mat_cA": np.full((n_mat, 3), 0.5, np.float32),
+        "mat_cB": np.ones((n_mat, 3), np.float32),
+        "mat_cC": np.ones((n_mat, 3), np.float32),
+        "mat_cD": np.zeros((n_mat, 3), np.float32),
+        "mat_alpha_u": np.full(n_mat, 0.1, np.float32),
+        "mat_alpha_v": np.full(n_mat, 0.1, np.float32),
+        "mat_eta": np.full(n_mat, 1.5046, np.float32),
+        "mat_exponent": np.full(n_mat, 30.0, np.float32),
+        "mat_dist": np.zeros(n_mat, np.int32),
+        "mat_nonlinear": np.zeros(n_mat, np.float32),
+        "mat_twosided": np.zeros(n_mat, np.float32),
+        "mat_fdr_int": np.zeros(n_mat, np.float32),
+        "mat_spec_w": np.full(n_mat, 0.5, np.float32),
+        "mat_opacity": np.ones((n_mat, 3), np.float32),
+        "mat_texA": np.full(n_mat, -1, np.int32),
+        "mat_tex_opacity": np.full(n_mat, -1, np.int32),
+    }
+    present_types = set()
+    for i, rec in enumerate(materials):
+        if rec.type == MIXTURE:
+            # weighted average of leaf params (exact mixture planned)
+            leaves = _expand_mixtures(rec)
+            base = leaves[0]
+            rec = base
+        present_types.add(rec.type)
+        mt["mat_type"][i] = rec.type
+        mt["mat_cA"][i] = rec.cA
+        mt["mat_cB"][i] = rec.cB
+        mt["mat_cC"][i] = rec.cC
+        mt["mat_cD"][i] = rec.cD
+        mt["mat_alpha_u"][i] = rec.alpha_u
+        mt["mat_alpha_v"][i] = rec.alpha_v
+        mt["mat_eta"][i] = rec.eta
+        mt["mat_exponent"][i] = rec.exponent
+        mt["mat_dist"][i] = rec.dist
+        mt["mat_nonlinear"][i] = float(rec.nonlinear)
+        mt["mat_twosided"][i] = float(rec.twosided)
+        mt["mat_fdr_int"][i] = rec.fdr_int
+        mt["mat_spec_w"][i] = rec.spec_sampling_weight
+        if rec.opacity is not None:
+            mt["mat_opacity"][i] = rec.opacity
+        mt["mat_texA"][i] = add_texture(rec.texA)
+        mt["mat_tex_opacity"][i] = add_texture(rec.tex_opacity)
+
+    tex_arrays = _pack_textures(textures)
+
+    # ---------------- emitter table ----------------
+    n_em = max(len(emitters), 1)
+    em = {
+        "em_kind": np.zeros(n_em, np.int32),
+        "em_rgb": np.zeros((n_em, 3), np.float32),
+        "em_pos": np.zeros((n_em, 3), np.float32),
+        "em_dir": np.tile(np.array([[0, 0, 1]], np.float32), (n_em, 1)),
+        "em_cos_cutoff": np.zeros(n_em, np.float32),
+        "em_cos_beam": np.zeros(n_em, np.float32),
+        "em_area": np.ones(n_em, np.float32),
+        "em_tri_lo": np.zeros(n_em, np.int32),
+        "em_tri_hi": np.zeros(n_em, np.int32),
+    }
+    env_idx = -1
+    env_image = np.zeros((1, 2, 3), np.float32)
+    env_to_world = np.eye(4, dtype=np.float32)
+
+    # area emitter triangle lists (triangle ids AFTER the BVH permutation)
+    area_tri_idx_parts = []
+    area_tri_cdf_parts = []
+    at_cursor = 0
+    tri_area = 0.5 * np.linalg.norm(
+        np.cross(tri_e1[: n_tris], tri_e2[: n_tris]), axis=-1
+    )
+
+    weights = np.zeros(n_em, np.float64)
+    for i, rec in enumerate(emitters):
+        em["em_kind"][i] = rec.kind
+        if rec.kind == AREA:
+            em["em_rgb"][i] = rec.radiance
+            ids = np.nonzero(tri_emit[: n_tris] == i)[0]
+            areas = tri_area[ids]
+            total = float(areas.sum())
+            em["em_area"][i] = max(total, 1e-12)
+            em["em_tri_lo"][i] = at_cursor
+            em["em_tri_hi"][i] = at_cursor + len(ids)
+            at_cursor += len(ids)
+            area_tri_idx_parts.append(ids.astype(np.int32))
+            cdf = np.cumsum(areas) / max(total, 1e-12)
+            area_tri_cdf_parts.append(cdf.astype(np.float32))
+        elif rec.kind == CONSTANT:
+            em["em_rgb"][i] = rec.radiance
+            env_idx = i
+        elif rec.kind == ENVMAP:
+            em["em_rgb"][i] = rec.radiance * rec.scale
+            env_idx = i
+            env_image = rec.env_image * rec.scale
+            env_to_world = rec.to_world.m.astype(np.float32)
+        else:
+            em["em_rgb"][i] = (
+                rec.intensity if rec.kind in (1, 2, 4) else rec.irradiance
+            )
+            em["em_pos"][i] = rec.position
+            em["em_dir"][i] = rec.direction
+            em["em_cos_cutoff"][i] = np.cos(
+                np.deg2rad(rec.cutoff_angle_deg)
+            )
+            em["em_cos_beam"][i] = np.cos(np.deg2rad(rec.beam_width_deg))
+        weights[i] = rec.sampling_weight if i < len(emitters) else 0.0
+
+    if len(emitters) == 0:
+        weights = np.ones(1)
+
+    area_tri_idx = (
+        np.concatenate(area_tri_idx_parts).astype(np.int32)
+        if area_tri_idx_parts
+        else np.zeros(1, np.int32)
+    )
+    area_tri_cdf = (
+        np.concatenate(area_tri_cdf_parts).astype(np.float32)
+        if area_tri_cdf_parts
+        else np.ones(1, np.float32)
+    )
+
+    pmf = weights / weights.sum() if weights.sum() > 0 else weights
+    emitter_cdf = np.concatenate([[0.0], np.cumsum(pmf)]).astype(np.float32)
+    emitter_cdf[-1] = 1.0
+
+    # env importance distribution (luminance * sin(theta) weighting,
+    # reference envmap.cpp:103-229)
+    if env_idx >= 0 and env_image.size > 3:
+        from mitsuba_tpu.core.spectrum import luminance
+
+        h, w = env_image.shape[:2]
+        lum = np.asarray(luminance(jnp.asarray(env_image)))
+        sin_t = np.sin((np.arange(h) + 0.5) / h * np.pi)
+        env_dist = Distribution2D.from_weights(lum * sin_t[:, None] + 1e-12)
+    else:
+        env_dist = Distribution2D.from_weights(np.ones((1, 2)))
+
+    arrays = {
+        "tri_v0": tri_v0, "tri_e1": tri_e1, "tri_e2": tri_e2,
+        "tri_n0": tri_n0, "tri_n1": tri_n1, "tri_n2": tri_n2,
+        "tri_uv0": tri_uv0, "tri_uv1": tri_uv1, "tri_uv2": tri_uv2,
+        "tri_mat": tri_mat, "tri_emit": tri_emit,
+        "sph_center": sph_center, "sph_radius": sph_radius,
+        "sph_mat": sph_mat, "sph_emit": sph_emit, "sph_flip": sph_flip,
+        "bvh_lo": bvh.lo, "bvh_hi": bvh.hi, "bvh_skip": bvh.skip,
+        "bvh_first": bvh.first, "bvh_count": bvh.count,
+        **mt,
+        **tex_arrays,
+        **em,
+        "area_tri_idx": area_tri_idx,
+        "area_tri_cdf": area_tri_cdf,
+        "emitter_pmf": pmf.astype(np.float32),
+        "emitter_cdf": emitter_cdf,
+        "env_image": np.asarray(env_image, np.float32),
+        "env_to_world": env_to_world,
+        "env_to_local": np.linalg.inv(env_to_world.astype(np.float64)).astype(
+            np.float32
+        ),
+        "env_marginal_cdf": env_dist.marginal_cdf,
+        "env_conditional_cdf": env_dist.conditional_cdf,
+        "env_density": env_dist.density,
+    }
+    arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+
+    meta = {
+        "n_tris": n_tris,
+        "n_spheres": n_sph,
+        "n_materials": len(materials),
+        "n_emitters": len(emitters),
+        "present_types": tuple(sorted(present_types)) or (DIFFUSE,),
+        "use_bvh": use_bvh,
+        "bvh_nodes": int(len(bvh.skip)),
+        "bvh_depth": int(bvh.depth),
+        "env_idx": env_idx,
+        "has_env": env_idx >= 0,
+        "has_envmap": env_idx >= 0 and (
+            len(emitters) > env_idx and emitters[env_idx].kind == ENVMAP
+        ),
+        "has_area": any(r.kind == AREA for r in emitters),
+        "has_delta_emitters": any(r.is_delta() for r in emitters),
+        "n_area_tris": int(at_cursor),
+        "has_textures": len(textures) > 0,
+    }
+    return ScenePack(arrays, meta)

@@ -30,6 +30,22 @@ class Properties:
     # nested child plugin descriptors (parsed but not yet instantiated),
     # in document order: list of (name, PluginDescriptor)
     children: list = field(default_factory=list)
+    # asset search paths (= reference FileResolver, fresolver.h)
+    search_paths: list = field(default_factory=list)
+
+    def resolve_path(self, filename: str) -> str:
+        import os
+
+        if os.path.isabs(filename) and os.path.exists(filename):
+            return filename
+        for base in self.search_paths + ["."]:
+            cand = os.path.join(base, filename)
+            if os.path.exists(cand):
+                return cand
+        raise FileNotFoundError(
+            f"{self.plugin_name}: cannot resolve '{filename}' "
+            f"(searched {self.search_paths})"
+        )
 
     def __contains__(self, name):
         return name in self._values

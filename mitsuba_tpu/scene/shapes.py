@@ -1,0 +1,319 @@
+"""Shape plugins.
+
+Each shape plugin turns `Properties` into host-side geometry:
+triangle meshes (`MeshData`) and/or analytic spheres.  Analytic shapes
+match the reference's object-space conventions:
+
+* `rectangle`: the XY square spanning [-1,1]^2, normal +z
+  (reference: src/shapes/rectangle.cpp:99-110)
+* `cube`: [-1,1]^3 with per-face normals (src/shapes/cube.cpp:24-30)
+* `disk`: unit radius in the XY plane (src/shapes/disk.cpp)
+* `sphere`: `center`+`radius` params and/or toWorld
+  (src/shapes/sphere.cpp:73-110) — kept analytic on device
+* `cylinder`: p0/p1/radius, tessellated (src/shapes/cylinder.cpp)
+* `obj`/`ply`/`serialized`: file loaders (src/shapes/{obj.cpp,ply,serialized.cpp})
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from mitsuba_tpu.core.transform import Transform
+from mitsuba_tpu.io.meshes import (
+    MeshData,
+    load_obj,
+    load_ply,
+    load_serialized,
+)
+from mitsuba_tpu.scene.registry import register
+
+
+@dataclass
+class SphereData:
+    center: np.ndarray  # [3]
+    radius: float
+    flip_normals: bool = False
+
+
+@dataclass
+class ShapeInstance:
+    """A shape plugin's output: world-space geometry + attachments."""
+
+    meshes: list = field(default_factory=list)  # list[MeshData], world space
+    spheres: list = field(default_factory=list)  # list[SphereData]
+    bsdf = None  # set by the XML loader
+    emitter = None
+    interior_medium = None
+    exterior_medium = None
+    id: str = ""
+
+
+def _apply_transform(mesh: MeshData, t: Transform, flip: bool) -> MeshData:
+    pos = t.transform_point_np(mesh.positions).astype(np.float32)
+    nrm = mesh.normals
+    if nrm is not None:
+        nrm = t.transform_normal_np(nrm)
+        ln = np.linalg.norm(nrm, axis=-1, keepdims=True)
+        nrm = (nrm / np.maximum(ln, 1e-20)).astype(np.float32)
+    idx = mesh.indices
+    # a mirroring transform flips triangle orientation; re-wind so the
+    # geometric normal matches the transformed shading normal
+    if t.det3() < 0.0:
+        idx = idx[:, ::-1].copy()
+    if flip:
+        idx = idx[:, ::-1].copy()
+        if nrm is not None:
+            nrm = -nrm
+    return MeshData(
+        positions=pos,
+        indices=np.ascontiguousarray(idx),
+        normals=nrm,
+        texcoords=mesh.texcoords,
+        colors=mesh.colors,
+        face_normals=mesh.face_normals,
+        name=mesh.name,
+    )
+
+
+def _base(props):
+    to_world = props.get_transform("toWorld")
+    flip = props.get_bool("flipNormals", False)
+    return to_world, flip
+
+
+class _ShapeBase:
+    def __init__(self, props):
+        self.props = props
+        self.instance = ShapeInstance(id=props.id)
+        self._build(props)
+
+    def _build(self, props):
+        raise NotImplementedError
+
+
+@register("shape", "rectangle")
+class RectangleShape(_ShapeBase):
+    def _build(self, props):
+        t, flip = _base(props)
+        pos = np.array(
+            [[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32
+        )
+        uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+        nrm = np.tile(np.array([[0, 0, 1]], np.float32), (4, 1))
+        idx = np.array([[0, 1, 2], [2, 3, 0]], np.uint32)
+        mesh = MeshData(pos, idx, nrm, uv)
+        self.instance.meshes.append(_apply_transform(mesh, t, flip))
+
+
+@register("shape", "cube")
+class CubeShape(_ShapeBase):
+    def _build(self, props):
+        t, flip = _base(props)
+        # 24 vertices (4 per face) so each face has its own normal/uv
+        face_defs = [
+            (np.array([0, -1, 0]), np.array([1, 0, 0]), np.array([0, 0, -1])),
+            (np.array([0, 1, 0]), np.array([-1, 0, 0]), np.array([0, 0, -1])),
+            (np.array([1, 0, 0]), np.array([0, 1, 0]), np.array([0, 0, -1])),
+            (np.array([-1, 0, 0]), np.array([0, -1, 0]), np.array([0, 0, -1])),
+            (np.array([0, 0, 1]), np.array([1, 0, 0]), np.array([0, -1, 0])),
+            (np.array([0, 0, -1]), np.array([-1, 0, 0]), np.array([0, -1, 0])),
+        ]
+        pos, nrm, uv, idx = [], [], [], []
+        for f, (n, u, v) in enumerate(face_defs):
+            base = len(pos)
+            for (a, b) in ((-1, -1), (1, -1), (1, 1), (-1, 1)):
+                pos.append(n + a * u + b * v)
+                nrm.append(n)
+                uv.append([(a + 1) / 2, (b + 1) / 2])
+            idx += [[base, base + 1, base + 2], [base, base + 2, base + 3]]
+        mesh = MeshData(
+            np.asarray(pos, np.float32),
+            np.asarray(idx, np.uint32),
+            np.asarray(nrm, np.float32),
+            np.asarray(uv, np.float32),
+        )
+        self.instance.meshes.append(_apply_transform(mesh, t, flip))
+
+
+@register("shape", "disk")
+class DiskShape(_ShapeBase):
+    SEGMENTS = 64
+
+    def _build(self, props):
+        t, flip = _base(props)
+        n = self.SEGMENTS
+        ang = np.linspace(0.0, 2.0 * np.pi, n, endpoint=False)
+        rim = np.stack(
+            [np.cos(ang), np.sin(ang), np.zeros(n)], axis=-1
+        ).astype(np.float32)
+        pos = np.concatenate([np.zeros((1, 3), np.float32), rim])
+        nrm = np.tile(np.array([[0, 0, 1]], np.float32), (n + 1, 1))
+        uv = np.concatenate(
+            [np.array([[0.5, 0.5]], np.float32), (rim[:, :2] + 1) / 2]
+        ).astype(np.float32)
+        idx = np.array(
+            [[0, 1 + i, 1 + (i + 1) % n] for i in range(n)], np.uint32
+        )
+        mesh = MeshData(pos, idx, nrm, uv)
+        self.instance.meshes.append(_apply_transform(mesh, t, flip))
+
+
+@register("shape", "sphere")
+class SphereShape(_ShapeBase):
+    def _build(self, props):
+        center = props.get_point("center", np.zeros(3))
+        radius = props.get_float("radius", 1.0)
+        t = props.get_transform("toWorld")
+        flip = props.get_bool("flipNormals", False)
+        # compose: toWorld * translate(center) * scale(radius)
+        # (reference sphere.cpp:108-112 folds center/radius into the
+        #  object transform).  We only support uniform scale analytically.
+        full = t * Transform.translate(*center) * Transform.scale(
+            radius, radius, radius
+        )
+        lin = full.m[:3, :3]
+        scales = np.linalg.norm(lin, axis=0)
+        if np.allclose(scales, scales[0], rtol=1e-4):
+            c = full.transform_point_np(np.zeros(3))
+            self.instance.spheres.append(
+                SphereData(
+                    center=np.asarray(c, np.float32),
+                    radius=float(scales[0]),
+                    flip_normals=flip,
+                )
+            )
+        else:
+            # non-uniform scale: tessellate
+            mesh = _uv_sphere(64, 32)
+            self.instance.meshes.append(_apply_transform(mesh, full, flip))
+
+
+def _uv_sphere(n_phi, n_theta) -> MeshData:
+    th = np.linspace(0, np.pi, n_theta + 1)
+    ph = np.linspace(0, 2 * np.pi, n_phi + 1)
+    tt, pp = np.meshgrid(th, ph, indexing="ij")
+    pos = np.stack(
+        [np.sin(tt) * np.cos(pp), np.sin(tt) * np.sin(pp), np.cos(tt)],
+        axis=-1,
+    ).reshape(-1, 3)
+    uv = np.stack([pp / (2 * np.pi), 1.0 - tt / np.pi], axis=-1).reshape(-1, 2)
+    idx = []
+    for i in range(n_theta):
+        for j in range(n_phi):
+            a = i * (n_phi + 1) + j
+            b = a + n_phi + 1
+            idx += [[a, b, a + 1], [a + 1, b, b + 1]]
+    return MeshData(
+        pos.astype(np.float32),
+        np.asarray(idx, np.uint32),
+        pos.astype(np.float32),
+        uv.astype(np.float32),
+    )
+
+
+@register("shape", "cylinder")
+class CylinderShape(_ShapeBase):
+    SEGMENTS = 64
+
+    def _build(self, props):
+        p0 = props.get_point("p0", np.array([0.0, 0.0, 0.0]))
+        p1 = props.get_point("p1", np.array([0.0, 0.0, 1.0]))
+        radius = props.get_float("radius", 1.0)
+        t, flip = _base(props)
+        axis = p1 - p0
+        length = np.linalg.norm(axis)
+        z = axis / length
+        x = np.cross([0.0, 1.0, 0.0], z)
+        if np.linalg.norm(x) < 1e-6:
+            x = np.cross([1.0, 0.0, 0.0], z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        n = self.SEGMENTS
+        ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        ring = (
+            np.cos(ang)[:, None] * x[None, :]
+            + np.sin(ang)[:, None] * y[None, :]
+        )
+        pos = np.concatenate(
+            [p0[None] + radius * ring, p0[None] + axis[None] + radius * ring]
+        ).astype(np.float32)
+        nrm = np.concatenate([ring, ring]).astype(np.float32)
+        uv = np.concatenate(
+            [
+                np.stack([ang / (2 * np.pi), np.zeros(n)], -1),
+                np.stack([ang / (2 * np.pi), np.ones(n)], -1),
+            ]
+        ).astype(np.float32)
+        idx = []
+        for i in range(n):
+            j = (i + 1) % n
+            idx += [[i, n + i, n + j], [i, n + j, j]]
+        mesh = MeshData(pos, np.asarray(idx, np.uint32), nrm, uv)
+        self.instance.meshes.append(_apply_transform(mesh, t, flip))
+
+
+class _FileShape(_ShapeBase):
+    loader = None
+    default_flip_tex = True
+
+    def _build(self, props):
+        filename = props.get_string("filename")
+        t, flip = _base(props)
+        face_normals = props.get_bool("faceNormals", False)
+        meshes = self._load(props, filename)
+        for mesh in meshes:
+            if face_normals:
+                mesh.normals = None
+                mesh.face_normals = True
+            self.instance.meshes.append(_apply_transform(mesh, t, flip))
+
+    def _load(self, props, filename):
+        raise NotImplementedError
+
+
+@register("shape", "obj")
+class ObjShape(_FileShape):
+    def _load(self, props, filename):
+        meshes = load_obj(props.resolve_path(filename))
+        if props.get_bool("flipTexCoords", True):
+            for mesh in meshes:
+                if mesh.texcoords is not None:
+                    mesh.texcoords = np.stack(
+                        [mesh.texcoords[:, 0], 1.0 - mesh.texcoords[:, 1]],
+                        axis=-1,
+                    )
+        return meshes
+
+
+@register("shape", "ply")
+class PlyShape(_FileShape):
+    def _load(self, props, filename):
+        return load_ply(props.resolve_path(filename))
+
+
+@register("shape", "serialized")
+class SerializedShape(_FileShape):
+    def _load(self, props, filename):
+        idx = props.get_int("shapeIndex", 0)
+        return load_serialized(props.resolve_path(filename), idx)
+
+
+@register("shape", "shapegroup")
+class ShapeGroup(_ShapeBase):
+    """Container for instancing (reference src/shapes/shapegroup.cpp).
+
+    Round 1: instances are expanded (geometry duplicated) rather than
+    traversed through a two-level BVH.
+    """
+
+    def _build(self, props):
+        self.children = []  # filled by the XML loader
+
+
+@register("shape", "instance")
+class InstanceShape(_ShapeBase):
+    def _build(self, props):
+        self.to_world = props.get_transform("toWorld")
+        self.group = None  # resolved by the XML loader

