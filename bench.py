@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark: Cornell-box path tracing throughput on one TPU chip.
+
+Renders BASELINE.md config 1 (cbox, path integrator, independent
+sampler, 512x512) and reports traced rays/second — every closest-hit
+and NEE shadow ray counted, exactly like the reference's kdbench
+MRays/s metric (reference: src/utils/kdbench.cpp:221-242).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N/1e8}
+vs_baseline is relative to the 1e8 rays/s/chip north-star target in
+BASELINE.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from mitsuba_tpu.scene.xml_loader import load_scene
+    from mitsuba_tpu.scene.builder import pack_scene
+    from mitsuba_tpu.sensor.plugins import generate_rays
+    from mitsuba_tpu.integrator.path import path_trace
+    from mitsuba_tpu.film.film import new_film, splat
+    from mitsuba_tpu.core import rng as _rng
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    scene = load_scene(os.path.join(here, "scenes", "cbox.xml"))
+    pack = pack_scene(scene)
+    sen = scene.sensor.record
+    film_rec = sen.film
+    sampler = sen.sampler
+    integ = scene.integrator
+
+    w = h = 512
+    film_rec.width, film_rec.height = w, h
+    spp_chunk = int(os.environ.get("BENCH_SPP_CHUNK", 8))
+    cam = sen.pack(w, h)
+    n_px = w * h
+
+    def pass_fn(film, base, seed):
+        px = jnp.arange(n_px, dtype=jnp.uint32)
+        lane = jnp.broadcast_to(px[None, :], (spp_chunk, n_px)).reshape(-1)
+        sidx = (
+            base + jnp.arange(spp_chunk, dtype=jnp.uint32)[:, None]
+        )
+        sidx = jnp.broadcast_to(sidx, (spp_chunk, n_px)).reshape(-1)
+        jitter = sampler.pixel_sample(lane, sidx, sampler.sample_count)
+        x = (lane % w).astype(jnp.float32) + jitter[..., 0]
+        y = (lane // w).astype(jnp.float32) + jitter[..., 1]
+        pos01 = jnp.stack([x / w, y / h], axis=-1)
+        o, d = generate_rays(cam, pos01, sampler.next2d(lane, sidx, 1009))
+        L = path_trace(pack, integ, o, d, lane, sidx, sampler, seed)
+        rays = path_trace.last_ray_count
+        film = splat(film, jnp.stack([x, y], axis=-1), L, film_rec.rfilter)
+        return film, rays
+
+    rp = jax.jit(pass_fn, donate_argnums=(0,))
+
+    film = new_film(h, w)
+    # warmup/compile
+    t0 = time.time()
+    film, rays = rp(film, jnp.uint32(0), jnp.uint32(0))
+    rays.block_until_ready()
+    compile_time = time.time() - t0
+
+    # timed passes
+    n_passes = int(os.environ.get("BENCH_PASSES", 4))
+    total_rays = 0.0
+    t0 = time.time()
+    for i in range(n_passes):
+        film, rays = rp(film, jnp.uint32((i + 1) * spp_chunk), jnp.uint32(0))
+        total_rays += float(rays)
+    film[0, 0].block_until_ready()
+    elapsed = time.time() - t0
+
+    rays_per_sec = total_rays / elapsed
+    result = {
+        "metric": "cbox_path_rays_per_sec_per_chip",
+        "value": rays_per_sec,
+        "unit": "rays/s",
+        "vs_baseline": rays_per_sec / 1e8,
+    }
+    print(json.dumps(result))
+    print(
+        f"# {rays_per_sec/1e6:.1f} MRays/s | {n_passes} passes x "
+        f"{spp_chunk}spp @512^2 | {elapsed:.2f}s render, "
+        f"{compile_time:.1f}s compile | devices={jax.devices()}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

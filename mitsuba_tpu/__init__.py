@@ -27,7 +27,7 @@ def __getattr__(name):
 
         return getattr(xml_loader, name)
     if name == "render":
-        from mitsuba_tpu.render import render
+        from mitsuba_tpu.renderer import render
 
         return render
     raise AttributeError(name)

@@ -337,15 +337,18 @@ def _roughdielectric_pdf(sp, wi, wo):
     pm = mf.pdf_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], h)
     f, _, _ = mm.fresnel_dielectric(mm.dot(wi, h), sp["eta"])
     wih, woh = mm.dot(wi, h), mm.dot(wo, h)
+    # Walter et al. validity: reflection needs wi/wo on the same side of
+    # h, transmission on opposite sides — otherwise no microfacet maps to
+    # this wo and the sampling density is zero (roughdielectric.cpp pdf)
+    valid = jnp.where(reflect, wih * woh > 0, wih * woh < 0)
     jac_r = 1.0 / jnp.maximum(4.0 * jnp.abs(woh), 1e-8)
     sqrt_denom = wih + eta * woh
     jac_t = (
         eta * eta * jnp.abs(woh)
         / jnp.maximum(sqrt_denom * sqrt_denom, 1e-8)
     )
-    return jnp.where(
-        reflect, pm * f * jac_r, pm * (1.0 - f) * jac_t
-    )
+    pdf = jnp.where(reflect, pm * f * jac_r, pm * (1.0 - f) * jac_t)
+    return jnp.where(valid, pdf, 0.0)
 
 
 # ---------------------------------------------------------------------------

@@ -78,6 +78,7 @@ def path_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
         prev_pdf=jnp.ones((r,), jnp.float32),
         prev_delta=jnp.ones((r,), bool),  # depth-0 hits count fully
         depth=jnp.int32(0),
+        n_rays=jnp.float32(0.0),  # traced rays (closest-hit + shadow)
     )
 
     def cond(s):
@@ -88,6 +89,7 @@ def path_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
         o, d = s["o"], s["d"]
         active = s["active"]
         thr, L = s["thr"], s["L"]
+        n_rays = s["n_rays"] + jnp.sum(active.astype(jnp.float32))
 
         hit = intersect(pack, o, d)
         its = fill_interaction(pack, o, d, hit)
@@ -138,6 +140,7 @@ def path_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
         # ---- next-event estimation ----
         # (reference path.cpp:176-198 / scene.cpp:828-841)
         if pack.meta["n_emitters"] > 0:
+            n_rays = n_rays + jnp.sum(active.astype(jnp.float32))
             u_n = u4(depth, _SLOT_NEE)
             ds = em.sample_direct(pack, its.p, u_n[..., :3])
             wo_l = frame.to_local(ds.d)
@@ -198,9 +201,11 @@ def path_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
             prev_pdf=jnp.where(active, bs.pdf, s["prev_pdf"]),
             prev_delta=jnp.where(active, bs.delta, s["prev_delta"]),
             depth=depth + 1,
+            n_rays=n_rays,
         )
 
     out = jax.lax.while_loop(cond, body, state)
+    path_trace.last_ray_count = out["n_rays"]
     return out["L"]
 
 

@@ -186,7 +186,7 @@ class SceneLoader:
             if key not in self.defaults:
                 raise KeyError(
                     f"scene parameter ${key} is not defined "
-                    "(pass -D {key}=value or add a <default>)"
+                    f"(pass -D {key}=value or add a <default>)"
                 )
             return str(self.defaults[key])
 

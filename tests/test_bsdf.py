@@ -1,0 +1,191 @@
+"""BSDF correctness: chi-square sample-vs-pdf agreement, sample-weight
+consistency (weight == eval/pdf), and white-furnace energy bounds.
+
+(= reference src/tests/test_chisquare.cpp over data/tests/test_bsdf.xml.)
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mitsuba_tpu.bsdf.eval import bsdf_eval, bsdf_pdf, bsdf_sample
+from mitsuba_tpu.bsdf import plugins as bp
+from mitsuba_tpu.core import math as mm
+from mitsuba_tpu.core import rng
+from mitsuba_tpu.scene.properties import Properties
+from mitsuba_tpu.scene.registry import create
+from tests.chi2 import chi2_test
+
+
+def make_sp(n, type_name, **props):
+    """Build per-lane shading params from a plugin instance."""
+    p = Properties(plugin_name=type_name)
+    for k, v in props.items():
+        p.set(k, v)
+    rec = create("bsdf", type_name, p).record
+
+    def tile(x):
+        return jnp.broadcast_to(jnp.asarray(x, jnp.float32), (n, 3)) if np.ndim(x) else jnp.full((n,), float(x), jnp.float32)
+
+    return {
+        "type": jnp.full((n,), rec.type, jnp.int32),
+        "cA": tile(rec.cA),
+        "cB": tile(rec.cB),
+        "cC": tile(rec.cC),
+        "cD": tile(rec.cD),
+        "alpha_u": tile(rec.alpha_u),
+        "alpha_v": tile(rec.alpha_v),
+        "eta": tile(rec.eta),
+        "exponent": tile(rec.exponent),
+        "dist": jnp.full((n,), rec.dist, jnp.int32),
+        "nonlinear": tile(float(rec.nonlinear)),
+        "twosided": tile(float(rec.twosided)),
+        "fdr_int": tile(rec.fdr_int),
+        "spec_w": tile(rec.spec_sampling_weight),
+    }, (rec.type,)
+
+
+WI = mm.normalize(jnp.array([0.3, -0.25, 0.92]))
+
+SMOOTH_CASES = [
+    ("diffuse", {}),
+    ("roughdiffuse", {"alpha": 0.4}),
+    ("roughconductor", {"alpha": 0.3, "distribution": "ggx"}),
+    ("roughconductor", {"alpha": 0.2, "distribution": "beckmann"}),
+    ("roughplastic", {"alpha": 0.3}),
+    ("phong", {"exponent": 20.0}),
+    ("ward", {"alpha": 0.25}),
+    ("difftrans", {}),
+    ("roughdielectric", {"alpha": 0.3, "distribution": "ggx"}),
+    ("plastic", {}),
+]
+
+
+@pytest.mark.parametrize(
+    "name,props", SMOOTH_CASES, ids=[f"{n}-{i}" for i, (n, _) in enumerate(SMOOTH_CASES)]
+)
+def test_bsdf_chi2(name, props):
+    """sample() histogram must match pdf() — including the discrete lobe
+    mix for plastic/phong/ward."""
+    n = 400_000
+    sp, present = make_sp(n, name, **props)
+    wi = jnp.broadcast_to(WI, (n, 3))
+
+    def sample_fn(u2):
+        ul = rng.rand1(jnp.arange(u2.shape[0]), 99, 17)
+        bs = bsdf_sample(sp, wi, u2, ul, present)
+        okw = jnp.max(bs.weight, axis=-1) > 0
+        # delta lobes are excluded from the chi-square (measure mismatch)
+        ok = okw & ~bs.delta
+        return jnp.where(ok[..., None], bs.wo, 0.0)
+
+    def pdf_fn(d):
+        m = d.shape[0]
+        spd, _ = make_sp(m, name, **props)
+        wim = jnp.broadcast_to(WI, (m, 3))
+        p = bsdf_pdf(spd, wim, d, present)
+        if name == "plastic":
+            pass  # pdf already excludes the delta lobe's mass? no:
+        return p
+
+    # account for the probability mass lost to delta lobes / rejected
+    # samples: chi2_test normalizes by the number of valid samples, and
+    # pdf must integrate to the same fraction. For pure smooth lobes both
+    # are the smooth-lobe conditional; for plastic the pdf() includes the
+    # (1-probSpec) factor so totals agree by construction.
+    passed, p, msg = chi2_test(sample_fn, pdf_fn, n_samples=n)
+    assert passed, f"{name} {props}: {msg}"
+
+
+@pytest.mark.parametrize(
+    "name,props",
+    [
+        ("diffuse", {}),
+        ("roughconductor", {"alpha": 0.3, "distribution": "ggx"}),
+        ("roughplastic", {"alpha": 0.3}),
+        ("phong", {"exponent": 20.0}),
+        ("ward", {"alpha": 0.25}),
+        ("roughdielectric", {"alpha": 0.3}),
+    ],
+)
+def test_sample_weight_consistency(name, props):
+    """weight == eval / pdf for non-delta samples
+    (the reference checks this with FakeSampler replay,
+    test_chisquare.cpp:58-91)."""
+    n = 50_000
+    sp, present = make_sp(n, name, **props)
+    wi = jnp.broadcast_to(WI, (n, 3))
+    u2 = rng.rand2(jnp.arange(n), 1, 2)
+    ul = rng.rand1(jnp.arange(n), 1, 3)
+    bs = bsdf_sample(sp, wi, u2, ul, present)
+    f = bsdf_eval(sp, wi, bs.wo, present)
+    pdf = bsdf_pdf(sp, wi, bs.wo, present)
+    ok = np.asarray((jnp.max(bs.weight, -1) > 1e-4) & ~bs.delta & (pdf > 1e-5))
+    w = np.asarray(bs.weight)[ok]
+    ref = np.asarray(f)[ok] / np.asarray(pdf)[ok][:, None]
+    rel = np.abs(w - ref) / np.maximum(np.abs(ref), 1e-3)
+    assert np.quantile(rel, 0.99) < 2e-2, (
+        f"{name}: weight != eval/pdf (p99 rel err {np.quantile(rel, 0.99)})"
+    )
+
+
+@pytest.mark.parametrize(
+    "name,props",
+    [
+        ("diffuse", {}),
+        ("roughdiffuse", {"alpha": 0.5}),
+        ("plastic", {}),
+        ("roughplastic", {"alpha": 0.3}),
+        ("roughconductor", {"alpha": 0.15}),
+        ("phong", {}),
+        ("dielectric", {}),
+        ("thindielectric", {}),
+        ("roughdielectric", {"alpha": 0.3}),
+        ("conductor", {}),
+    ],
+)
+def test_white_furnace_energy(name, props):
+    """E[weight] over many samples must not exceed 1 per channel
+    (energy conservation of sample())."""
+    n = 200_000
+    sp, present = make_sp(n, name, **props)
+    wi = jnp.broadcast_to(WI, (n, 3))
+    u2 = rng.rand2(jnp.arange(n), 4, 8)
+    ul = rng.rand1(jnp.arange(n), 4, 9)
+    bs = bsdf_sample(sp, wi, u2, ul, present)
+    mean_w = np.asarray(bs.weight).mean(axis=0)
+    assert (mean_w <= 1.0 + 5e-3).all(), f"{name}: gains energy {mean_w}"
+    assert (mean_w >= 0).all()
+
+
+def test_dielectric_reciprocity_flip():
+    """Refraction through a slab: entering then exiting recovers the
+    original direction (physics sanity for eta bookkeeping)."""
+    n = 1000
+    sp, present = make_sp(n, "dielectric", intIOR="bk7")
+    wi = jnp.broadcast_to(mm.normalize(jnp.array([0.4, 0.0, 0.9])), (n, 3))
+    u2 = rng.rand2(jnp.arange(n), 0, 0)
+    ul = jnp.ones(n) * 0.999  # force refraction (F < 0.999 at this angle)
+    bs = bsdf_sample(sp, wi, u2, ul, present)
+    wo = bs.wo
+    assert float(bs.eta[0]) > 1.2  # entered the dense medium
+    # reciprocal path: light arrives along the transmitted direction and
+    # must refract back into the original incident direction
+    bs2 = bsdf_sample(sp, wo, u2, ul, present)
+    back = np.asarray(bs2.wo)
+    assert np.allclose(back, np.asarray(wi), atol=1e-4)
+    assert abs(float(bs2.eta[0]) * float(bs.eta[0]) - 1.0) < 1e-4
+
+
+def test_conductor_fresnel_reflectance():
+    """Normal-incidence conductor reflectance matches the analytic value."""
+    F = mm.fresnel_conductor(
+        jnp.array([1.0]),
+        jnp.array([[0.2, 0.92, 1.1]]),
+        jnp.array([[3.9, 2.45, 2.14]]),
+    )
+    # R = ((n-1)^2 + k^2) / ((n+1)^2 + k^2)
+    n_ = np.array([0.2, 0.92, 1.1])
+    k_ = np.array([3.9, 2.45, 2.14])
+    ref = ((n_ - 1) ** 2 + k_**2) / ((n_ + 1) ** 2 + k_**2)
+    assert np.allclose(np.asarray(F)[0], ref, rtol=1e-4)

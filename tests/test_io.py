@@ -1,0 +1,124 @@
+"""Image + mesh format roundtrips (reference: src/libcore/bitmap.cpp,
+src/librender/trimesh.cpp formats)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mitsuba_tpu.io import exr, pfm, png
+from mitsuba_tpu.io.images import read_rgbe, write_rgbe
+from mitsuba_tpu.io.meshes import (
+    MeshData,
+    load_obj,
+    load_ply,
+    load_serialized,
+    save_serialized,
+)
+
+
+@pytest.fixture
+def img():
+    rng = np.random.default_rng(0)
+    return (rng.random((21, 37, 3)) * 4.0).astype(np.float32)
+
+
+def test_exr_float_roundtrip(img, tmp_path):
+    p = str(tmp_path / "t.exr")
+    exr.write_exr(p, img, half=False, compression="zips")
+    back, names = exr.read_exr(p)
+    assert names[:3] == ["R", "G", "B"]
+    assert np.abs(back - img).max() == 0.0
+
+
+def test_exr_half_none(img, tmp_path):
+    p = str(tmp_path / "t.exr")
+    exr.write_exr(p, img, half=True, compression="none")
+    back, _ = exr.read_exr(p)
+    assert np.abs(back - img).max() < 4e-3
+
+
+def test_exr_single_channel(tmp_path):
+    y = np.linspace(0, 1, 64, dtype=np.float32).reshape(8, 8)
+    p = str(tmp_path / "y.exr")
+    exr.write_exr(p, y, half=False)
+    back, names = exr.read_exr(p)
+    assert back.shape == (8, 8, 1)
+    assert np.abs(back[..., 0] - y).max() == 0.0
+
+
+def test_pfm_roundtrip(img, tmp_path):
+    p = str(tmp_path / "t.pfm")
+    pfm.write_pfm(p, img)
+    assert np.abs(pfm.read_pfm(p) - img).max() == 0.0
+
+
+def test_png_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    p = str(tmp_path / "t.png")
+    png.write_png(p, a)
+    back = png.read_png(p)
+    assert np.abs(back * 255 - a).max() < 0.51
+
+
+def test_rgbe_roundtrip(img, tmp_path):
+    p = str(tmp_path / "t.hdr")
+    write_rgbe(p, img)
+    back = read_rgbe(p)
+    rel = np.abs(back - img) / np.maximum(img.max(axis=-1, keepdims=True), 1e-3)
+    assert rel.max() < 0.01
+
+
+def test_serialized_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    mesh = MeshData(
+        positions=rng.random((50, 3)).astype(np.float32),
+        indices=rng.integers(0, 50, (80, 3)).astype(np.uint32),
+        normals=rng.random((50, 3)).astype(np.float32),
+        texcoords=rng.random((50, 2)).astype(np.float32),
+        name="test-mesh",
+    )
+    p = str(tmp_path / "t.serialized")
+    save_serialized(p, [mesh, mesh])
+    back = load_serialized(p, 0)[0]
+    assert np.allclose(back.positions, mesh.positions)
+    assert (back.indices == mesh.indices).all()
+    assert np.allclose(back.texcoords, mesh.texcoords)
+    assert back.name == "test-mesh"
+    back1 = load_serialized(p, 1)[0]
+    assert np.allclose(back1.positions, mesh.positions)
+
+
+def test_obj_loader(tmp_path):
+    p = str(tmp_path / "t.obj")
+    with open(p, "w") as f:
+        f.write(
+            """
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+vt 0 0
+vt 1 0
+vt 1 1
+vt 0 1
+vn 0 0 1
+f 1/1/1 2/2/1 3/3/1 4/4/1
+"""
+        )
+    meshes = load_obj(p)
+    assert len(meshes) == 1
+    m = meshes[0]
+    assert len(m.indices) == 2  # quad -> 2 tris
+    assert m.texcoords is not None and m.normals is not None
+
+
+def test_ply_reference_bunny():
+    path = "/root/reference/data/tests/bunny.ply"
+    if not os.path.exists(path):
+        pytest.skip("reference bunny not available")
+    m = load_ply(path)[0]
+    assert m.positions.shape[0] == 35947
+    assert m.indices.shape == (69451, 3)
+    assert m.indices.max() < 35947

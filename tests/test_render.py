@@ -1,0 +1,214 @@
+"""Integrator-level correctness.
+
+* furnace test: constant env + diffuse sphere -> image equals env
+  radiance everywhere (energy closure of the full path loop)
+* cbox smoke test: renders, is non-trivial, left/right wall tint sanity
+* cross-integrator agreement: path vs direct on a single-bounce scene
+  (= the reference's cross-agreement strategy, SURVEY.md §4)
+* deterministic: same seed -> bit-identical image
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mitsuba_tpu.scene.xml_loader import load_scene_string
+from mitsuba_tpu.renderer import render
+from tests.conftest import rel_rmse
+
+
+def _scene(body, w=32, h=32, spp=64, integrator="path", max_depth=-1):
+    return load_scene_string(
+        f"""
+    <scene version="0.5.0">
+      <integrator type="{integrator}">
+        <integer name="maxDepth" value="{max_depth}"/>
+      </integrator>
+      <sensor type="perspective">
+        <float name="fov" value="45"/>
+        <transform name="toWorld">
+          <lookat origin="0,0,-4" target="0,0,0" up="0,1,0"/>
+        </transform>
+        <sampler type="independent">
+          <integer name="sampleCount" value="{spp}"/>
+        </sampler>
+        <film type="hdrfilm">
+          <integer name="width" value="{w}"/>
+          <integer name="height" value="{h}"/>
+          <rfilter type="box"/>
+        </film>
+      </sensor>
+      {body}
+    </scene>"""
+    )
+
+
+def test_furnace_diffuse():
+    """White furnace: an albedo-1 diffuse sphere in a unit constant
+    environment is indistinguishable from the environment (L == 1
+    everywhere — for a convex body one bounce closes the energy)."""
+    scene = _scene(
+        """
+      <shape type="sphere">
+        <bsdf type="diffuse">
+          <rgb name="reflectance" value="1, 1, 1"/>
+        </bsdf>
+      </shape>
+      <emitter type="constant">
+        <rgb name="radiance" value="1, 1, 1"/>
+      </emitter>
+    """,
+        spp=256,
+    )
+    img = render(scene)
+    assert abs(float(img.mean()) - 1.0) < 0.015, float(img.mean())
+    assert rel_rmse(img, np.ones_like(img)) < 0.05
+
+
+def test_gray_sphere_single_scatter():
+    """Convex albedo-0.5 sphere: exactly 0.5 at the sphere (no
+    self-interreflection), 1.0 at escaped pixels."""
+    scene = _scene(
+        """
+      <shape type="sphere">
+        <bsdf type="diffuse">
+          <rgb name="reflectance" value="0.5, 0.5, 0.5"/>
+        </bsdf>
+      </shape>
+      <emitter type="constant">
+        <rgb name="radiance" value="1, 1, 1"/>
+      </emitter>
+    """,
+        spp=256,
+    )
+    img = render(scene)
+    center = float(img[16, 16].mean())
+    corner = float(img[1, 1].mean())
+    assert abs(center - 0.5) < 0.02, center
+    assert abs(corner - 1.0) < 0.02, corner
+
+
+def test_furnace_rough_conductor_bounded():
+    """Perfect rough mirror in a furnace: also converges to 1 (with the
+    microfacet single-scattering energy loss as a tolerated deficit)."""
+    scene = _scene(
+        """
+      <shape type="sphere">
+        <bsdf type="roughconductor">
+          <string name="material" value="none"/>
+          <float name="alpha" value="0.3"/>
+        </bsdf>
+      </shape>
+      <emitter type="constant">
+        <rgb name="radiance" value="1, 1, 1"/>
+      </emitter>
+    """,
+        spp=256,
+    )
+    img = render(scene)
+    m = float(img.mean())
+    assert 0.85 < m <= 1.02, m  # <1 due to missing multiple scattering
+
+
+def test_cbox_render(cbox_scene):
+    img = render(cbox_scene, spp=32)
+    assert img.shape == (64, 64, 3)
+    assert float(img.max()) > 1.0  # light source visible
+    assert 0.05 < float(img.mean()) < 1.0
+    # color bleeding: left third more red, right third more green
+    left = img[:, : img.shape[1] // 3]
+    right = img[:, -img.shape[1] // 3 :]
+    assert left[..., 0].mean() > left[..., 1].mean()
+    assert right[..., 1].mean() > right[..., 0].mean()
+
+
+def test_direct_vs_path_single_bounce():
+    """With maxDepth=2 both integrators compute the same quantity."""
+    body = """
+      <shape type="rectangle">
+        <transform name="toWorld">
+          <rotate x="1" angle="-90"/>
+          <scale value="3"/>
+          <translate y="-1"/>
+        </transform>
+        <bsdf type="diffuse"/>
+      </shape>
+      <shape type="sphere">
+        <float name="radius" value="0.4"/>
+        <point name="center" x="0" y="1.2" z="0"/>
+        <emitter type="area">
+          <rgb name="radiance" value="10, 10, 10"/>
+        </emitter>
+      </shape>
+    """
+    s1 = _scene(body, spp=512, integrator="path", max_depth=2)
+    s2 = _scene(body, spp=512, integrator="direct", max_depth=2)
+    i1 = render(s1)
+    i2 = render(s2)
+    assert rel_rmse(i1, i2) < 0.05, rel_rmse(i1, i2)
+
+
+def test_deterministic(cbox_scene):
+    a = render(cbox_scene, spp=4, seed=5)
+    b = render(cbox_scene, spp=4, seed=5)
+    assert np.array_equal(a, b)
+    c = render(cbox_scene, spp=4, seed=6)
+    assert not np.array_equal(a, c)
+
+
+def test_point_light_inverse_square():
+    """Radiance from a point light falls off as 1/r^2 on a facing plate."""
+    body = """
+      <shape type="rectangle">
+        <boolean name="flipNormals" value="true"/>
+        <bsdf type="diffuse">
+          <rgb name="reflectance" value="1, 1, 1"/>
+        </bsdf>
+      </shape>
+      <emitter type="point">
+        <point name="position" x="0" y="0" z="-{r}"/>
+        <rgb name="intensity" value="1, 1, 1"/>
+      </emitter>
+    """
+    vals = []
+    for r_ in (1.0, 2.0):
+        scene = _scene(body.replace("{r}", str(r_)), spp=16, max_depth=2)
+        img = render(scene)
+        vals.append(float(img[16, 16].mean()))
+    assert abs(vals[0] / vals[1] - 4.0) < 0.1, vals
+
+
+def test_ao_integrator():
+    scene = _scene(
+        """
+      <shape type="rectangle">
+        <transform name="toWorld">
+          <rotate x="1" angle="-90"/><scale value="5"/><translate y="-0.5"/>
+        </transform>
+        <bsdf type="diffuse"/>
+      </shape>
+      <shape type="sphere">
+        <float name="radius" value="0.5"/>
+        <bsdf type="diffuse"/>
+      </shape>
+    """,
+        integrator="ao",
+        spp=64,
+    )
+    img = render(scene)
+    assert 0.1 < float(img.mean()) < 1.0
+
+
+def test_field_integrator_depth():
+    scene = _scene(
+        """
+      <shape type="sphere">
+        <bsdf type="diffuse"/>
+      </shape>
+    """,
+        integrator="path",
+    )
+    scene.integrator.kind = "field"
+    scene.integrator.field_name = "distance"
+    img = render(scene, spp=4)
+    c = float(img[16, 16, 0])
+    assert abs(c - 3.0) < 0.02  # camera at z=-4, sphere radius 1

@@ -1,0 +1,184 @@
+"""Scene XML loader parity tests (reference: scenehandler.cpp features)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mitsuba_tpu.scene.xml_loader import (
+    load_scene_string,
+    _parse_rgb,
+    _parse_transform,
+)
+import xml.etree.ElementTree as ET
+
+
+SCENE_TMPL = """
+<scene version="0.5.0">
+  <integrator type="path"><integer name="maxDepth" value="8"/></integrator>
+  <sensor type="perspective">
+    <float name="fov" value="45"/>
+    <sampler type="ldsampler"><integer name="sampleCount" value="64"/></sampler>
+    <film type="hdrfilm">
+      <integer name="width" value="100"/><integer name="height" value="50"/>
+      <rfilter type="mitchell"/>
+    </film>
+  </sensor>
+  {body}
+</scene>
+"""
+
+
+def _load(body="", **kw):
+    return load_scene_string(SCENE_TMPL.format(body=body), **kw)
+
+
+def test_basic_records():
+    s = _load()
+    assert s.integrator.kind == "path"
+    assert s.integrator.max_depth == 8
+    assert s.sensor.record.film.width == 100
+    assert s.sensor.record.sampler.sample_count == 64
+    assert s.sensor.record.film.rfilter.kind == 3  # mitchell
+
+
+def test_fov_axis_conversion():
+    # fovAxis x with aspect 2 (100x50): xfov = 45
+    s = _load()
+    assert abs(s.sensor.record.xfov_deg - 45.0) < 1e-5
+
+
+def test_refs_and_ids():
+    s = _load(
+        """
+      <bsdf type="diffuse" id="mat">
+        <rgb name="reflectance" value="0.2, 0.4, 0.6"/>
+      </bsdf>
+      <shape type="rectangle"><ref id="mat"/></shape>
+      <shape type="sphere"><ref id="mat"/></shape>
+    """
+    )
+    assert s.shapes[0].bsdf is s.shapes[1].bsdf
+    assert np.allclose(s.shapes[0].bsdf.cA, [0.2, 0.4, 0.6])
+
+
+def test_default_substitution():
+    s = load_scene_string(
+        SCENE_TMPL.format(
+            body="""
+      <default name="refl" value="0.25"/>
+      <shape type="rectangle">
+        <bsdf type="diffuse"><rgb name="reflectance" value="$refl"/></bsdf>
+      </shape>
+    """
+        )
+    )
+    assert np.allclose(s.shapes[0].bsdf.cA, 0.25)
+
+
+def test_defaults_override():
+    s = load_scene_string(
+        SCENE_TMPL.format(
+            body="""
+      <default name="refl" value="0.25"/>
+      <shape type="rectangle">
+        <bsdf type="diffuse"><rgb name="reflectance" value="$refl"/></bsdf>
+      </shape>
+    """
+        ),
+        defaults={"refl": "0.75"},
+    )
+    assert np.allclose(s.shapes[0].bsdf.cA, 0.75)
+
+
+def test_rgb_formats():
+    assert np.allclose(_parse_rgb("0.1, 0.2, 0.3"), [0.1, 0.2, 0.3])
+    assert np.allclose(_parse_rgb("0.5"), [0.5, 0.5, 0.5])
+    assert np.allclose(_parse_rgb("#ff0000"), [1, 0, 0])
+
+
+def test_transform_chain_order():
+    """translate-then-scale vs scale-then-translate."""
+    t = _parse_transform(
+        ET.fromstring(
+            '<transform name="toWorld">'
+            '<translate x="1"/><scale value="2"/></transform>'
+        )
+    )
+    # later ops apply after: scale(2) * translate(1) -> point 0 -> 2
+    p = t.transform_point_np(np.zeros(3))
+    assert np.allclose(p, [2, 0, 0])
+
+
+def test_lookat_matches_reference_convention():
+    t = _parse_transform(
+        ET.fromstring(
+            '<transform name="toWorld">'
+            '<lookat origin="0,0,-5" target="0,0,0" up="0,1,0"/>'
+            "</transform>"
+        )
+    )
+    # camera-space +z maps to world view direction
+    d = t.transform_vector_np(np.array([0, 0, 1.0]))
+    assert np.allclose(d, [0, 0, 1])
+    # +x maps to world LEFT = cross(up, dir) = (-1? ...) for this setup:
+    left = t.transform_vector_np(np.array([1.0, 0, 0]))
+    assert np.allclose(left, np.cross([0, 1, 0], [0, 0, 1]))
+
+
+def test_nested_emitter_and_bsdf():
+    s = _load(
+        """
+      <shape type="rectangle">
+        <bsdf type="diffuse"/>
+        <emitter type="area"><rgb name="radiance" value="5"/></emitter>
+      </shape>
+    """
+    )
+    assert s.shapes[0].emitter is not None
+    assert np.allclose(s.shapes[0].emitter.radiance, 5.0)
+
+
+def test_spectrum_pairs():
+    s = _load(
+        """
+      <shape type="rectangle">
+        <bsdf type="diffuse">
+          <spectrum name="reflectance" value="400:0.5, 500:0.5, 600:0.5, 700:0.5"/>
+        </bsdf>
+      </shape>
+    """
+    )
+    # flat spectrum -> roughly gray
+    cA = s.shapes[0].bsdf.cA
+    assert abs(cA.max() - cA.min()) < 0.15
+
+
+def test_unknown_plugin_raises():
+    with pytest.raises(KeyError):
+        _load('<shape type="doesnotexist"/>')
+
+
+def test_named_ior():
+    s = _load(
+        """
+      <shape type="sphere">
+        <bsdf type="dielectric">
+          <string name="intIOR" value="water"/>
+        </bsdf>
+      </shape>
+    """
+    )
+    assert abs(s.shapes[0].bsdf.eta - 1.3330 / 1.000277) < 1e-4
+
+
+def test_conductor_material_db():
+    s = _load(
+        """
+      <shape type="sphere">
+        <bsdf type="conductor"><string name="material" value="Au"/></bsdf>
+      </shape>
+    """
+    )
+    eta = s.shapes[0].bsdf.cC
+    assert eta[2] > eta[0]  # gold: blue eta > red eta
