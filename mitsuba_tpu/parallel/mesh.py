@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from mitsuba_tpu.film.film import develop, new_film, splat
+from mitsuba_tpu.film.film import develop, new_film, splat_grid
 from mitsuba_tpu.integrator.path import TRACE_FNS
 from mitsuba_tpu.scene.builder import pack_scene
 from mitsuba_tpu.sensor.plugins import generate_rays
@@ -42,12 +42,12 @@ def make_sharded_render_pass(
     pack, integ, sensor_rec, film_rec, sampler_rec, spp_chunk, mesh,
     axis_name="lanes",
 ):
-    """One render pass sharded over the mesh's lane axis.
+    """One render pass sharded over the mesh.
 
-    The lane grid is [spp_chunk * n_px]; it is split evenly across
-    devices (pixels interleave across chips, which load-balances hard
-    tiles the way the reference's spiral block schedule does,
-    imageproc.cpp:43-69).
+    The sample grid is [spp_chunk, n_px]; the spp axis is split across
+    devices (spp_chunk is rounded up to a multiple of the device count),
+    so each chip renders whole sample layers of the full film, splats
+    them densely, and the partial films psum-merge over ICI.
     """
     import mitsuba_tpu.integrator.volpath  # noqa: F401
 
@@ -57,40 +57,47 @@ def make_sharded_render_pass(
     trace = TRACE_FNS[integ.kind]
     rfilter = film_rec.rfilter
     n_dev = mesh.devices.size
-    total = spp_chunk * n_px
-    per_dev = math.ceil(total / n_dev)
-    padded = per_dev * n_dev
+    spp_pad = math.ceil(spp_chunk / n_dev) * n_dev
+    spp_local = spp_pad // n_dev
 
-    def shard_body(film, lane, sidx, sample_base, seed):
-        # film: [H, W, 4] local copy; lane/sidx: [per_dev]
-        valid = lane < total
-        lane_c = jnp.where(valid, lane, 0)
-        px = (lane_c % n_px).astype(jnp.uint32)
-        s_local = (lane_c // n_px).astype(jnp.uint32) + sample_base
-
-        jitter = sampler_rec.pixel_sample(px, s_local, sampler_rec.sample_count)
-        x = (px % w).astype(jnp.float32) + jitter[..., 0]
-        y = (px // w).astype(jnp.float32) + jitter[..., 1]
+    def shard_body(film, sidx_layer, sample_base, seed):
+        # film: [H, W, 4] local copy; sidx_layer: [spp_local] sample ids
+        px = jnp.arange(n_px, dtype=jnp.uint32)
+        lane = jnp.broadcast_to(px[None, :], (spp_local, n_px)).reshape(-1)
+        sidx = jnp.broadcast_to(
+            sidx_layer[:, None] + sample_base, (spp_local, n_px)
+        ).reshape(-1)
+        jitter = sampler_rec.pixel_sample(lane, sidx, sampler_rec.sample_count)
+        x = (lane % w).astype(jnp.float32) + jitter[..., 0]
+        y = (lane // w).astype(jnp.float32) + jitter[..., 1]
         pos01 = jnp.stack([x / w, y / h], axis=-1)
-        u_lens = sampler_rec.next2d(px, s_local, 1009)
+        u_lens = sampler_rec.next2d(lane, sidx, 1009)
         o, d = generate_rays(cam, pos01, u_lens)
-        L = trace(pack, integ, o, d, px, s_local, sampler_rec, seed)
-        L = jnp.where(valid[..., None], L, 0.0)
-        film = splat(film, jnp.stack([x, y], axis=-1), L, rfilter, valid)
-        film = jax.lax.psum(film, axis_name)
+        L = trace(pack, integ, o, d, lane, sidx, sampler_rec, seed)
+
+        L = L.reshape(spp_local, h, w, 3)
+        jit2 = jitter.reshape(spp_local, h, w, 2)
+        # layers beyond the requested spp_chunk contribute nothing
+        # (neither radiance nor filter weight)
+        layer_valid = jnp.broadcast_to(
+            (sidx_layer < spp_chunk)[:, None, None], (spp_local, h, w)
+        )
+        local = splat_grid(
+            jnp.zeros_like(film), jit2, L, rfilter, valid=layer_valid
+        )
+        film = film + jax.lax.psum(local, axis_name)
         return film
 
     def render_pass(film, sample_base, seed):
-        lane = jnp.arange(padded, dtype=jnp.uint32)
-        sidx = jnp.zeros(padded, jnp.uint32)
+        sidx_layers = jnp.arange(spp_pad, dtype=jnp.uint32)
         fn = jax.shard_map(
-            partial(shard_body),
+            shard_body,
             mesh=mesh,
-            in_specs=(P(), P(axis_name), P(axis_name), P(), P()),
+            in_specs=(P(), P(axis_name), P(), P()),
             out_specs=P(),
             check_vma=False,
         )
-        return fn(film, lane, sidx, sample_base, seed)
+        return fn(film, sidx_layers, sample_base, seed)
 
     return render_pass
 

@@ -22,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mitsuba_tpu.film.film import develop, new_film, splat
+from mitsuba_tpu.film.film import develop, new_film, splat, splat_grid
 from mitsuba_tpu.integrator.path import TRACE_FNS
 from mitsuba_tpu.scene.builder import pack_scene
 from mitsuba_tpu.sensor.plugins import generate_rays
@@ -50,7 +50,7 @@ def make_render_pass(pack, integ, sensor_rec, film_rec, sampler_rec, spp_chunk):
     rfilter = film_rec.rfilter
 
     def render_pass(film, sample_base, seed):
-        # lanes: [spp_chunk, n_px]
+        # lanes: [spp_chunk, n_px] — grid-aligned so the splat is dense
         px = jnp.arange(n_px, dtype=jnp.uint32)
         lane = jnp.broadcast_to(px[None, :], (spp_chunk, n_px))
         sidx = sample_base + jnp.arange(spp_chunk, dtype=jnp.uint32)[:, None]
@@ -67,8 +67,11 @@ def make_render_pass(pack, integ, sensor_rec, film_rec, sampler_rec, spp_chunk):
         o, d = generate_rays(cam, pos01, u_lens)
 
         L = trace(pack, integ, o, d, lane, sidx, sampler_rec, seed)
-        film = splat(
-            film, jnp.stack([x, y], axis=-1), L, rfilter
+        film = splat_grid(
+            film,
+            jitter.reshape(spp_chunk, h, w, 2),
+            L.reshape(spp_chunk, h, w, 3),
+            rfilter,
         )
         return film
 

@@ -177,15 +177,30 @@ def pack_scene(scene) -> ScenePack:
         return _em_ids[id(rec)]
 
     # ---------------- flatten geometry ----------------
+    # ---------------- media ----------------
+    media: list = []
+    _med_ids = {}
+
+    def add_medium(rec) -> int:
+        if rec is None:
+            return -1
+        if id(rec) not in _med_ids:
+            _med_ids[id(rec)] = len(media)
+            media.append(rec)
+        return _med_ids[id(rec)]
+
     v0s, e1s, e2s = [], [], []
     n0s, n1s, n2s = [], [], []
     uv0s, uv1s, uv2s = [], [], []
     tmats, temits = [], []
+    tmed_in, tmed_ex = [], []
     spheres = []
 
     for inst in scene.shapes:
         mat_id = add_material(inst.bsdf)
         emit_id = add_emitter(inst.emitter)
+        med_in = add_medium(inst.interior_medium)
+        med_ex = add_medium(inst.exterior_medium)
 
         meshes = list(inst.meshes)
         sphs = list(inst.spheres)
@@ -205,7 +220,7 @@ def pack_scene(scene) -> ScenePack:
             sphs = []
 
         for s in sphs:
-            spheres.append((s, mat_id, emit_id))
+            spheres.append((s, mat_id, emit_id, med_in, med_ex))
 
         for mesh in meshes:
             p = mesh.positions
@@ -238,6 +253,8 @@ def pack_scene(scene) -> ScenePack:
                 uv2s.append(z)
             tmats.append(np.full(len(i), mat_id, np.int32))
             temits.append(np.full(len(i), emit_id, np.int32))
+            tmed_in.append(np.full(len(i), med_in, np.int32))
+            tmed_ex.append(np.full(len(i), med_ex, np.int32))
 
     def cat(parts, shape_tail, dtype=np.float32):
         if parts:
@@ -255,6 +272,8 @@ def pack_scene(scene) -> ScenePack:
     tri_uv2 = cat(uv2s, (2,))
     tri_mat = cat(tmats, (), np.int32)
     tri_emit = cat(temits, (), np.int32)
+    tri_med_in = cat(tmed_in, (), np.int32)
+    tri_med_ex = cat(tmed_ex, (), np.int32)
     n_tris = len(tri_v0)
 
     # ---------------- BVH ----------------
@@ -267,10 +286,12 @@ def pack_scene(scene) -> ScenePack:
         perm = bvh.order
         # apply permutation so leaves reference contiguous triangles
         (tri_v0, tri_e1, tri_e2, tri_n0, tri_n1, tri_n2,
-         tri_uv0, tri_uv1, tri_uv2, tri_mat, tri_emit) = (
+         tri_uv0, tri_uv1, tri_uv2, tri_mat, tri_emit,
+         tri_med_in, tri_med_ex) = (
             a[perm] for a in (
                 tri_v0, tri_e1, tri_e2, tri_n0, tri_n1, tri_n2,
-                tri_uv0, tri_uv1, tri_uv2, tri_mat, tri_emit)
+                tri_uv0, tri_uv1, tri_uv2, tri_mat, tri_emit,
+                tri_med_in, tri_med_ex)
         )
     else:
         bvh = BVH(
@@ -281,6 +302,11 @@ def pack_scene(scene) -> ScenePack:
             count=np.zeros(1, np.int32),
             order=np.arange(n_tris, dtype=np.int32),
         )
+
+    # transposed triangle pack for the Pallas brute-force kernels
+    from mitsuba_tpu.accel.pallas_kernels import pack_triangles_transposed
+
+    tri_t = pack_triangles_transposed(tri_v0, tri_e1, tri_e2, n_tris)
 
     # pad triangles so leaf gathers of LEAF_SIZE never go out of bounds
     pad = LEAF_SIZE
@@ -299,6 +325,8 @@ def pack_scene(scene) -> ScenePack:
     tri_uv2 = pad_tri(tri_uv2)
     tri_mat = pad_tri(tri_mat)
     tri_emit = pad_tri(tri_emit, -1)
+    tri_med_in = pad_tri(tri_med_in, -1)
+    tri_med_ex = pad_tri(tri_med_ex, -1)
 
     # ---------------- spheres ----------------
     n_sph = len(spheres)
@@ -307,12 +335,16 @@ def pack_scene(scene) -> ScenePack:
     sph_mat = np.zeros(max(n_sph, 1), np.int32)
     sph_emit = np.full(max(n_sph, 1), -1, np.int32)
     sph_flip = np.zeros(max(n_sph, 1), np.float32)
-    for k, (s, m, e) in enumerate(spheres):
+    sph_med_in = np.full(max(n_sph, 1), -1, np.int32)
+    sph_med_ex = np.full(max(n_sph, 1), -1, np.int32)
+    for k, (s, m, e, mi, mx) in enumerate(spheres):
         sph_center[k] = s.center
         sph_radius[k] = s.radius
         sph_mat[k] = m
         sph_emit[k] = e
         sph_flip[k] = -1.0 if s.flip_normals else 1.0
+        sph_med_in[k] = mi
+        sph_med_ex[k] = mx
 
     # ---------------- material table ----------------
     # expand mixtures into leaves (device-side 2-component mix planned;
@@ -456,13 +488,74 @@ def pack_scene(scene) -> ScenePack:
     else:
         env_dist = Distribution2D.from_weights(np.ones((1, 2)))
 
+    # ---------------- medium table ----------------
+    from mitsuba_tpu.medium.plugins import HETEROGENEOUS
+
+    n_med = max(len(media), 1)
+    med_sigma_s = np.zeros((n_med, 3), np.float32)
+    med_sigma_a = np.zeros((n_med, 3), np.float32)
+    med_g = np.zeros(n_med, np.float32)
+    med_kind = np.zeros(n_med, np.int32)
+    med_sampling_w = np.zeros(n_med, np.float32)
+    het_grid = np.zeros((1, 1, 2), np.float32)
+    het_world_to_grid = np.eye(4, dtype=np.float32)
+    het_sigma_max = 0.0
+    het_albedo = np.full(3, 0.9, np.float32)
+    het_med_id = -1
+    for i, m in enumerate(media):
+        med_kind[i] = m.kind
+        from mitsuba_tpu.medium.plugins import PhaseRecord, HG
+
+        med_g[i] = m.phase.g if m.phase.kind == HG else 0.0
+        if m.kind == HETEROGENEOUS:
+            if het_med_id >= 0:
+                raise NotImplementedError(
+                    "only one heterogeneous medium per scene (round 1)"
+                )
+            het_med_id = i
+            vol = m.density
+            grid = vol.grid[..., 0] if vol.grid.ndim == 4 else vol.grid
+            het_grid = np.ascontiguousarray(grid * m.scale, np.float32)
+            # world -> grid-index transform: world -> volume local (aabb)
+            ext = np.maximum(vol.aabb_max - vol.aabb_min, 1e-9)
+            to_local = np.eye(4)
+            to_local[:3, :3] = np.diag(1.0 / ext)
+            to_local[:3, 3] = -vol.aabb_min / ext
+            het_world_to_grid = (
+                to_local @ vol.to_world.inv
+            ).astype(np.float32)
+            het_sigma_max = float(het_grid.max())
+            if m.albedo is not None and m.albedo.constant is not None:
+                het_albedo = np.asarray(m.albedo.constant, np.float32)
+        else:
+            med_sigma_s[i] = m.sigma_s
+            med_sigma_a[i] = m.sigma_a
+            # reference homogeneous.cpp:168-181: sampling weight = max
+            # single-channel albedo, clamped to >= 0.5 when scattering
+            st = m.sigma_s + m.sigma_a
+            albedo = np.where(st > 0, m.sigma_s / np.maximum(st, 1e-20), 0.0)
+            a = float(albedo.max())
+            med_sampling_w[i] = max(a, 0.5) if a > 0 else 0.0
+
     arrays = {
+        "med_sigma_s": med_sigma_s,
+        "med_sigma_a": med_sigma_a,
+        "med_g": med_g,
+        "med_kind": med_kind,
+        "med_sampling_w": med_sampling_w,
+        "het_grid": het_grid,
+        "het_world_to_grid": het_world_to_grid,
+        "het_albedo": het_albedo,
+        "tri_med_in": tri_med_in,
+        "tri_med_ex": tri_med_ex,
+        "tri_t": tri_t,
         "tri_v0": tri_v0, "tri_e1": tri_e1, "tri_e2": tri_e2,
         "tri_n0": tri_n0, "tri_n1": tri_n1, "tri_n2": tri_n2,
         "tri_uv0": tri_uv0, "tri_uv1": tri_uv1, "tri_uv2": tri_uv2,
         "tri_mat": tri_mat, "tri_emit": tri_emit,
         "sph_center": sph_center, "sph_radius": sph_radius,
         "sph_mat": sph_mat, "sph_emit": sph_emit, "sph_flip": sph_flip,
+        "sph_med_in": sph_med_in, "sph_med_ex": sph_med_ex,
         "bvh_lo": bvh.lo, "bvh_hi": bvh.hi, "bvh_skip": bvh.skip,
         "bvh_first": bvh.first, "bvh_count": bvh.count,
         **mt,
@@ -501,5 +594,10 @@ def pack_scene(scene) -> ScenePack:
         "has_delta_emitters": any(r.is_delta() for r in emitters),
         "n_area_tris": int(at_cursor),
         "has_textures": len(textures) > 0,
+        "has_media": len(media) > 0,
+        "n_media": len(media),
+        "het_med_id": het_med_id,
+        "het_sigma_max": het_sigma_max,
+        "camera_medium": -1,
     }
     return ScenePack(arrays, meta)

@@ -120,3 +120,35 @@ def test_sphere_intersection_analytic(cbox_scene=None):
     # normals point outward (toward the camera side)
     ns = np.asarray(its.ns)[np.asarray(hit.valid)]
     assert (np.sum(ns * (p / r[:, None]), axis=-1) > 0.999).all()
+
+
+def test_pallas_kernels_match_xla():
+    """The Pallas VMEM-tiled intersector (used on real TPU) must agree
+    with the XLA brute-force reference (interpret mode on CPU)."""
+    import jax.numpy as jnp
+    from mitsuba_tpu.accel import pallas_kernels as pk
+    from mitsuba_tpu.accel.intersect import _brute_force, _brute_force_any
+
+    pack, _ = random_tri_pack(n_tris=300, use_bvh=False)
+    rng = np.random.default_rng(3)
+    n = 1000
+    o = jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    tri_t = jnp.asarray(
+        pk.pack_triangles_transposed(
+            pack.tri_v0, pack.tri_e1, pack.tri_e2, 300
+        )
+    )
+
+    t1, p1 = pk.closest_hit(o, d, jnp.inf, tri_t, interpret=True)
+    t2, p2, _, _ = _brute_force(pack, o, d, jnp.inf)
+    assert ((np.asarray(p1) >= 0) == (np.asarray(p2) >= 0)).all()
+    both = (np.asarray(p1) >= 0) & (np.asarray(p2) >= 0)
+    assert np.allclose(np.asarray(t1)[both], np.asarray(t2)[both], rtol=1e-4)
+    assert (np.asarray(p1)[both] == np.asarray(p2)[both]).all()
+
+    occ1 = pk.any_hit(o, d, jnp.full(n, 1.5), tri_t, interpret=True)
+    occ2 = _brute_force_any(pack, o, d, jnp.full(n, 1.5))
+    assert (np.asarray(occ1) == np.asarray(occ2)).all()
