@@ -26,9 +26,8 @@ import jax.numpy as jnp
 def main():
     from mitsuba_tpu.scene.xml_loader import load_scene
     from mitsuba_tpu.scene.builder import pack_scene
-    from mitsuba_tpu.sensor.plugins import generate_rays
-    from mitsuba_tpu.integrator.path import path_trace
-    from mitsuba_tpu.film.film import new_film, splat_grid
+    from mitsuba_tpu.renderer import make_render_pass
+    from mitsuba_tpu.film.film import new_film
 
     here = os.path.dirname(os.path.abspath(__file__))
     scene = load_scene(os.path.join(here, "scenes", "cbox.xml"))
@@ -41,32 +40,13 @@ def main():
     w = h = 512
     film_rec.width, film_rec.height = w, h
     spp_chunk = int(os.environ.get("BENCH_SPP_CHUNK", 8))
-    cam = sen.pack(w, h)
-    n_px = w * h
 
-    def pass_fn(film, base, seed):
-        px = jnp.arange(n_px, dtype=jnp.uint32)
-        lane = jnp.broadcast_to(px[None, :], (spp_chunk, n_px)).reshape(-1)
-        sidx = (
-            base + jnp.arange(spp_chunk, dtype=jnp.uint32)[:, None]
-        )
-        sidx = jnp.broadcast_to(sidx, (spp_chunk, n_px)).reshape(-1)
-        jitter = sampler.pixel_sample(lane, sidx, sampler.sample_count)
-        x = (lane % w).astype(jnp.float32) + jitter[..., 0]
-        y = (lane // w).astype(jnp.float32) + jitter[..., 1]
-        pos01 = jnp.stack([x / w, y / h], axis=-1)
-        o, d = generate_rays(cam, pos01, sampler.next2d(lane, sidx, 1009))
-        L = path_trace(pack, integ, o, d, lane, sidx, sampler, seed)
-        rays = path_trace.last_ray_count
-        film = splat_grid(
-            film,
-            jitter.reshape(spp_chunk, h, w, 2),
-            L.reshape(spp_chunk, h, w, 3),
-            film_rec.rfilter,
-        )
-        return film, rays
-
-    rp = jax.jit(pass_fn, donate_argnums=(0,))
+    rp = jax.jit(
+        make_render_pass(
+            pack, integ, sen, film_rec, sampler, spp_chunk, with_stats=True
+        ),
+        donate_argnums=(0,),
+    )
 
     film = new_film(h, w)
     # warmup/compile

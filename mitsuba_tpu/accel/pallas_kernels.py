@@ -190,3 +190,175 @@ def pack_triangles_transposed(tri_v0, tri_e1, tri_e2, n_tris):
     e1[:n_tris] = np.asarray(tri_e1)[:n_tris]
     e2[:n_tris] = np.asarray(tri_e2)[:n_tris]
     return np.concatenate([v0.T, e1.T, e2.T], axis=0)  # [9, Tp]
+
+
+# ===========================================================================
+# MXU formulation
+# ===========================================================================
+#
+# Möller-Trumbore is BILINEAR in the per-ray feature vector
+# F = [d, w = o x d, o, 1] (10 floats):
+#
+#   det   = F . [-n,        0,   0, 0  ]      n  = e1 x e2
+#   u_num = F . [v0 x e2,   e2,  0, 0  ]
+#   v_num = F . [e1 x v0,  -e1,  0, 0  ]
+#   t_num = F . [0,         0,   n, -c0]      c0 = v0 . n
+#
+# so testing R rays against T triangles is ONE [R,10] x [10,4T] matmul on
+# the MXU (the systolic array the TPU was built around), followed by a
+# cheap elementwise epilogue + min-reduction on the VPU.  This replaces
+# the reference's 48-byte TriAccel scalar test (triaccel.h:38) with the
+# hardware's native primitive.
+
+MXU_RAY_TILE = 1024
+
+
+def build_mt_matrix(tri_v0, tri_e1, tri_e2, n_tris):
+    """Host-side: per-triangle constants -> [16, 4*Tp] matmul operand.
+    Rows 0-2: d, 3-5: w, 6-8: o, 9: const, 10-15: zero pad (MXU likes
+    multiples of 8 on the contraction dim).  Column blocks: [det|u|v|t].
+    Padding triangles produce det == 0 -> never hit."""
+    import numpy as np
+
+    pad_to = max(((n_tris + 127) // 128) * 128, 128)
+    v0 = np.zeros((pad_to, 3), np.float32)
+    e1 = np.zeros((pad_to, 3), np.float32)
+    e2 = np.zeros((pad_to, 3), np.float32)
+    v0[:n_tris] = np.asarray(tri_v0)[:n_tris]
+    e1[:n_tris] = np.asarray(tri_e1)[:n_tris]
+    e2[:n_tris] = np.asarray(tri_e2)[:n_tris]
+
+    n = np.cross(e1, e2)
+    c0 = np.sum(v0 * n, axis=-1)
+    m = np.zeros((16, 4, pad_to), np.float32)
+    m[0:3, 0] = -n.T                    # det
+    m[0:3, 1] = np.cross(v0, e2).T      # u_num (d-part)
+    m[3:6, 1] = e2.T                    # u_num (w-part)
+    m[0:3, 2] = np.cross(e1, v0).T      # v_num (d-part)
+    m[3:6, 2] = -e1.T                   # v_num (w-part)
+    m[6:9, 3] = n.T                     # t_num (o-part)
+    m[9, 3] = -c0                       # t_num (const)
+    return m.reshape(16, 4 * pad_to)
+
+
+def _ray_features(o, d):
+    w = jnp.cross(o, d)
+    ones = jnp.ones(o.shape[:-1] + (1,), o.dtype)
+    zeros = jnp.zeros(o.shape[:-1] + (6,), o.dtype)
+    return jnp.concatenate([d, w, o, ones, zeros], axis=-1)  # [R, 16]
+
+
+def _mxu_epilogue(prod, t_ref, n_pad):
+    """prod: [TR, 4T] -> (t [TR, T], hit [TR, T])."""
+    det = prod[:, 0 * n_pad : 1 * n_pad]
+    u_n = prod[:, 1 * n_pad : 2 * n_pad]
+    v_n = prod[:, 2 * n_pad : 3 * n_pad]
+    t_n = prod[:, 3 * n_pad : 4 * n_pad]
+    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    u = u_n * inv
+    v = v_n * inv
+    t = t_n * inv
+    hit = (
+        (jnp.abs(det) > 1e-12)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > RAY_EPS)
+        & (t < t_ref)
+    )
+    return t, hit
+
+
+def _mxu_closest_kernel(n_pad, f_ref, m_ref, tmax_ref, t_out, prim_out):
+    feats = f_ref[...]  # [TR, 16]
+    prod = jnp.dot(
+        feats,
+        m_ref[...],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    t_lim = tmax_ref[0:1, :].T  # [TR, 1]
+    t, hit = _mxu_epilogue(prod, t_lim, n_pad)
+    t = jnp.where(hit, t, jnp.inf)
+    tmin = jnp.min(t, axis=1, keepdims=True)
+    col = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]
+    prim = jnp.where(tmin < t_lim, col, -1)
+    t_out[0:1, :] = jnp.minimum(tmin, t_lim).T
+    prim_out[0:1, :] = prim.T
+
+
+def _mxu_any_kernel(n_pad, f_ref, m_ref, tmax_ref, occ_out):
+    feats = f_ref[...]
+    prod = jnp.dot(
+        feats,
+        m_ref[...],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    t_lim = tmax_ref[0:1, :].T
+    _, hit = _mxu_epilogue(prod, t_lim, n_pad)
+    occ_out[0:1, :] = jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32).T
+
+
+def _prep_mxu(o, d, t_max):
+    r = o.shape[0]
+    pad = (-r) % MXU_RAY_TILE
+    feats = _ray_features(o, d)
+    if pad:
+        feats = jnp.concatenate(
+            [feats, jnp.zeros((pad, 16), feats.dtype)]
+        )
+    tm = jnp.concatenate(
+        [jnp.broadcast_to(t_max, (r,)).astype(jnp.float32), jnp.zeros(pad)]
+    )[None, :]
+    return feats, tm, r, r + pad
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def closest_hit_mxu(o, d, t_max, mt_matrix, interpret=False):
+    """MXU variant of closest_hit.  mt_matrix: [16, 4*Tp] from
+    build_mt_matrix.  Returns (t [R], prim [R], -1 = miss)."""
+    feats, tm, r, rp = _prep_mxu(o, d, t_max)
+    n_pad = mt_matrix.shape[1] // 4
+    grid = (rp // MXU_RAY_TILE,)
+    t, prim = pl.pallas_call(
+        functools.partial(_mxu_closest_kernel, n_pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((MXU_RAY_TILE, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, mt_matrix.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, MXU_RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, MXU_RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, MXU_RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, rp), jnp.float32),
+            jax.ShapeDtypeStruct((1, rp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(feats, mt_matrix, tm)
+    return t[0, :r], prim[0, :r]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def any_hit_mxu(o, d, t_max, mt_matrix, interpret=False):
+    feats, tm, r, rp = _prep_mxu(o, d, t_max)
+    n_pad = mt_matrix.shape[1] // 4
+    grid = (rp // MXU_RAY_TILE,)
+    occ = pl.pallas_call(
+        functools.partial(_mxu_any_kernel, n_pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((MXU_RAY_TILE, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, mt_matrix.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, MXU_RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, MXU_RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((1, rp), jnp.int32)],
+        interpret=interpret,
+    )(feats, mt_matrix, tm)[0]
+    return occ[0, :r] > 0

@@ -100,6 +100,37 @@ class LanczosFilter(_RFilterBase):
         return RFilterRecord(kind=LANCZOS, radius=float(lobes), lobes=lobes)
 
 
+def filter_importance_sample(rec: RFilterRecord, u2):
+    """Sample a film-position jitter ~ the reconstruction filter
+    (filter importance sampling: each sample then contributes to exactly
+    one pixel with weight 1 — the TPU-fast path, no splatting).
+
+    Only valid for non-negative kernels (box/tent/gaussian); returns
+    None for kernels with negative lobes.  u2: jnp [..., 2] uniforms.
+    Offsets are relative to the pixel corner; values may leave [0,1).
+    """
+    import jax.numpy as jnp
+
+    if rec.kind == BOX:
+        return u2
+    if rec.kind == TENT:
+        from mitsuba_tpu.core.warp import square_to_tent
+
+        return 0.5 + square_to_tent(u2)
+    if rec.kind == GAUSSIAN:
+        from mitsuba_tpu.core.warp import square_to_std_normal
+
+        n = square_to_std_normal(u2) * rec.stddev
+        # clamp to the kernel support (bias < 1e-4 for radius = 4 sigma)
+        n = jnp.clip(n, -rec.radius, rec.radius)
+        return 0.5 + n
+    return None
+
+
+def supports_fis(rec: RFilterRecord) -> bool:
+    return rec.kind in (BOX, TENT, GAUSSIAN)
+
+
 @dataclass
 class FilmRecord:
     width: int = 768

@@ -209,6 +209,188 @@ def path_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
     return out["L"]
 
 
+def path_trace_regen(
+    pack, integ, make_ray, n_lanes, spp, lane, sampler, seed=0,
+    sidx_offset=0,
+):
+    """Persistent-wavefront path tracing with SAME-PIXEL regeneration.
+
+    Lane i owns pixel i.  Whenever its path terminates, the lane
+    immediately starts the pixel's next sample (camera ray from
+    `make_ray(lane, sample_idx)`), so occupancy stays ~100% instead of
+    idling while the deepest path in the batch finishes — this replaces
+    the reference's block-queue work stealing (renderproc.cpp) at the
+    SIMD-lane level.  Returns (L_sum [n,3], n_samples_done [n], n_rays).
+    """
+    r = n_lanes
+    present = pack.present_types
+    max_depth = integ.max_depth if integ.max_depth > 0 else MAX_BOUNCES_CAP
+    rr_depth = max(integ.rr_depth, 1)
+    # generous upper bound; the `cond` below exits long before this
+    max_iters = spp * max_depth + max_depth + 4
+
+    def u4(sample_idx, depth, slot):
+        return rng.rand4(
+            lane, sample_idx, depth * _SLOTS_PER_BOUNCE + slot, seed
+        )
+
+    state = dict(
+        L_acc=jnp.zeros((r, 3), jnp.float32),
+        L=jnp.zeros((r, 3), jnp.float32),
+        thr=jnp.ones((r, 3), jnp.float32),
+        eta=jnp.ones((r,), jnp.float32),
+        o=jnp.zeros((r, 3), jnp.float32),
+        d=jnp.zeros((r, 3), jnp.float32),
+        active=jnp.zeros((r,), bool),
+        prev_pdf=jnp.ones((r,), jnp.float32),
+        prev_delta=jnp.ones((r,), bool),
+        depth=jnp.zeros((r,), jnp.int32),
+        sample_i=jnp.zeros((r,), jnp.int32),  # samples STARTED
+        it=jnp.int32(0),
+        n_rays=jnp.float32(0.0),
+    )
+
+    def cond(s):
+        has_work = s["active"] | (s["sample_i"] < spp)
+        return jnp.any(has_work) & (s["it"] < max_iters)
+
+    def body(s):
+        active = s["active"]
+        L_acc, L, thr = s["L_acc"], s["L"], s["thr"]
+        sample_i = s["sample_i"]
+
+        # ---- regeneration: finished lanes start their next sample ----
+        regen = ~active & (sample_i < spp)
+        L_acc = L_acc + jnp.where(regen[..., None], L, 0.0)
+        L = jnp.where(regen[..., None], 0.0, L)
+        o_new, d_new = make_ray(sample_i)
+        o = jnp.where(regen[..., None], o_new, s["o"])
+        d = jnp.where(regen[..., None], d_new, s["d"])
+        thr = jnp.where(regen[..., None], 1.0, thr)
+        eta = jnp.where(regen, 1.0, s["eta"])
+        depth = jnp.where(regen, 0, s["depth"])
+        prev_pdf = jnp.where(regen, 1.0, s["prev_pdf"])
+        prev_delta = jnp.where(regen, True, s["prev_delta"])
+        sample_i = sample_i + regen.astype(jnp.int32)
+        active = active | regen
+        # GLOBAL sample index — must include the pass/device offset or
+        # successive passes would reuse the same decision randomness
+        sidx = jnp.asarray(sidx_offset, jnp.uint32) + jnp.maximum(
+            sample_i - 1, 0
+        ).astype(jnp.uint32)
+
+        n_rays = s["n_rays"] + jnp.sum(active.astype(jnp.float32))
+
+        # ---- one bounce (same physics as path_trace's body) ----
+        hit = intersect(pack, o, d)
+        its = fill_interaction(pack, o, d, hit)
+        found = its.valid & active
+
+        if pack.has_env:
+            escape = active & ~its.valid
+            env_l = em.eval_env(pack, d)
+            w_env = jnp.where(
+                prev_delta,
+                1.0,
+                mi_weight(prev_pdf, em.pdf_direct_env(pack, d)),
+            )
+            if integ.hide_emitters:
+                w_env = jnp.where(depth == 0, 0.0, w_env)
+            L = L + jnp.where(
+                escape[..., None], thr * env_l * w_env[..., None], 0.0
+            )
+
+        if pack.has_area:
+            cos_l = mm.dot(its.ns, its.wi_world)
+            emissive = found & (its.emit >= 0) & (cos_l > 0)
+            le = pack.em_rgb[jnp.maximum(its.emit, 0)]
+            p_direct = em.pdf_direct_area(pack, its.emit, its.t, cos_l)
+            w_hit = jnp.where(
+                prev_delta, 1.0, mi_weight(prev_pdf, p_direct)
+            )
+            if integ.hide_emitters:
+                w_hit = jnp.where(depth == 0, 0.0, w_hit)
+            L = L + jnp.where(
+                emissive[..., None], thr * le * w_hit[..., None], 0.0
+            )
+
+        active = found
+        frame = mm.Frame.from_normal(its.ns)
+        wi_l = frame.to_local(its.wi_world)
+        sp = shading_params(pack, its.mat, its.uv)
+        if integ.strict_normals:
+            wi_g = mm.dot(its.wi_world, its.ng)
+            active = active & (wi_g * mm.cos_theta(wi_l) > 0)
+
+        if pack.meta["n_emitters"] > 0:
+            n_rays = n_rays + jnp.sum(active.astype(jnp.float32))
+            u_n = u4(sidx, depth, _SLOT_NEE)
+            ds = em.sample_direct(pack, its.p, u_n[..., :3])
+            wo_l = frame.to_local(ds.d)
+            f = bsdf_eval(sp, wi_l, wo_l, present)
+            o_sh = _offset_ray(its.p, its.ng, ds.d)
+            shadow_t = jnp.where(
+                ds.dist >= em.ENV_DIST, 1e7, ds.dist * (1.0 - SHADOW_EPS)
+            )
+            occ = occluded(pack, o_sh, ds.d, shadow_t)
+            b_pdf = jnp.where(
+                ds.delta, 0.0, bsdf_pdf(sp, wi_l, wo_l, present)
+            )
+            w_nee = jnp.where(ds.delta, 1.0, mi_weight(ds.pdf, b_pdf))
+            contributes = active & ~occ
+            L = L + jnp.where(
+                contributes[..., None],
+                thr * ds.value * f * w_nee[..., None],
+                0.0,
+            )
+
+        u_b = u4(sidx, depth, _SLOT_BSDF)
+        bs = bsdf_sample(sp, wi_l, u_b[..., :2], u_b[..., 2], present)
+        thr = thr * jnp.where(active[..., None], bs.weight, 1.0)
+        eta = eta * jnp.where(active, bs.eta, 1.0)
+        d_bounce = frame.to_world(bs.wo)
+        if integ.strict_normals:
+            wo_g = mm.dot(d_bounce, its.ng)
+            active = active & (wo_g * mm.cos_theta(bs.wo) > 0)
+        o_bounce = _offset_ray(its.p, its.ng, d_bounce)
+        active = active & (jnp.max(thr, axis=-1) > 0)
+
+        depth = depth + 1
+        active = active & (depth < max_depth)
+
+        u_r = u4(sidx, depth, _SLOT_RR)[..., 0]
+        q = jnp.minimum(jnp.max(thr, axis=-1) * eta * eta, 0.95)
+        do_rr = depth >= rr_depth
+        keep = jnp.where(do_rr, u_r < q, True)
+        thr = jnp.where(
+            (do_rr & keep)[..., None],
+            thr / jnp.maximum(q, 1e-6)[..., None],
+            thr,
+        )
+        active = active & keep
+
+        return dict(
+            L_acc=L_acc,
+            L=L,
+            thr=thr,
+            eta=eta,
+            o=jnp.where(active[..., None], o_bounce, o),
+            d=jnp.where(active[..., None], d_bounce, d),
+            active=active,
+            prev_pdf=jnp.where(active, bs.pdf, prev_pdf),
+            prev_delta=jnp.where(active, bs.delta, prev_delta),
+            depth=depth,
+            sample_i=sample_i,
+            it=s["it"] + 1,
+            n_rays=n_rays,
+        )
+
+    out = jax.lax.while_loop(cond, body, state)
+    # flush the final (already terminated) paths
+    L_acc = out["L_acc"] + out["L"]
+    return L_acc, out["sample_i"], out["n_rays"]
+
+
 def direct_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
     """MIDirect: emitter + BSDF sampling of direct illumination only
     (reference src/integrators/direct/direct.cpp)."""

@@ -50,6 +50,12 @@ def make_sharded_render_pass(
     them densely, and the partial films psum-merge over ICI.
     """
     import mitsuba_tpu.integrator.volpath  # noqa: F401
+    from mitsuba_tpu.film.plugins import (
+        filter_importance_sample,
+        supports_fis,
+    )
+    from mitsuba_tpu.integrator.path import path_trace as _pt
+    from mitsuba_tpu.integrator.path import path_trace_regen
 
     w, h = film_rec.width, film_rec.height
     n_px = w * h
@@ -59,6 +65,54 @@ def make_sharded_render_pass(
     n_dev = mesh.devices.size
     spp_pad = math.ceil(spp_chunk / n_dev) * n_dev
     spp_local = spp_pad // n_dev
+
+    from mitsuba_tpu.integrator import volpath as _vp
+
+    # volpath on a medium-free scene is exactly the path integrator
+    path_like = trace is _pt or (
+        trace is _vp.volpath_trace
+        and not pack.meta.get("has_media", False)
+    )
+    use_regen = (
+        path_like
+        and supports_fis(rfilter)
+        and not pack.meta.get("has_media", False)
+    )
+
+    def shard_body_regen(film, sidx_layer, sample_base, seed):
+        # regenerating wavefront over this device's sample layers;
+        # lane i owns pixel i, layers map to consecutive sample ids
+        lane = jnp.arange(n_px, dtype=jnp.uint32)
+        layer0 = sidx_layer[0].astype(jnp.uint32)
+        spp_here = int(min(spp_local, spp_chunk))  # static bound
+
+        def make_ray(sample_i):
+            sidx = sample_base + layer0 + sample_i.astype(jnp.uint32)
+            u2 = sampler_rec.pixel_sample(
+                lane, sidx, sampler_rec.sample_count
+            )
+            jitter = filter_importance_sample(rfilter, u2)
+            x = (lane % w).astype(jnp.float32) + jitter[..., 0]
+            y = (lane // w).astype(jnp.float32) + jitter[..., 1]
+            pos01 = jnp.stack([x / w, y / h], axis=-1)
+            u_lens = sampler_rec.next2d(lane, sidx, 1009)
+            return generate_rays(cam, pos01, u_lens)
+
+        # layers beyond the requested spp contribute nothing
+        n_layers = jnp.sum((sidx_layer < spp_chunk).astype(jnp.int32))
+        L_sum, n_done, _ = path_trace_regen(
+            pack, integ, make_ray, n_px, spp_here, lane, sampler_rec, seed,
+            sidx_offset=sample_base + layer0,
+        )
+        frac = jnp.minimum(
+            n_layers.astype(jnp.float32) / max(spp_here, 1), 1.0
+        )
+        contrib = jnp.concatenate(
+            [L_sum * frac, n_done.astype(jnp.float32)[..., None] * frac],
+            axis=-1,
+        )
+        film = film + jax.lax.psum(contrib.reshape(h, w, 4), axis_name)
+        return film
 
     def shard_body(film, sidx_layer, sample_base, seed):
         # film: [H, W, 4] local copy; sidx_layer: [spp_local] sample ids
@@ -91,7 +145,7 @@ def make_sharded_render_pass(
     def render_pass(film, sample_base, seed):
         sidx_layers = jnp.arange(spp_pad, dtype=jnp.uint32)
         fn = jax.shard_map(
-            shard_body,
+            shard_body_regen if use_regen else shard_body,
             mesh=mesh,
             in_specs=(P(), P(axis_name), P(), P()),
             out_specs=P(),

@@ -35,12 +35,29 @@ def _ensure_volpath_loaded():
     import mitsuba_tpu.integrator.volpath  # noqa: F401 — registers itself
 
 
-def make_render_pass(pack, integ, sensor_rec, film_rec, sampler_rec, spp_chunk):
+def make_render_pass(
+    pack, integ, sensor_rec, film_rec, sampler_rec, spp_chunk,
+    with_stats=False,
+):
     """Build the jitted one-pass render function.
 
-    Returns fn(film, sample_base, seed) -> film.
+    Returns fn(film, sample_base, seed) -> film (or (film, n_rays) with
+    with_stats).  Two execution strategies:
+
+    * REGENERATING wavefront (default for path-family integrators with a
+      non-negative reconstruction filter): lane i owns pixel i and
+      immediately starts its next sample when a path dies — ~100% lane
+      occupancy, film accumulation is a dense reshape (filter importance
+      sampling, so each sample lands in exactly its own pixel).
+    * classic batched wavefront + dense grid splat otherwise.
     """
     _ensure_volpath_loaded()
+    from mitsuba_tpu.film.plugins import (
+        filter_importance_sample,
+        supports_fis,
+    )
+    from mitsuba_tpu.integrator.path import path_trace_regen
+
     w, h = film_rec.width, film_rec.height
     n_px = w * h
     cam = sensor_rec.pack(w, h)
@@ -48,6 +65,52 @@ def make_render_pass(pack, integ, sensor_rec, film_rec, sampler_rec, spp_chunk):
     if trace is None:
         raise NotImplementedError(f"integrator '{integ.kind}'")
     rfilter = film_rec.rfilter
+
+    from mitsuba_tpu.integrator.path import path_trace as _pt
+
+    from mitsuba_tpu.integrator import volpath as _vp
+
+    # volpath on a medium-free scene is exactly the path integrator
+    path_like = trace is _pt or (
+        trace is _vp.volpath_trace
+        and not pack.meta.get("has_media", False)
+    )
+    use_regen = (
+        path_like
+        and supports_fis(rfilter)
+        and not pack.meta.get("has_media", False)
+    )
+
+    if use_regen:
+
+        def render_pass(film, sample_base, seed):
+            lane = jnp.arange(n_px, dtype=jnp.uint32)
+
+            def make_ray(sample_i):
+                sidx = sample_base + sample_i.astype(jnp.uint32)
+                u2 = sampler_rec.pixel_sample(
+                    lane, sidx, sampler_rec.sample_count
+                )
+                jitter = filter_importance_sample(rfilter, u2)
+                x = (lane % w).astype(jnp.float32) + jitter[..., 0]
+                y = (lane // w).astype(jnp.float32) + jitter[..., 1]
+                pos01 = jnp.stack([x / w, y / h], axis=-1)
+                u_lens = sampler_rec.next2d(lane, sidx, 1009)
+                return generate_rays(cam, pos01, u_lens)
+
+            L_sum, n_done, n_rays = path_trace_regen(
+                pack, integ, make_ray, n_px, spp_chunk, lane,
+                sampler_rec, seed, sidx_offset=sample_base,
+            )
+            contrib = jnp.concatenate(
+                [L_sum, n_done.astype(jnp.float32)[..., None]], axis=-1
+            )
+            film = film + contrib.reshape(h, w, 4)
+            if with_stats:
+                return film, n_rays
+            return film
+
+        return render_pass
 
     def render_pass(film, sample_base, seed):
         # lanes: [spp_chunk, n_px] — grid-aligned so the splat is dense
@@ -73,6 +136,9 @@ def make_render_pass(pack, integ, sensor_rec, film_rec, sampler_rec, spp_chunk):
             L.reshape(spp_chunk, h, w, 3),
             rfilter,
         )
+        if with_stats:
+            rays = getattr(trace, "last_ray_count", jnp.float32(0.0))
+            return film, rays
         return film
 
     return render_pass
