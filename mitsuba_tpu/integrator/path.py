@@ -191,6 +191,13 @@ def path_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
         )
         active = active & keep
 
+        # a null (index-matched) crossing is not a scattering event:
+        # carry the previous MIS state through it
+        from mitsuba_tpu.bsdf.plugins import NULL_BSDF as _NULL
+
+        is_null = sp["type"] == _NULL
+        new_pdf = jnp.where(is_null, s["prev_pdf"], bs.pdf)
+        new_delta = jnp.where(is_null, s["prev_delta"], bs.delta)
         return dict(
             L=L,
             thr=thr,
@@ -198,8 +205,8 @@ def path_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
             o=jnp.where(active[..., None], o_new, s["o"]),
             d=jnp.where(active[..., None], d_new, s["d"]),
             active=active,
-            prev_pdf=jnp.where(active, bs.pdf, s["prev_pdf"]),
-            prev_delta=jnp.where(active, bs.delta, s["prev_delta"]),
+            prev_pdf=jnp.where(active, new_pdf, s["prev_pdf"]),
+            prev_delta=jnp.where(active, new_delta, s["prev_delta"]),
             depth=depth + 1,
             n_rays=n_rays,
         )
@@ -369,6 +376,11 @@ def path_trace_regen(
         )
         active = active & keep
 
+        from mitsuba_tpu.bsdf.plugins import NULL_BSDF as _NULL
+
+        is_null = sp["type"] == _NULL
+        new_pdf = jnp.where(is_null, prev_pdf, bs.pdf)
+        new_delta = jnp.where(is_null, prev_delta, bs.delta)
         return dict(
             L_acc=L_acc,
             L=L,
@@ -377,8 +389,8 @@ def path_trace_regen(
             o=jnp.where(active[..., None], o_bounce, o),
             d=jnp.where(active[..., None], d_bounce, d),
             active=active,
-            prev_pdf=jnp.where(active, bs.pdf, prev_pdf),
-            prev_delta=jnp.where(active, bs.delta, prev_delta),
+            prev_pdf=jnp.where(active, new_pdf, prev_pdf),
+            prev_delta=jnp.where(active, new_delta, prev_delta),
             depth=depth,
             sample_i=sample_i,
             it=s["it"] + 1,

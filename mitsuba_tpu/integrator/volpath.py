@@ -51,23 +51,23 @@ def _attenuated_visibility(pack, p, d, dist, med, lane, sidx, slot, seed):
     o = p
     remaining = dist
     cur_med = med
-    alive = jnp.ones((r,), bool)
+    marching = jnp.ones((r,), bool)  # still advancing toward the light
     for k in range(SHADOW_SEGMENTS):
         hit = intersect(pack, o, d, remaining * (1.0 - SHADOW_EPS))
         seg_len = jnp.where(hit.valid, hit.t, remaining)
-        tr = tr * med_eval.transmittance(
+        seg_tr = med_eval.transmittance(
             pack, cur_med, o, d, seg_len, lane, sidx, slot * 8 + k, seed
         )
-        tr = jnp.where(alive[..., None], tr, 0.0)
-        if k == SHADOW_SEGMENTS - 1:
-            # any remaining blocker is treated opaque
-            tr = jnp.where(hit.valid[..., None] & alive[..., None], 0.0, tr)
-            break
+        tr = jnp.where(marching[..., None], tr * seg_tr, tr)
+
         its = fill_interaction(pack, o, d, hit)
         is_null = pack.mat_type[jnp.maximum(its.mat, 0)] == NULL_BSDF
-        blocked = hit.valid & ~is_null
+        blocked = marching & hit.valid & (
+            ~is_null | (k == SHADOW_SEGMENTS - 1)
+        )
         tr = jnp.where(blocked[..., None], 0.0, tr)
-        passing = hit.valid & is_null & alive
+
+        passing = marching & hit.valid & is_null & ~blocked
         entering = mm.dot(d, its.ng) < 0
         cur_med = jnp.where(
             passing,
@@ -76,9 +76,8 @@ def _attenuated_visibility(pack, p, d, dist, med, lane, sidx, slot, seed):
         )
         o = jnp.where(passing[..., None], its.p + d * 1e-4, o)
         remaining = jnp.where(passing, remaining - seg_len, remaining)
-        alive = alive & ~blocked & (remaining > 1e-5)
-        # lanes that escaped (no hit) are done; their tr stands
-        alive = alive & hit.valid
+        # unobstructed lanes (no hit) are RESOLVED — tr stands
+        marching = passing & (remaining > 1e-5)
     return tr
 
 
@@ -250,12 +249,23 @@ def volpath_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
         med_new = jnp.where(
             medium_evt, med, jnp.where(surf_ok, new_med_surf, med)
         )
-        prev_pdf = jnp.where(medium_evt, ph_pdf, bs.pdf)
-        prev_delta = jnp.where(medium_evt, False, bs.delta)
 
         # null-BSDF crossings don't increment depth (volpath.cpp:292)
+        # and — crucially — must NOT reset the MIS bookkeeping: the next
+        # emitter hit is still weighted against the last REAL sampling
+        # event's pdf (an index-matched boundary is not a scattering event)
         is_null_cross = surf_ok & (
             pack.mat_type[jnp.maximum(its.mat, 0)] == NULL_BSDF
+        )
+        prev_pdf = jnp.where(
+            medium_evt,
+            ph_pdf,
+            jnp.where(is_null_cross, s["prev_pdf"], bs.pdf),
+        )
+        prev_delta = jnp.where(
+            medium_evt,
+            False,
+            jnp.where(is_null_cross, s["prev_delta"], bs.delta),
         )
         inc = (medium_evt | (surf_ok & ~is_null_cross)).astype(jnp.int32)
         depth_new = depth + inc

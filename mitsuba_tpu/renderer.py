@@ -82,12 +82,26 @@ def make_render_pass(
     )
 
     if use_regen:
+        # several regenerating lanes per pixel keep the chip full at
+        # SMALL resolutions; at large ones extra layers only shorten the
+        # per-lane sample budget and let the terminal-path tail dominate.
+        target_lanes = int(
+            os.environ.get("MTS_TPU_TARGET_LANES", 1 << 18)
+        )
+        lpp = max(min(target_lanes // n_px, spp_chunk), 1)
+        while spp_chunk % lpp:
+            lpp -= 1
+        spp_per_lane = spp_chunk // lpp
+        n_lanes = lpp * n_px
 
         def render_pass(film, sample_base, seed):
-            lane = jnp.arange(n_px, dtype=jnp.uint32)
+            lane_all = jnp.arange(n_lanes, dtype=jnp.uint32)
+            lane = lane_all % n_px  # pixel id (RNG key)
+            layer = lane_all // n_px
+            sidx_off = sample_base + layer * spp_per_lane
 
             def make_ray(sample_i):
-                sidx = sample_base + sample_i.astype(jnp.uint32)
+                sidx = sidx_off + sample_i.astype(jnp.uint32)
                 u2 = sampler_rec.pixel_sample(
                     lane, sidx, sampler_rec.sample_count
                 )
@@ -99,13 +113,13 @@ def make_render_pass(
                 return generate_rays(cam, pos01, u_lens)
 
             L_sum, n_done, n_rays = path_trace_regen(
-                pack, integ, make_ray, n_px, spp_chunk, lane,
-                sampler_rec, seed, sidx_offset=sample_base,
+                pack, integ, make_ray, n_lanes, spp_per_lane, lane,
+                sampler_rec, seed, sidx_offset=sidx_off,
             )
             contrib = jnp.concatenate(
                 [L_sum, n_done.astype(jnp.float32)[..., None]], axis=-1
             )
-            film = film + contrib.reshape(h, w, 4)
+            film = film + contrib.reshape(lpp, h, w, 4).sum(axis=0)
             if with_stats:
                 return film, n_rays
             return film

@@ -139,3 +139,46 @@ def test_volpath_no_media_equals_path(cbox_scene):
     finally:
         s2.integrator.kind = orig
     assert np.array_equal(a, b)
+
+
+def test_medium_nee_small_light():
+    """NEE from medium vertices with a SMALL area light: with broken
+    shadow-segment bookkeeping the plume renders nearly black because
+    only rare phase-sampled paths reach the light (regression for the
+    _attenuated_visibility early-resolve bug)."""
+    scene = load_scene_string(
+        """
+    <scene version="0.5.0">
+      <integrator type="volpath"><integer name="maxDepth" value="16"/></integrator>
+      <sensor type="perspective">
+        <float name="fov" value="40"/>
+        <transform name="toWorld">
+          <lookat origin="0,0,-4" target="0,0,0" up="0,1,0"/>
+        </transform>
+        <sampler type="independent"><integer name="sampleCount" value="16"/></sampler>
+        <film type="hdrfilm">
+          <integer name="width" value="24"/><integer name="height" value="24"/>
+          <rfilter type="box"/>
+        </film>
+      </sensor>
+      <shape type="sphere">
+        <float name="radius" value="1"/>
+        <bsdf type="null"/>
+        <medium name="interior" type="homogeneous">
+          <rgb name="sigmaS" value="1.5, 1.5, 1.5"/>
+          <rgb name="sigmaA" value="0.1, 0.1, 0.1"/>
+        </medium>
+      </shape>
+      <shape type="sphere">
+        <point name="center" x="0" y="3" z="0"/>
+        <float name="radius" value="0.2"/>
+        <emitter type="area"><rgb name="radiance" value="200"/></emitter>
+      </shape>
+    </scene>"""
+    )
+    img = render(scene, spp=16)
+    # converged ground truth (192 spp) = 0.157; with broken NEE the fog
+    # is orders of magnitude darker, with the null-crossing MIS-reset
+    # bug it overshoots by ~14%
+    center_mean = float(img[8:16, 8:16].mean())
+    assert 0.12 < center_mean < 0.20, center_mean
