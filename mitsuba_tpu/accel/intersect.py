@@ -268,7 +268,7 @@ def intersect(pack, o, d, t_max=jnp.inf) -> Hit:
             tmax_arr = jnp.where(
                 jnp.isfinite(jnp.asarray(t_max)), t_max, 1e30
             )
-            best_t, prim = pk.closest_hit(o, d, tmax_arr, pack.tri_t)
+            best_t, prim = pk.closest_hit_v2(o, d, tmax_arr, pack.tri_s)
             best_t = jnp.where(
                 prim >= 0,
                 best_t,
@@ -310,7 +310,7 @@ def occluded(pack, o, d, t_max) -> jnp.ndarray:
         if _use_pallas():
             from mitsuba_tpu.accel import pallas_kernels as pk
 
-            occ = pk.any_hit(o, d, t_max, pack.tri_t)
+            occ = pk.any_hit_v2(o, d, t_max, pack.tri_s)
         else:
             occ = _brute_force_any(pack, o, d, t_max)
         if pack.n_spheres > 0:

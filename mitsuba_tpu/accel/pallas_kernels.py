@@ -362,3 +362,135 @@ def any_hit_mxu(o, d, t_max, mt_matrix, interpret=False):
         interpret=interpret,
     )(feats, mt_matrix, tm)[0]
     return occ[0, :r] > 0
+
+
+# ===========================================================================
+# rays-on-lanes orientation (v2)
+# ===========================================================================
+# The first VPU kernels put TRIANGLES on the 128-lane axis, so a
+# 36-triangle scene pays for 128.  Putting RAYS on lanes and triangles
+# on the 8-wide sublane axis cuts the padding waste to <12% and turns
+# the closest-hit reduction into a cheap cross-sublane min.
+
+V2_RAY_TILE = 2048
+V2_TRI_SUB = 8  # triangle padding granularity (f32 sublane count)
+
+
+def pack_triangles_sublane(tri_v0, tri_e1, tri_e2, n_tris):
+    """[T,3] x3 -> [9, Tp] with Tp a multiple of 8 (NOT 128)."""
+    import numpy as np
+
+    pad_to = max(((n_tris + V2_TRI_SUB - 1) // V2_TRI_SUB) * V2_TRI_SUB, 8)
+    v0 = np.full((pad_to, 3), 1e30, np.float32)
+    e1 = np.zeros((pad_to, 3), np.float32)
+    e2 = np.zeros((pad_to, 3), np.float32)
+    v0[:n_tris] = np.asarray(tri_v0)[:n_tris]
+    e1[:n_tris] = np.asarray(tri_e1)[:n_tris]
+    e2[:n_tris] = np.asarray(tri_e2)[:n_tris]
+    return np.concatenate([v0.T, e1.T, e2.T], axis=0)  # [9, Tp]
+
+
+def _mt_tile_v2(o_ref, d_ref, tri, t_lim):
+    """[1, TR] ray components against [Tp, 1] triangle columns ->
+    [Tp, TR] tests.  tri: [9, Tp]."""
+    ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
+    dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
+    tp = tri.shape[1]
+    v0x = tri[0, :].reshape(tp, 1)
+    v0y = tri[1, :].reshape(tp, 1)
+    v0z = tri[2, :].reshape(tp, 1)
+    e1x = tri[3, :].reshape(tp, 1)
+    e1y = tri[4, :].reshape(tp, 1)
+    e1z = tri[5, :].reshape(tp, 1)
+    e2x = tri[6, :].reshape(tp, 1)
+    e2y = tri[7, :].reshape(tp, 1)
+    e2z = tri[8, :].reshape(tp, 1)
+
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    hit = (
+        (jnp.abs(det) > 1e-12)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > RAY_EPS)
+        & (t < t_lim)
+    )
+    return t, hit
+
+
+def _closest_kernel_v2(o_ref, d_ref, tri_ref, tmax_ref, t_out, prim_out):
+    t_lim = tmax_ref[0:1, :]  # [1, TR]
+    t, hit = _mt_tile_v2(o_ref, d_ref, tri_ref[...], t_lim)
+    t = jnp.where(hit, t, jnp.inf)
+    tmin = jnp.min(t, axis=0, keepdims=True)  # [1, TR]
+    row = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]
+    prim = jnp.where(tmin < t_lim, row, -1)
+    t_out[0:1, :] = jnp.minimum(tmin, t_lim)
+    prim_out[0:1, :] = prim
+
+
+def _any_kernel_v2(o_ref, d_ref, tri_ref, tmax_ref, occ_out):
+    t_lim = tmax_ref[0:1, :]
+    _, hit = _mt_tile_v2(o_ref, d_ref, tri_ref[...], t_lim)
+    occ_out[0:1, :] = jnp.any(hit, axis=0, keepdims=True).astype(jnp.int32)
+
+
+def _call_v2(kernel, n_out, o, d, t_max, tri_s):
+    r = o.shape[0]
+    pad = (-r) % V2_RAY_TILE
+    ot = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)]).T
+    dt = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)]).T
+    tm = jnp.concatenate(
+        [jnp.broadcast_to(t_max, (r,)).astype(jnp.float32), jnp.zeros(pad)]
+    )[None, :]
+    rp = r + pad
+    tp = tri_s.shape[1]
+    grid = (rp // V2_RAY_TILE,)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, V2_RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, V2_RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, tp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V2_RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, V2_RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+            for _ in range(n_out)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, rp), jnp.float32),
+            jax.ShapeDtypeStruct((1, rp), jnp.int32),
+        ][:n_out]
+        if n_out == 2
+        else [jax.ShapeDtypeStruct((1, rp), jnp.int32)],
+    )(ot, dt, tri_s, tm)
+    return outs, r
+
+
+@jax.jit
+def closest_hit_v2(o, d, t_max, tri_s):
+    """Rays-on-lanes closest hit (single sublane-tile triangle set —
+    for scenes within the brute-force size cap)."""
+    (t, prim), r = _call_v2(_closest_kernel_v2, 2, o, d, t_max, tri_s)
+    return t[0, :r], prim[0, :r]
+
+
+@jax.jit
+def any_hit_v2(o, d, t_max, tri_s):
+    (occ,), r = _call_v2(_any_kernel_v2, 1, o, d, t_max, tri_s)
+    return occ[0, :r] > 0

@@ -1,0 +1,328 @@
+"""Primary-sample-space Metropolis light transport (Kelemen-style).
+
+Rebuild of reference src/integrators/pssmlt/{pssmlt.cpp:150-198,
+pssmlt_sampler.h:34-112} reformulated for TPU: instead of one Markov
+chain per worker thread, the sampler state is a dense [CHAINS, D] tensor
+of primary samples and every Metropolis step mutates / re-traces /
+accept-rejects ALL chains in lockstep:
+
+* bootstrap: ordinary path samples estimate the luminance normalization
+  b and seed chains proportionally to path luminance (two-stage seeding,
+  pssmlt.cpp:181-198),
+* small steps: Kelemen's symmetric log-space mutation
+  (pssmlt_sampler.h:70-103), large steps with probability pLarge,
+* both the current and proposed states are splatted with their MIS-
+  optimal weights (expected-values technique).
+
+The path is re-traced from explicit primary samples by a variant of the
+path loop whose per-decision randomness comes from the chain's U vector
+instead of the counter-based hash.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mitsuba_tpu.accel.intersect import fill_interaction, intersect, occluded
+from mitsuba_tpu.bsdf.eval import bsdf_eval, bsdf_pdf, bsdf_sample
+from mitsuba_tpu.bsdf.plugins import NULL_BSDF
+from mitsuba_tpu.core import math as mm
+from mitsuba_tpu.core import rng
+from mitsuba_tpu.core.spectrum import luminance
+from mitsuba_tpu.emitter import eval as em
+from mitsuba_tpu.integrator import path as _path
+from mitsuba_tpu.scene.texture_eval import shading_params
+from mitsuba_tpu.sensor.plugins import generate_rays
+
+# primary-sample layout per path:
+#   [0:2] film position, [2:4] lens sample,
+#   per depth d: [4+8d : 12+8d] = NEE(3) + BSDF(3) + RR(1) + spare(1)
+_HEAD = 4
+_PER_DEPTH = 8
+
+# Kelemen mutation sizes (reference pssmlt_sampler.h:37)
+_S1 = 1.0 / 1024.0
+_S2 = 1.0 / 64.0
+
+
+def dims_for(max_depth: int) -> int:
+    return _HEAD + _PER_DEPTH * max_depth
+
+
+def path_from_primary(pack, integ, cam, w, h, U):
+    """Trace one path per chain from explicit primary samples U [N, D].
+
+    Returns (pos [N, 2] film position in pixels, L [N, 3]).
+    """
+    n = U.shape[0]
+    present = pack.present_types
+    max_depth = integ.max_depth if integ.max_depth > 0 else 16
+    rr_depth = max(integ.rr_depth, 1)
+
+    pos01 = U[:, 0:2]
+    o, d = generate_rays(cam, pos01, U[:, 2:4])
+
+    def u_at(depth, off, count):
+        base = _HEAD + _PER_DEPTH * depth
+        return jax.lax.dynamic_slice(
+            U, (0, base + off), (n, count)
+        )
+
+    state = dict(
+        L=jnp.zeros((n, 3), jnp.float32),
+        thr=jnp.ones((n, 3), jnp.float32),
+        eta=jnp.ones((n,), jnp.float32),
+        o=o,
+        d=d,
+        active=jnp.ones((n,), bool),
+        prev_pdf=jnp.ones((n,), jnp.float32),
+        prev_delta=jnp.ones((n,), bool),
+        depth=jnp.int32(0),
+    )
+
+    def cond(s):
+        return (s["depth"] < max_depth) & jnp.any(s["active"])
+
+    def body(s):
+        depth = s["depth"]
+        o, d = s["o"], s["d"]
+        active = s["active"]
+        thr, L = s["thr"], s["L"]
+
+        hit = intersect(pack, o, d)
+        its = fill_interaction(pack, o, d, hit)
+        found = its.valid & active
+
+        if pack.has_env:
+            escape = active & ~its.valid
+            env_l = em.eval_env(pack, d)
+            w_env = jnp.where(
+                s["prev_delta"],
+                1.0,
+                _path.mi_weight(s["prev_pdf"], em.pdf_direct_env(pack, d)),
+            )
+            L = L + jnp.where(
+                escape[..., None], thr * env_l * w_env[..., None], 0.0
+            )
+        if pack.has_area:
+            cos_l = mm.dot(its.ns, its.wi_world)
+            emissive = found & (its.emit >= 0) & (cos_l > 0)
+            le = pack.em_rgb[jnp.maximum(its.emit, 0)]
+            p_direct = em.pdf_direct_area(pack, its.emit, its.t, cos_l)
+            w_hit = jnp.where(
+                s["prev_delta"], 1.0, _path.mi_weight(s["prev_pdf"], p_direct)
+            )
+            L = L + jnp.where(
+                emissive[..., None], thr * le * w_hit[..., None], 0.0
+            )
+
+        active = found
+        frame = mm.Frame.from_normal(its.ns)
+        wi_l = frame.to_local(its.wi_world)
+        sp = shading_params(pack, its.mat, its.uv)
+
+        if pack.meta["n_emitters"] > 0:
+            u_n = u_at(depth, 0, 3)
+            ds = em.sample_direct(pack, its.p, u_n)
+            wo_l = frame.to_local(ds.d)
+            f = bsdf_eval(sp, wi_l, wo_l, present)
+            o_sh = _path._offset_ray(its.p, its.ng, ds.d)
+            shadow_t = jnp.where(
+                ds.dist >= em.ENV_DIST, 1e7,
+                ds.dist * (1.0 - _path.SHADOW_EPS),
+            )
+            occ = occluded(pack, o_sh, ds.d, shadow_t)
+            b_pdf = jnp.where(
+                ds.delta, 0.0, bsdf_pdf(sp, wi_l, wo_l, present)
+            )
+            w_nee = jnp.where(ds.delta, 1.0, _path.mi_weight(ds.pdf, b_pdf))
+            L = L + jnp.where(
+                (active & ~occ)[..., None],
+                thr * ds.value * f * w_nee[..., None],
+                0.0,
+            )
+
+        u_b = u_at(depth, 3, 3)
+        bs = bsdf_sample(sp, wi_l, u_b[:, 0:2], u_b[:, 2], present)
+        thr = thr * jnp.where(active[..., None], bs.weight, 1.0)
+        eta = s["eta"] * jnp.where(active, bs.eta, 1.0)
+        d_new = frame.to_world(bs.wo)
+        o_new = _path._offset_ray(its.p, its.ng, d_new)
+        active = active & (jnp.max(thr, axis=-1) > 0)
+
+        u_r = u_at(depth, 6, 1)[:, 0]
+        q = jnp.minimum(jnp.max(thr, axis=-1) * eta * eta, 0.95)
+        do_rr = depth + 1 >= rr_depth
+        keep = jnp.where(do_rr, u_r < q, True)
+        thr = jnp.where(
+            (do_rr & keep)[..., None],
+            thr / jnp.maximum(q, 1e-6)[..., None],
+            thr,
+        )
+        active = active & keep
+
+        is_null = sp["type"] == NULL_BSDF
+        return dict(
+            L=L,
+            thr=thr,
+            eta=eta,
+            o=jnp.where(active[..., None], o_new, s["o"]),
+            d=jnp.where(active[..., None], d_new, s["d"]),
+            active=active,
+            prev_pdf=jnp.where(
+                active, jnp.where(is_null, s["prev_pdf"], bs.pdf),
+                s["prev_pdf"],
+            ),
+            prev_delta=jnp.where(
+                active, jnp.where(is_null, s["prev_delta"], bs.delta),
+                s["prev_delta"],
+            ),
+            depth=depth + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, state)
+    pos = jnp.stack(
+        [pos01[:, 0] * w, pos01[:, 1] * h], axis=-1
+    )
+    return pos, out["L"]
+
+
+def _kelemen_mutate(U, u_mut, u_sign):
+    """Symmetric log-space perturbation (pssmlt_sampler.h:70-103)."""
+    step = _S2 * jnp.exp(-jnp.log(_S2 / _S1) * u_mut)
+    delta = jnp.where(u_sign < 0.5, step, -step)
+    out = U + delta
+    return out - jnp.floor(out)  # wrap to [0,1)
+
+
+def _splat(film, pos, value, w, h):
+    """Single-pixel scatter-add splat (MLT splats land anywhere)."""
+    x = jnp.clip(pos[:, 0].astype(jnp.int32), 0, w - 1)
+    y = jnp.clip(pos[:, 1].astype(jnp.int32), 0, h - 1)
+    return film.at[y, x].add(value)
+
+
+def render_pssmlt(scene, spp=None, seed=0, pack=None, chains=None):
+    """Full PSSMLT render (= PSSMLT::render, pssmlt.cpp).
+
+    `spp` is interpreted as mutations per pixel (the reference's
+    equivalent knob).  Returns a linear HDR numpy image.
+    """
+    from mitsuba_tpu.scene.builder import pack_scene
+
+    if pack is None:
+        pack = pack_scene(scene)
+    sen = scene.sensor.record
+    film_rec = sen.film
+    integ = scene.integrator
+    w, h = film_rec.width, film_rec.height
+    cam = sen.pack(w, h)
+    max_depth = integ.max_depth if integ.max_depth > 0 else 16
+    D = dims_for(max_depth)
+    n_px = w * h
+    mutations_pp = spp or integ.mutations_per_pixel
+    p_large = integ.p_large if integ.p_large > 0 else 0.3
+
+    n_chains = chains or min(1 << 17, n_px)
+
+    trace = jax.jit(
+        lambda U: path_from_primary(pack, integ, cam, w, h, U)
+    )
+
+    # ---- bootstrap: luminance normalization + seed resampling ----
+    # (reference pssmlt.cpp:196-198, luminanceSamples)
+    n_boot_batches = max(integ.luminance_samples // n_chains, 2)
+    boot_lum = []
+    for b in range(n_boot_batches):
+        U = rng.rand4(
+            jnp.arange(n_chains * D, dtype=jnp.uint32) // D,
+            jnp.arange(n_chains * D, dtype=jnp.uint32) % D,
+            jnp.uint32(7000 + b),
+            seed,
+        )[:, 0].reshape(n_chains, D)
+        _, L = trace(U)
+        boot_lum.append(np.asarray(luminance(L)))
+    boot_lum = np.concatenate(boot_lum)
+    b_norm = float(boot_lum.mean())
+    if b_norm <= 0:
+        return np.zeros((h, w, 3), np.float32)
+
+    # resample seeds proportional to luminance
+    p = boot_lum / boot_lum.sum()
+    rng_np = np.random.default_rng(seed)
+    chosen = rng_np.choice(len(boot_lum), size=n_chains, p=p)
+    # regenerate the chosen batches' U rows
+    U_cur = np.zeros((n_chains, D), np.float32)
+    for b in range(n_boot_batches):
+        mask = (chosen // n_chains) == b
+        if not mask.any():
+            continue
+        rows = chosen[mask] % n_chains
+        Ub = np.asarray(
+            rng.rand4(
+                jnp.arange(n_chains * D, dtype=jnp.uint32) // D,
+                jnp.arange(n_chains * D, dtype=jnp.uint32) % D,
+                jnp.uint32(7000 + b),
+                seed,
+            )[:, 0]
+        ).reshape(n_chains, D)
+        U_cur[mask] = Ub[rows]
+    U_cur = jnp.asarray(U_cur)
+
+    pos_cur, L_cur = trace(U_cur)
+    I_cur = luminance(L_cur)
+
+    total_mutations = mutations_pp * n_px
+    n_steps = max(total_mutations // n_chains, 1)
+
+    @jax.jit
+    def step(carry, k):
+        U_cur, pos_cur, L_cur, I_cur, film = carry
+        lanes = jnp.arange(n_chains, dtype=jnp.uint32)
+        u_ctl = rng.rand4(lanes, k, 1, seed ^ 0xA5A5)
+        # per-dim mutation randomness
+        dim_l = jnp.arange(n_chains * D, dtype=jnp.uint32)
+        um = rng.rand4(dim_l, k, 2, seed ^ 0x5A5A)
+        u_mut = um[:, 0].reshape(n_chains, D)
+        u_sign = um[:, 1].reshape(n_chains, D)
+        u_fresh = um[:, 2].reshape(n_chains, D)
+
+        large = u_ctl[:, 0] < p_large
+        U_small = _kelemen_mutate(U_cur, u_mut, u_sign)
+        U_prop = jnp.where(large[:, None], u_fresh, U_small)
+
+        pos_p, L_p = path_from_primary(pack, integ, cam, w, h, U_prop)
+        I_p = luminance(L_p)
+
+        a = jnp.clip(I_p / jnp.maximum(I_cur, 1e-12), 0.0, 1.0)
+        # expected-values splatting (both states, weighted)
+        w_cur = (1.0 - a) / jnp.maximum(I_cur, 1e-12)
+        w_prop = a / jnp.maximum(I_p, 1e-12)
+        film = _splat(
+            film, pos_cur, L_cur * w_cur[:, None], w, h
+        )
+        film = _splat(film, pos_p, L_p * w_prop[:, None], w, h)
+
+        accept = u_ctl[:, 1] < a
+        U_cur = jnp.where(accept[:, None], U_prop, U_cur)
+        pos_cur = jnp.where(accept[:, None], pos_p, pos_cur)
+        L_cur = jnp.where(accept[:, None], L_p, L_cur)
+        I_cur = jnp.where(accept, I_p, I_cur)
+        return (U_cur, pos_cur, L_cur, I_cur, film), None
+
+    film = jnp.zeros((h, w, 3), jnp.float32)
+    carry = (U_cur, pos_cur, L_cur, I_cur, film)
+    carry, _ = jax.lax.scan(
+        step, carry, jnp.arange(n_steps, dtype=jnp.uint32)
+    )
+    film = carry[4]
+
+    # normalization: each splat-pair has total weight 1/I * L ~ unit
+    # contribution; E[sum] = steps*chains * E_pi[h f / I]; scale so the
+    # image equals the path-traced mean
+    scale = b_norm * n_px / (n_steps * n_chains)
+    return np.asarray(film * scale)

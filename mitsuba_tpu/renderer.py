@@ -178,6 +178,19 @@ def render(
     sampler_rec = sensor_rec.sampler
     integ = scene.integrator
 
+    if integ.kind in ("pssmlt", "mlt", "erpt"):
+        # Metropolis family: parallel-chain sampler with its own
+        # orchestration (integrator/pssmlt.py)
+        from mitsuba_tpu.integrator.pssmlt import render_pssmlt
+
+        img = render_pssmlt(scene, spp=spp, seed=seed, pack=pack)
+        if return_film:
+            film = jnp.concatenate(
+                [jnp.asarray(img), jnp.ones(img.shape[:2] + (1,))], axis=-1
+            )
+            return img, film
+        return img
+
     w, h = film_rec.width, film_rec.height
     spp = spp or sampler_rec.sample_count
     lanes = lanes_per_pass or int(

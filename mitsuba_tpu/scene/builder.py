@@ -304,9 +304,13 @@ def pack_scene(scene) -> ScenePack:
         )
 
     # transposed triangle pack for the Pallas brute-force kernels
-    from mitsuba_tpu.accel.pallas_kernels import pack_triangles_transposed
+    from mitsuba_tpu.accel.pallas_kernels import (
+        pack_triangles_sublane,
+        pack_triangles_transposed,
+    )
 
     tri_t = pack_triangles_transposed(tri_v0, tri_e1, tri_e2, n_tris)
+    tri_s = pack_triangles_sublane(tri_v0, tri_e1, tri_e2, n_tris)
 
     # pad triangles so leaf gathers of LEAF_SIZE never go out of bounds
     pad = LEAF_SIZE
@@ -549,6 +553,7 @@ def pack_scene(scene) -> ScenePack:
         "tri_med_in": tri_med_in,
         "tri_med_ex": tri_med_ex,
         "tri_t": tri_t,
+        "tri_s": tri_s,
         "tri_v0": tri_v0, "tri_e1": tri_e1, "tri_e2": tri_e2,
         "tri_n0": tri_n0, "tri_n1": tri_n1, "tri_n2": tri_n2,
         "tri_uv0": tri_uv0, "tri_uv1": tri_uv1, "tri_uv2": tri_uv2,

@@ -317,3 +317,49 @@ class InstanceShape(_ShapeBase):
     def _build(self, props):
         self.to_world = props.get_transform("toWorld")
         self.group = None  # resolved by the XML loader
+
+
+@register("shape", "heightfield")
+class HeightfieldShape(_ShapeBase):
+    """reference: src/shapes/heightfield.cpp — displaced [-1,1]^2 grid.
+
+    The reference intersects the grid directly; here it tessellates to
+    triangles at the texel resolution (capped)."""
+
+    MAX_RES = 257
+
+    def _build(self, props):
+        t, flip = _base(props)
+        scale = props.get_float("scale", 1.0)
+        if "filename" in props:
+            from mitsuba_tpu.io.images import read_image
+
+            img, _ = read_image(props.resolve_path(props.get_string("filename")))
+            hmap = np.asarray(img[..., 0], np.float32)
+        else:
+            hmap = np.zeros((2, 2), np.float32)
+        hr, wr = hmap.shape
+        # downsample to the cap with striding
+        sy = max(1, hr // self.MAX_RES)
+        sx = max(1, wr // self.MAX_RES)
+        hmap = hmap[::sy, ::sx]
+        hr, wr = hmap.shape
+        xs = np.linspace(-1, 1, wr)
+        ys = np.linspace(-1, 1, hr)
+        X, Y = np.meshgrid(xs, ys)
+        pos = np.stack([X, Y, hmap * scale], -1).reshape(-1, 3)
+        uv = np.stack(
+            [np.tile((xs + 1) / 2, hr), np.repeat((ys + 1) / 2, wr)], -1
+        )
+        idx = []
+        for i in range(hr - 1):
+            for j in range(wr - 1):
+                a = i * wr + j
+                idx += [[a, a + 1, a + wr], [a + 1, a + wr + 1, a + wr]]
+        mesh = MeshData(
+            pos.astype(np.float32),
+            np.asarray(idx, np.uint32),
+            None,
+            uv.astype(np.float32),
+        )
+        self.instance.meshes.append(_apply_transform(mesh, t, flip))

@@ -286,6 +286,56 @@ class SceneLoader:
         )
 
     def _finalize_shape(self, scene, shape_obj, el):
+        from mitsuba_tpu.scene.shapes import InstanceShape, ShapeGroup
+
+        if isinstance(shape_obj, ShapeGroup):
+            # container only (reference shapegroup.cpp) — its children
+            # are emitted when an <shape type="instance"> references it
+            shape_obj.children = [
+                child
+                for _, child in shape_obj.props.children
+                if hasattr(child, "instance")
+            ]
+            return
+        if isinstance(shape_obj, InstanceShape):
+            # round 1: expand instances (two-level BVH planned)
+            group = None
+            for _, child in shape_obj.props.children:
+                if isinstance(child, ShapeGroup):
+                    group = child
+            if group is None:
+                raise ValueError("instance: requires a shapegroup reference")
+            from mitsuba_tpu.scene.shapes import ShapeInstance, _apply_transform
+
+            t = shape_obj.to_world
+            for child in group.children:
+                self._attach_shape_children(child)
+                src = child.instance
+                out = ShapeInstance(id=src.id)
+                out.bsdf = src.bsdf
+                out.emitter = src.emitter
+                out.interior_medium = src.interior_medium
+                out.exterior_medium = src.exterior_medium
+                for mesh in src.meshes:
+                    out.meshes.append(_apply_transform(mesh, t, False))
+                for sph in src.spheres:
+                    c = t.transform_point_np(sph.center)
+                    from mitsuba_tpu.scene.shapes import SphereData
+
+                    out.spheres.append(
+                        SphereData(
+                            center=c.astype("float32"),
+                            radius=sph.radius,
+                            flip_normals=sph.flip_normals,
+                        )
+                    )
+                scene.shapes.append(out)
+            return
+
+        self._attach_shape_children(shape_obj)
+        scene.shapes.append(shape_obj.instance)
+
+    def _attach_shape_children(self, shape_obj):
         inst = shape_obj.instance
         for name, child in shape_obj.props.children:
             rec = getattr(child, "record", None)
@@ -302,7 +352,6 @@ class SceneLoader:
                     inst.interior_medium = rec
                 elif name == "exterior":
                     inst.exterior_medium = rec
-        scene.shapes.append(inst)
 
     # -- plugin instantiation -------------------------------------------
     def _plugin(self, el):

@@ -231,3 +231,40 @@ def generate_rays(cam, pos01, u_lens):
     o_world = o_cam @ tw[:3, :3].T + tw[:3, 3]
     d_world = mm.normalize(d_cam @ tw[:3, :3].T)
     return o_world, d_world
+
+
+@register("sensor", "fluencemeter")
+class FluenceMeter(_SensorBase):
+    """reference: src/sensors/fluencemeter.cpp — isotropic point probe."""
+
+    kind = SPHERICAL
+
+    def resolve_fov(self, width, height):
+        pass
+
+
+@register("sensor", "irradiancemeter")
+class IrradianceMeter(_SensorBase):
+    """reference: src/sensors/irradiancemeter.cpp — cosine-weighted
+    hemisphere probe attached to a shape (approximated by a spherical
+    capture; exact shape attachment planned)."""
+
+    kind = SPHERICAL
+
+    def resolve_fov(self, width, height):
+        pass
+
+
+@register("sensor", "perspective_rdist")
+class PerspectiveRDist(_SensorBase):
+    """reference: src/sensors/perspective_rdist.cpp — radial lens
+    distortion (the polynomial is parsed; applying it to ray gen is
+    planned, currently renders undistorted)."""
+
+    kind = PERSPECTIVE
+
+    def _finish(self, props):
+        self.kc = [
+            float(x)
+            for x in props.get_string("kc", "0, 0").replace(",", " ").split()
+        ]

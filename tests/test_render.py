@@ -212,3 +212,37 @@ def test_field_integrator_depth():
     img = render(scene, spp=4)
     c = float(img[16, 16, 0])
     assert abs(c - 3.0) < 0.02  # camera at z=-4, sphere radius 1
+
+
+def test_pssmlt_matches_path_mean():
+    """PSSMLT's normalized output must agree with the path tracer in the
+    mean (the luminance-normalization b and splat scaling are easy to
+    get wrong by a constant factor)."""
+    from mitsuba_tpu.integrator.pssmlt import render_pssmlt
+
+    scene = _scene(
+        """
+      <shape type="rectangle">
+        <transform name="toWorld">
+          <rotate x="1" angle="-90"/><scale value="3"/><translate y="-1"/>
+        </transform>
+        <bsdf type="diffuse"/>
+      </shape>
+      <shape type="sphere">
+        <float name="radius" value="0.4"/>
+        <point name="center" x="0" y="1.2" z="0"/>
+        <emitter type="area"><rgb name="radiance" value="10"/></emitter>
+      </shape>
+    """,
+        spp=256,
+        max_depth=4,
+    )
+    ref = render(scene, spp=256)
+    img = render_pssmlt(scene, spp=128, chains=4096, seed=1)
+    # MLT noise is splotchy; compare means and coarse 4x4 block averages
+    assert abs(img.mean() / max(ref.mean(), 1e-9) - 1.0) < 0.1, (
+        img.mean(), ref.mean(),
+    )
+    a = img.reshape(8, 4, 8, 4, 3).mean((1, 3))
+    b = ref.reshape(8, 4, 8, 4, 3).mean((1, 3))
+    assert rel_rmse(a, b) < 0.25, rel_rmse(a, b)

@@ -182,3 +182,40 @@ def test_conductor_material_db():
     )
     eta = s.shapes[0].bsdf.cC
     assert eta[2] > eta[0]  # gold: blue eta > red eta
+
+
+def test_instancing_expansion():
+    """shapegroup + instance expand to transformed copies
+    (reference src/shapes/{shapegroup,instance}.cpp)."""
+    s = _load(
+        """
+      <shape type="shapegroup" id="grp">
+        <shape type="sphere">
+          <float name="radius" value="0.5"/>
+          <bsdf type="diffuse"><rgb name="reflectance" value="0.8, 0.1, 0.1"/></bsdf>
+        </shape>
+        <shape type="rectangle"><bsdf type="diffuse"/></shape>
+      </shape>
+      <shape type="instance">
+        <ref id="grp"/>
+        <transform name="toWorld"><translate x="3"/></transform>
+      </shape>
+      <shape type="instance">
+        <ref id="grp"/>
+        <transform name="toWorld"><translate x="-3"/></transform>
+      </shape>
+    """
+    )
+    # 2 instances x 2 shapes each
+    assert len(s.shapes) == 4
+    spheres = [sh for sh in s.shapes if sh.spheres]
+    assert len(spheres) == 2
+    centers = sorted(float(sh.spheres[0].center[0]) for sh in spheres)
+    assert centers == [-3.0, 3.0]
+    assert np.allclose(spheres[0].bsdf.cA, [0.8, 0.1, 0.1])
+
+
+def test_heightfield_shape():
+    s = _load('<shape type="heightfield"><bsdf type="diffuse"/></shape>')
+    assert len(s.shapes) == 1
+    assert len(s.shapes[0].meshes) == 1
