@@ -39,7 +39,67 @@ class BVH:
     depth: int = 0
 
 
-def build_bvh(centroids: np.ndarray, prim_lo: np.ndarray, prim_hi: np.ndarray) -> BVH:
+def build_bvh(
+    centroids: np.ndarray,
+    prim_lo: np.ndarray,
+    prim_hi: np.ndarray,
+    use_native: bool = True,
+) -> BVH:
+    """Dispatch: native C++ builder when available, numpy fallback."""
+    n = len(centroids)
+    if use_native and n > 0:
+        out = _build_bvh_native(centroids, prim_lo, prim_hi)
+        if out is not None:
+            return out
+    return _build_bvh_numpy(centroids, prim_lo, prim_hi)
+
+
+def _build_bvh_native(centroids, prim_lo, prim_hi) -> BVH | None:
+    """C++ binned-SAH builder (mitsuba_tpu/native/bvh_builder.cpp)."""
+    import ctypes
+
+    from mitsuba_tpu.native import bvh_builder
+
+    fn = bvh_builder()
+    if fn is None:
+        return None
+    n = len(centroids)
+    lo = np.ascontiguousarray(prim_lo, np.float32)
+    hi = np.ascontiguousarray(prim_hi, np.float32)
+    cen = np.ascontiguousarray(centroids, np.float32)
+    cap = 2 * n + 2
+    out_lo = np.empty((cap, 3), np.float32)
+    out_hi = np.empty((cap, 3), np.float32)
+    out_skip = np.empty(cap, np.int32)
+    out_first = np.empty(cap, np.int32)
+    out_count = np.empty(cap, np.int32)
+    out_order = np.empty(n, np.int32)
+    out_depth = np.zeros(1, np.int32)
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    f32, i32 = ctypes.c_float, ctypes.c_int32
+    n_nodes = fn(
+        p(lo, f32), p(hi, f32), p(cen, f32), n, LEAF_SIZE,
+        p(out_lo, f32), p(out_hi, f32), p(out_skip, i32),
+        p(out_first, i32), p(out_count, i32), p(out_order, i32),
+        p(out_depth, i32),
+    )
+    if n_nodes <= 0:
+        return None
+    return BVH(
+        lo=out_lo[:n_nodes].copy(),
+        hi=out_hi[:n_nodes].copy(),
+        skip=out_skip[:n_nodes].copy(),
+        first=out_first[:n_nodes].copy(),
+        count=out_count[:n_nodes].copy(),
+        order=out_order.copy(),
+        depth=int(out_depth[0]),
+    )
+
+
+def _build_bvh_numpy(centroids: np.ndarray, prim_lo: np.ndarray, prim_hi: np.ndarray) -> BVH:
     n = len(centroids)
     if n == 0:
         return BVH(

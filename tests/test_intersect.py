@@ -152,3 +152,67 @@ def test_pallas_kernels_match_xla():
     occ1 = pk.any_hit(o, d, jnp.full(n, 1.5), tri_t, interpret=True)
     occ2 = _brute_force_any(pack, o, d, jnp.full(n, 1.5))
     assert (np.asarray(occ1) == np.asarray(occ2)).all()
+
+
+def test_native_bvh_builder_matches_numpy():
+    """The C++ builder must produce a tree whose traversal results agree
+    with the numpy builder's (trees may differ; hits may not)."""
+    from mitsuba_tpu.accel.bvh import (
+        _build_bvh_native,
+        _build_bvh_numpy,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    v0 = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    e1 = rng.uniform(-0.1, 0.1, (n, 3)).astype(np.float32)
+    e2 = rng.uniform(-0.1, 0.1, (n, 3)).astype(np.float32)
+    lo = np.minimum(v0, np.minimum(v0 + e1, v0 + e2))
+    hi = np.maximum(v0, np.maximum(v0 + e1, v0 + e2))
+    cen = v0 + (e1 + e2) / 3
+
+    nat = _build_bvh_native(cen, lo, hi)
+    if nat is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    ref = _build_bvh_numpy(cen, lo, hi)
+    assert sorted(nat.order.tolist()) == sorted(ref.order.tolist())
+    assert nat.count.sum() == n and ref.count.sum() == n
+
+    # traverse both trees, compare hits
+    def mk(bvh):
+        perm = bvh.order
+        def padded(a, fill=0.0):
+            return np.concatenate([a, np.full((4,) + a.shape[1:], fill, a.dtype)])
+        arrays = {
+            "tri_v0": jnp.asarray(padded(v0[perm], 1e30)),
+            "tri_e1": jnp.asarray(padded(e1[perm])),
+            "tri_e2": jnp.asarray(padded(e2[perm])),
+            "bvh_lo": jnp.asarray(bvh.lo),
+            "bvh_hi": jnp.asarray(bvh.hi),
+            "bvh_skip": jnp.asarray(bvh.skip),
+            "bvh_first": jnp.asarray(bvh.first),
+            "bvh_count": jnp.asarray(bvh.count),
+        }
+        return ScenePack(arrays, {"n_tris": n, "n_spheres": 0, "use_bvh": True}), perm
+
+    pack_n, perm_n = mk(nat)
+    pack_r, perm_r = mk(ref)
+    m = 4096
+    o = jnp.asarray(rng.uniform(-2, 2, (m, 3)).astype(np.float32))
+    d = rng.normal(size=(m, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    h1 = isect.intersect(pack_n, o, d)
+    h2 = isect.intersect(pack_r, o, d)
+    assert (np.asarray(h1.valid) == np.asarray(h2.valid)).all()
+    both = np.asarray(h1.valid)
+    assert np.allclose(
+        np.asarray(h1.t)[both], np.asarray(h2.t)[both], rtol=1e-4
+    )
+    # same original primitive
+    p1 = perm_n[np.asarray(h1.prim)[both]]
+    p2 = perm_r[np.asarray(h2.prim)[both]]
+    tie = ~np.isclose(np.asarray(h1.t)[both], np.asarray(h2.t)[both])
+    assert ((p1 == p2) | tie).all()
