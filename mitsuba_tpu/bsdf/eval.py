@@ -392,8 +392,7 @@ def _flip_twosided(sp, wi, *rest):
     return flip_vec, out
 
 
-def bsdf_eval(sp, wi, wo, present):
-    """f(wi,wo) * |cos_o| for the per-lane material; smooth lobes only."""
+def _eval_single(sp, wi, wo, present):
     _, (wi, wo) = _flip_twosided(sp, wi, wo)
     out = jnp.zeros(wi.shape[:-1] + (3,), jnp.float32)
     for t in present:
@@ -404,7 +403,7 @@ def bsdf_eval(sp, wi, wo, present):
     return out
 
 
-def bsdf_pdf(sp, wi, wo, present):
+def _pdf_single(sp, wi, wo, present):
     _, (wi, wo) = _flip_twosided(sp, wi, wo)
     out = jnp.zeros(wi.shape[:-1], jnp.float32)
     for t in present:
@@ -413,6 +412,30 @@ def bsdf_pdf(sp, wi, wo, present):
             continue
         out = jnp.where(sp["type"] == t, fn(sp, wi, wo), out)
     return out
+
+
+def bsdf_eval(sp, wi, wo, present):
+    """f(wi,wo) * |cos_o| for the per-lane material; smooth lobes only.
+    Mixtures blend both components (reference mixturebsdf.cpp eval)."""
+    if "mix" in sp:
+        mix = sp["mix"]
+        fa = _eval_single(sp, wi, wo, present)
+        fb = _eval_single(mix["spB"], wi, wo, present)
+        return (
+            mix["wa"][..., None] * fa + mix["wb"][..., None] * fb
+        )
+    return _eval_single(sp, wi, wo, present)
+
+
+def bsdf_pdf(sp, wi, wo, present):
+    """Sampling density of bsdf_sample; for mixtures this is the true
+    procedure density wa*pdfA + wb*pdfB (absorption included)."""
+    if "mix" in sp:
+        mix = sp["mix"]
+        pa = _pdf_single(sp, wi, wo, present)
+        pb = _pdf_single(mix["spB"], wi, wo, present)
+        return mix["wa"] * pa + mix["wb"] * pb
+    return _pdf_single(sp, wi, wo, present)
 
 
 # ---------------------------------------------------------------------------
@@ -428,7 +451,51 @@ def bsdf_sample(sp, wi, u2, ulobe, present):
     """Sample an outgoing direction for every lane.
 
     Returns BSDFSample; lanes whose sample failed get weight 0.
+    Mixtures select a component stochastically by weight (absorbing the
+    deficit when weights sum below one, reference mixturebsdf.cpp) and
+    re-weight smooth lobes by the full blended eval/pdf.
     """
+    if "mix" in sp:
+        mix = sp["mix"]
+        wa, wb = mix["wa"], mix["wb"]
+        sel_b = ulobe < wb
+        absorb = ulobe >= (wa + wb)
+        # rescale the lobe random for the chosen component
+        ul = jnp.where(
+            sel_b,
+            ulobe / jnp.maximum(wb, 1e-8),
+            (ulobe - wb) / jnp.maximum(wa, 1e-8),
+        )
+        ul = jnp.clip(ul, 0.0, mm.ONE_MINUS_EPS)
+        spB = mix["spB"]
+        sp_sel = {
+            k: jnp.where(
+                sel_b[..., None] if sp[k].ndim > sel_b.ndim else sel_b,
+                spB[k],
+                sp[k],
+            )
+            for k in spB
+        }
+        bs = bsdf_sample(sp_sel, wi, u2, ul, present)
+        # smooth lobes: re-weight with the blended f/pdf (delta lobes
+        # keep the child weight — the selection probability cancels).
+        # A child draw that the child itself rejects (weight 0, e.g.
+        # diffuse lit from behind) must stay rejected — otherwise the
+        # claimed density wa*pdfA+wb*pdfB undercounts and energy is
+        # gained.
+        child_ok = jnp.max(bs.weight, axis=-1) > 0
+        f_mix = bsdf_eval(sp, wi, bs.wo, present)
+        p_mix = bsdf_pdf(sp, wi, bs.wo, present)
+        w_smooth = jnp.where(
+            (child_ok & (p_mix > 1e-10))[..., None],
+            f_mix / jnp.maximum(p_mix, 1e-10)[..., None],
+            0.0,
+        )
+        weight = jnp.where(bs.delta[..., None], bs.weight, w_smooth)
+        weight = jnp.where(absorb[..., None], 0.0, weight)
+        pdf = jnp.where(bs.delta, bs.pdf, p_mix)
+        return BSDFSample(bs.wo, weight, pdf, bs.delta, bs.eta)
+
     flip_vec, (wi,) = _flip_twosided(sp, wi)
 
     n = wi.shape[:-1]

@@ -373,13 +373,54 @@ def pack_scene(scene) -> ScenePack:
         "mat_texA": np.full(n_mat, -1, np.int32),
         "mat_tex_opacity": np.full(n_mat, -1, np.int32),
     }
+    # mixture support: a MIXTURE row carries child A's params inline
+    # plus (child-B row id, weight-A, weight-B); deeper nesting collapses
+    # to the two largest-weight leaves
+    mix_rows = []
+    for i, rec in enumerate(list(materials)):
+        if rec.type != MIXTURE:
+            continue
+        leaves = []
+
+        def flatten(r, w):
+            if r.type == MIXTURE:
+                ws = r.weights or [1.0 / len(r.children)] * len(r.children)
+                for c, cw in zip(r.children, ws):
+                    flatten(c, w * cw)
+            else:
+                leaves.append((r, w))
+
+        flatten(rec, 1.0)
+        leaves.sort(key=lambda lw: -lw[1])
+        a_rec, w_a = leaves[0]
+        if len(leaves) > 1:
+            b_rec, w_b = leaves[1]
+        else:
+            b_rec, w_b = a_rec, 0.0
+        b_id = add_material(b_rec)
+        mix_rows.append((i, a_rec, w_a, b_id, w_b))
+
+    n_mat = max(len(materials), 1)  # add_material may have grown the list
+    for key in list(mt):
+        base_shape = mt[key].shape
+        if base_shape[0] < n_mat:
+            pad = n_mat - base_shape[0]
+            mt[key] = np.concatenate(
+                [mt[key], np.repeat(mt[key][-1:], pad, axis=0)]
+            )
+    mt["mat_mix_b"] = np.full(n_mat, -1, np.int32)
+    mt["mat_mix_wa"] = np.ones(n_mat, np.float32)
+    mt["mat_mix_wb"] = np.zeros(n_mat, np.float32)
+    mix_lookup = {i: (a, wa, b, wb) for i, a, wa, b, wb in mix_rows}
+
     present_types = set()
     for i, rec in enumerate(materials):
         if rec.type == MIXTURE:
-            # weighted average of leaf params (exact mixture planned)
-            leaves = _expand_mixtures(rec)
-            base = leaves[0]
-            rec = base
+            a_rec, w_a, b_id, w_b = mix_lookup[i]
+            rec = a_rec
+            mt["mat_mix_b"][i] = b_id
+            mt["mat_mix_wa"][i] = w_a
+            mt["mat_mix_wb"][i] = w_b
         present_types.add(rec.type)
         mt["mat_type"][i] = rec.type
         mt["mat_cA"][i] = rec.cA
@@ -599,6 +640,7 @@ def pack_scene(scene) -> ScenePack:
         "has_delta_emitters": any(r.is_delta() for r in emitters),
         "n_area_tris": int(at_cursor),
         "has_textures": len(textures) > 0,
+        "has_mixtures": bool(mix_rows),
         "has_media": len(media) > 0,
         "n_media": len(media),
         "het_med_id": het_med_id,

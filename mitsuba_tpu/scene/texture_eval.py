@@ -88,9 +88,7 @@ def eval_texture(pack, tid, uv, default_rgb):
     return jnp.where(has[..., None], out, default_rgb)
 
 
-def shading_params(pack, mat_id, uv):
-    """Gather + texture-resolve per-lane shading params for bsdf/eval.py."""
-    m = jnp.maximum(mat_id, 0)
+def _gather_params(pack, m, uv):
     cA = pack.mat_cA[m]
     if pack.has_textures:
         cA = eval_texture(pack, pack.mat_texA[m], uv, cA)
@@ -110,6 +108,24 @@ def shading_params(pack, mat_id, uv):
         "fdr_int": pack.mat_fdr_int[m],
         "spec_w": pack.mat_spec_w[m],
     }
+
+
+def shading_params(pack, mat_id, uv):
+    """Gather + texture-resolve per-lane shading params for bsdf/eval.py.
+
+    For scenes with mixture/blend BSDFs the dict carries a second
+    parameter set (`mix`) for the B component; bsdf/eval.py blends."""
+    m = jnp.maximum(mat_id, 0)
+    sp = _gather_params(pack, m, uv)
+    if pack.meta.get("has_mixtures", False):
+        mix_b = pack.mat_mix_b[m]
+        mb = jnp.where(mix_b >= 0, mix_b, m)
+        sp["mix"] = {
+            "spB": _gather_params(pack, mb, uv),
+            "wa": jnp.where(mix_b >= 0, pack.mat_mix_wa[m], 1.0),
+            "wb": jnp.where(mix_b >= 0, pack.mat_mix_wb[m], 0.0),
+        }
+    return sp
 
 
 def eval_opacity(pack, mat_id, uv):

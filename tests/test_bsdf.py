@@ -189,3 +189,75 @@ def test_conductor_fresnel_reflectance():
     k_ = np.array([3.9, 2.45, 2.14])
     ref = ((n_ - 1) ** 2 + k_**2) / ((n_ + 1) ** 2 + k_**2)
     assert np.allclose(np.asarray(F)[0], ref, rtol=1e-4)
+
+
+def test_mixture_bsdf_furnace():
+    """mixturebsdf(diffuse .5, difftrans .3) sphere in a unit furnace.
+
+    Analytic: L = 0.5 (reflected) + 0.3 * 0.3 (transmitted, then
+    escaping at the first inner hit — diffuse is one-sided so only the
+    .3 transmission lobe acts from inside) = 0.59.
+    (reference: data/tests/test_bsdf.xml mixturebsdf fixtures)."""
+    from mitsuba_tpu.scene.xml_loader import load_scene_string
+    from mitsuba_tpu.renderer import render
+
+    scene = load_scene_string(
+        """
+    <scene version="0.5.0">
+      <integrator type="path"><integer name="maxDepth" value="32"/></integrator>
+      <sensor type="perspective">
+        <float name="fov" value="30"/>
+        <transform name="toWorld">
+          <lookat origin="0,0,-4" target="0,0,0" up="0,1,0"/>
+        </transform>
+        <sampler type="independent"><integer name="sampleCount" value="128"/></sampler>
+        <film type="hdrfilm">
+          <integer name="width" value="24"/><integer name="height" value="24"/>
+          <rfilter type="box"/>
+        </film>
+      </sensor>
+      <shape type="sphere">
+        <bsdf type="mixturebsdf">
+          <string name="weights" value="0.5 0.3"/>
+          <bsdf type="diffuse"><rgb name="reflectance" value="1"/></bsdf>
+          <bsdf type="difftrans"><rgb name="transmittance" value="1"/></bsdf>
+        </bsdf>
+      </shape>
+      <emitter type="constant"><rgb name="radiance" value="1"/></emitter>
+    </scene>"""
+    )
+    img = render(scene, spp=128)
+    center = float(img[10:14, 10:14].mean())
+    assert abs(center - 0.59) < 0.02, center
+
+
+def test_blend_bsdf_loads_and_renders():
+    from mitsuba_tpu.scene.xml_loader import load_scene_string
+    from mitsuba_tpu.renderer import render
+
+    scene = load_scene_string(
+        """
+    <scene version="0.5.0">
+      <integrator type="path"><integer name="maxDepth" value="6"/></integrator>
+      <sensor type="perspective">
+        <transform name="toWorld">
+          <lookat origin="0,0,-4" target="0,0,0" up="0,1,0"/>
+        </transform>
+        <film type="hdrfilm">
+          <integer name="width" value="16"/><integer name="height" value="16"/>
+          <rfilter type="box"/>
+        </film>
+      </sensor>
+      <shape type="sphere">
+        <bsdf type="blendbsdf">
+          <float name="weight" value="0.4"/>
+          <bsdf type="diffuse"/>
+          <bsdf type="roughconductor"><float name="alpha" value="0.2"/></bsdf>
+        </bsdf>
+      </shape>
+      <emitter type="constant"><rgb name="radiance" value="1"/></emitter>
+    </scene>"""
+    )
+    img = render(scene, spp=32)
+    assert np.isfinite(img).all()
+    assert 0.2 < float(img.mean()) < 1.1
