@@ -48,20 +48,19 @@ class DirectSample(NamedTuple):
 
 
 def _searchsorted_segment(cdf, u, lo, hi, iters=None):
-    """Per-lane binary search: smallest i in [lo, hi) with u < cdf[i].
-    cdf holds per-segment normalized cumulative sums."""
+    """Per-lane binary search: smallest i in [lo, hi) with u < cdf[i]
+    (clamped to hi-1).  cdf holds per-segment normalized cumulative
+    sums.  Standard halving: u >= cdf[mid] -> answer > mid."""
     if iters is None:
         iters = np_ceil_log2(int(cdf.shape[0]) + 1)
-    lo = lo.astype(jnp.int32)
-    hi = hi.astype(jnp.int32)
-    left, right = lo, jnp.maximum(hi, lo + 1)
+    left = lo.astype(jnp.int32)
+    right = jnp.maximum(hi.astype(jnp.int32) - 1, left)  # inclusive
     for _ in range(iters):
         mid = (left + right) // 2
         go_right = u >= cdf[jnp.clip(mid, 0, cdf.shape[0] - 1)]
-        left = jnp.where(go_right & (mid < right - 1),
-                         jnp.minimum(mid + 1, right - 1), left)
-        right = jnp.where(go_right, right, jnp.minimum(mid + 1, right))
-        left = jnp.minimum(left, right - 1)
+        left = jnp.where(go_right & (left < right), mid + 1, left)
+        right = jnp.where(go_right, right, mid)
+        left = jnp.minimum(left, right)
     return left
 
 

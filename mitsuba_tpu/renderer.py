@@ -178,12 +178,16 @@ def render(
     sampler_rec = sensor_rec.sampler
     integ = scene.integrator
 
-    if integ.kind in ("pssmlt", "mlt", "erpt"):
-        # Metropolis family: parallel-chain sampler with its own
-        # orchestration (integrator/pssmlt.py)
-        from mitsuba_tpu.integrator.pssmlt import render_pssmlt
+    if integ.kind in ("pssmlt", "mlt", "erpt", "ptracer"):
+        # integrators with their own orchestration
+        if integ.kind == "ptracer":
+            from mitsuba_tpu.integrator.ptracer import render_ptracer
 
-        img = render_pssmlt(scene, spp=spp, seed=seed, pack=pack)
+            img = render_ptracer(scene, spp=spp, seed=seed, pack=pack)
+        else:
+            from mitsuba_tpu.integrator.pssmlt import render_pssmlt
+
+            img = render_pssmlt(scene, spp=spp, seed=seed, pack=pack)
         if return_film:
             film = jnp.concatenate(
                 [jnp.asarray(img), jnp.ones(img.shape[:2] + (1,))], axis=-1

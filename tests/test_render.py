@@ -246,3 +246,30 @@ def test_pssmlt_matches_path_mean():
     a = img.reshape(8, 4, 8, 4, 3).mean((1, 3))
     b = ref.reshape(8, 4, 8, 4, 3).mean((1, 3))
     assert rel_rmse(a, b) < 0.25, rel_rmse(a, b)
+
+
+def test_ptracer_matches_path():
+    """Light tracing and path tracing estimate the same image
+    (= the reference's cross-integrator agreement strategy; the ptracer
+    fixture test_bidir_0.xml uses exactly this kind of setup)."""
+    from mitsuba_tpu.integrator.ptracer import render_ptracer
+
+    body = """
+      <shape type="rectangle">
+        <transform name="toWorld">
+          <rotate x="1" angle="-90"/><scale value="3"/><translate y="-1"/>
+        </transform>
+        <bsdf type="diffuse"><rgb name="reflectance" value="0.7, 0.5, 0.3"/></bsdf>
+      </shape>
+      <shape type="rectangle">
+        <transform name="toWorld"><rotate x="1" angle="90"/><translate y="2"/></transform>
+        <emitter type="area"><rgb name="radiance" value="5"/></emitter>
+      </shape>
+    """
+    scene = _scene(body, spp=512, max_depth=4)
+    ref = render(scene, spp=512)
+    img = render_ptracer(scene, spp=64, seed=2)
+    assert abs(img.mean() / max(ref.mean(), 1e-9) - 1.0) < 0.06
+    a = img.reshape(8, 4, 8, 4, 3).mean((1, 3))
+    b = ref.reshape(8, 4, 8, 4, 3).mean((1, 3))
+    assert rel_rmse(a, b) < 0.25, rel_rmse(a, b)
