@@ -23,7 +23,7 @@ _PIXELTYPE = {0: np.uint32, 1: np.float16, 2: np.float32}
 _PT_SIZE = {0: 4, 1: 2, 2: 4}
 
 # compression id -> scanlines per chunk
-_COMPRESSION_LINES = {0: 1, 2: 1, 3: 16}
+_COMPRESSION_LINES = {0: 1, 2: 1, 3: 16, 4: 32}
 
 
 def _write_attr(f, name: bytes, typ: bytes, data: bytes):
@@ -181,6 +181,10 @@ def read_exr(path):
         expected = bytes_per_line * ln
         if comp in (2, 3) and sz != expected:
             chunk = _zip_decompress(chunk, expected)
+        elif comp == 4 and sz != expected:
+            from mitsuba_tpu.io.piz import piz_uncompress
+
+            chunk = piz_uncompress(chunk, channels, w, ln)
         cp = 0
         for line in range(ln):
             for cname, pt in channels:
