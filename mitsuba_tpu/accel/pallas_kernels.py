@@ -448,28 +448,39 @@ def _any_kernel_v2(o_ref, d_ref, tri_ref, tmax_ref, occ_out):
     occ_out[0:1, :] = jnp.any(hit, axis=0, keepdims=True).astype(jnp.int32)
 
 
+def _v2_tile(tp: int) -> int:
+    """Ray-tile size bounded by VMEM: ~10 live [Tp, TILE] f32 buffers
+    must fit in 16 MB (the glass scene's 264 tris @2048 rays OOMed)."""
+    budget_elems = 320_000  # ~12.8 MB / (10 bufs * 4 B)
+    tile = 256
+    while tile * 2 * max(tp, 8) <= budget_elems and tile < 4096:
+        tile *= 2
+    return tile
+
+
 def _call_v2(kernel, n_out, o, d, t_max, tri_s):
     r = o.shape[0]
-    pad = (-r) % V2_RAY_TILE
+    tp = tri_s.shape[1]
+    ray_tile = _v2_tile(tp)
+    pad = (-r) % ray_tile
     ot = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)]).T
     dt = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)]).T
     tm = jnp.concatenate(
         [jnp.broadcast_to(t_max, (r,)).astype(jnp.float32), jnp.zeros(pad)]
     )[None, :]
     rp = r + pad
-    tp = tri_s.shape[1]
-    grid = (rp // V2_RAY_TILE,)
+    grid = (rp // ray_tile,)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((3, V2_RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, V2_RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((9, tp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, V2_RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, V2_RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM)
             for _ in range(n_out)
         ],
         out_shape=[

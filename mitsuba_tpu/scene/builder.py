@@ -214,8 +214,10 @@ def pack_scene(scene) -> ScenePack:
                 t = Transform.translate(*s.center) * Transform.scale(
                     s.radius, s.radius, s.radius
                 )
+                # light spheres need far fewer triangles than visible
+                # geometry (they're sampled, and 16x8 is visually round)
                 meshes.append(
-                    _apply_transform(_uv_sphere(48, 24), t, s.flip_normals)
+                    _apply_transform(_uv_sphere(16, 8), t, s.flip_normals)
                 )
             sphs = []
 
