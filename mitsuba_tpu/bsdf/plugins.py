@@ -473,3 +473,36 @@ class Coating(_BSDFBase):
             rec.spec_sampling_weight = 1.0 / max(1.0 + d_avg, 1e-8)
             return rec
         return copy.deepcopy(base)
+
+
+@register("bsdf", "hk")
+class HanrahanKrueger(_BSDFBase):
+    """PLACEHOLDER for reference src/bsdfs/hk.cpp (Hanrahan-Krueger thin
+    slab): approximated as diffuse transmission + reflection mix derived
+    from the slab's single-scattering albedo."""
+
+    def _build(self, props):
+        rec = BSDFRecord(type=DIFFTRANS)
+        sigma_s = props.get_spectrum("sigmaS", _gray(2.0))
+        sigma_a = props.get_spectrum("sigmaA", _gray(0.05))
+        thickness = props.get_float("thickness", 1.0)
+        tau = (sigma_s + sigma_a) * thickness
+        albedo = sigma_s / np.maximum(sigma_s + sigma_a, 1e-6)
+        rec.cA = (albedo * np.exp(-tau) + albedo * 0.5 * (1 - np.exp(-tau))).astype(
+            np.float32
+        )
+        return rec
+
+
+@register("bsdf", "irawan")
+class IrawanCloth(_BSDFBase):
+    """PLACEHOLDER for src/bsdfs/irawan.cpp (woven cloth): renders as
+    rough diffuse until the yarn model lands."""
+
+    def _build(self, props):
+        rec = BSDFRecord(type=ROUGHDIFFUSE)
+        rec.cA = props.get_spectrum("kdMultiplier", None)
+        if rec.cA is None:
+            rec.cA = _gray(0.5)
+        rec.alpha_u = rec.alpha_v = 0.4
+        return rec

@@ -32,7 +32,7 @@ from mitsuba_tpu.scene.texture_eval import shading_params
 
 SHADOW_EPS = 1e-3
 MAX_EVENTS_FACTOR = 3  # events can exceed maxDepth (null crossings)
-SHADOW_SEGMENTS = 4  # null boundaries a shadow ray may cross
+SHADOW_SEGMENTS = 3  # null boundaries a shadow ray may cross
 
 _SLOTS_PER_BOUNCE = 8
 _SLOT_DIST = 0
@@ -173,24 +173,6 @@ def volpath_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
 
         # ============ MEDIUM EVENT ============
         p_med = o + d * ms.t[..., None]
-        if pack.meta["n_emitters"] > 0:
-            # NEE from the medium vertex with phase function weighting
-            u_n = u4(event, _SLOT_NEE)
-            ds = em.sample_direct(pack, p_med, u_n[..., :3])
-            ph = med_eval.phase_eval(pack, med, mm.dot(ds.d, d))
-            n_rays = n_rays + jnp.sum(medium_evt.astype(jnp.float32))
-            tr = _attenuated_visibility(
-                pack, p_med, ds.d, ds.dist, med, lane, sample_idx,
-                event * 2, seed,
-            )
-            w_nee = jnp.where(
-                ds.delta, 1.0, _path.mi_weight(ds.pdf, ph)
-            )
-            L = L + jnp.where(
-                medium_evt[..., None],
-                thr * ds.value * tr * (ph * w_nee)[..., None],
-                0.0,
-            )
         # phase sampling
         u_p = u4(event, _SLOT_PHASE)
         d_phase, ph_pdf = med_eval.phase_sample(pack, med, d, u_p[..., :2])
@@ -200,29 +182,53 @@ def volpath_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
         wi_l = frame.to_local(its.wi_world)
         sp = shading_params(pack, its.mat, its.uv)
 
+        # ============ SHARED NEE ============
+        # one emitter sample + ONE attenuated shadow trace serves both
+        # event kinds (per-lane select of origin / scattering function) —
+        # halves the compiled volpath body vs. two separate NEE blocks
         if pack.meta["n_emitters"] > 0:
-            u_n2 = u4(event, _SLOT_TRANS)
-            ds_s = em.sample_direct(pack, its.p, u_n2[..., :3])
-            wo_l = frame.to_local(ds_s.d)
-            f = bsdf_eval(sp, wi_l, wo_l, present)
-            n_rays = n_rays + jnp.sum(
-                (surface_evt & its.valid).astype(jnp.float32)
+            nee_origin = jnp.where(
+                medium_evt[..., None],
+                p_med,
+                _path._offset_ray(its.p, its.ng, its.wi_world),
             )
-            o_sh = _path._offset_ray(its.p, its.ng, ds_s.d)
+            u_n = u4(event, _SLOT_NEE)
+            ds = em.sample_direct(pack, nee_origin, u_n[..., :3])
+            # scattering toward the light
+            ph = med_eval.phase_eval(pack, med, mm.dot(ds.d, d))
+            wo_l = frame.to_local(ds.d)
+            f_surf = bsdf_eval(sp, wi_l, wo_l, present)
+            f = jnp.where(
+                medium_evt[..., None],
+                ph[..., None] * jnp.ones((1, 3)),
+                f_surf,
+            )
+            nee_origin = jnp.where(
+                medium_evt[..., None],
+                nee_origin,
+                _path._offset_ray(its.p, its.ng, ds.d),
+            )
             med_sh = jnp.where(
-                mm.dot(ds_s.d, its.ng) < 0, its.med_in, its.med_ex
+                medium_evt,
+                med,
+                jnp.where(mm.dot(ds.d, its.ng) < 0, its.med_in, its.med_ex),
             )
-            tr_s = _attenuated_visibility(
-                pack, o_sh, ds_s.d, ds_s.dist, med_sh, lane, sample_idx,
-                event * 2 + 1, seed,
+            n_rays = n_rays + jnp.sum(
+                (medium_evt | (surface_evt & its.valid)).astype(jnp.float32)
             )
-            b_pdf = jnp.where(
-                ds_s.delta, 0.0, bsdf_pdf(sp, wi_l, wo_l, present)
+            tr = _attenuated_visibility(
+                pack, nee_origin, ds.d, ds.dist, med_sh, lane, sample_idx,
+                event, seed,
             )
-            w_nee_s = jnp.where(ds_s.delta, 1.0, _path.mi_weight(ds_s.pdf, b_pdf))
+            other_pdf = jnp.where(
+                medium_evt, ph, bsdf_pdf(sp, wi_l, wo_l, present)
+            )
+            other_pdf = jnp.where(ds.delta, 0.0, other_pdf)
+            w_nee = jnp.where(ds.delta, 1.0, _path.mi_weight(ds.pdf, other_pdf))
+            contributes = medium_evt | (surface_evt & its.valid)
             L = L + jnp.where(
-                (surface_evt & its.valid)[..., None],
-                thr * ds_s.value * tr_s * f * w_nee_s[..., None],
+                contributes[..., None],
+                thr * ds.value * tr * f * w_nee[..., None],
                 0.0,
             )
 

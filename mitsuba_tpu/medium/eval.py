@@ -22,7 +22,7 @@ from mitsuba_tpu.core import warp
 from mitsuba_tpu.medium.plugins import HG, HETEROGENEOUS, RAYLEIGH
 
 INV_FOURPI = 0.25 / jnp.pi
-MAX_TRACKING_STEPS = 512
+MAX_TRACKING_STEPS = 256
 
 
 class MediumSample(NamedTuple):

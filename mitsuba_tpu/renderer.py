@@ -61,6 +61,15 @@ def make_render_pass(
     w, h = film_rec.width, film_rec.height
     n_px = w * h
     cam = sensor_rec.pack(w, h)
+    if integ.kind in ("adaptive", "irrcache", "multichannel"):
+        # meta-integrators forward to their nested integrator
+        # (reference src/integrators/misc/*.cpp; their adaptive-sampling
+        # machinery is planned)
+        integ = integ.sub_integrator or integ
+        if integ.kind in ("adaptive", "irrcache", "multichannel"):
+            from mitsuba_tpu.integrator.plugins import IntegratorRecord
+
+            integ = IntegratorRecord(kind="path")
     trace = TRACE_FNS[integ.kind]
     if trace is None:
         raise NotImplementedError(f"integrator '{integ.kind}'")
