@@ -3,10 +3,10 @@
 The reference distributes 32x32 image blocks to worker threads/machines
 (reference: src/librender/{renderjob.cpp,renderproc.cpp}); here one jit
 compiled `render_pass` traces a whole sample-wavefront (every pixel x a
-chunk of samples-per-pixel) and scatter-adds into the film.  The
-samples-per-pass chunk is sized to bound live HBM; passes loop on the
-host like the reference's work-unit queue.  Multi-chip: the lane axis is
-sharded over a Mesh and the film partials are psum-merged — see
+chunk of samples-per-pixel) and accumulates into the film with dense
+adds (each lane owns its pixel — no scatter anywhere).  Passes loop on
+the host like the reference's work-unit queue.  Multi-chip: the sample
+axis is sharded over a Mesh and film partials psum-merge — see
 parallel/mesh.py.
 """
 
@@ -14,15 +14,11 @@ from __future__ import annotations
 
 import math
 import os
-import sys
-import time
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mitsuba_tpu.film.film import develop, new_film, splat, splat_grid
+from mitsuba_tpu.film.film import develop, new_film, splat_grid
 from mitsuba_tpu.integrator.path import TRACE_FNS
 from mitsuba_tpu.scene.builder import pack_scene
 from mitsuba_tpu.sensor.plugins import generate_rays
