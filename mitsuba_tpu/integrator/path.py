@@ -139,9 +139,11 @@ def path_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
 
         # ---- next-event estimation ----
         # (reference path.cpp:176-198 / scene.cpp:828-841)
+        u_rr = None  # 4th NEE component doubles as the RR draw
         if pack.meta["n_emitters"] > 0:
             n_rays = n_rays + jnp.sum(active.astype(jnp.float32))
             u_n = u4(depth, _SLOT_NEE)
+            u_rr = u_n[..., 3]
             ds = em.sample_direct(pack, its.p, u_n[..., :3])
             wo_l = frame.to_local(ds.d)
             f = bsdf_eval(sp, wi_l, wo_l, present)
@@ -182,7 +184,7 @@ def path_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
         active = active & (jnp.max(thr, axis=-1) > 0)
 
         # ---- Russian roulette (reference path.cpp:276-285) ----
-        u_r = u4(depth, _SLOT_RR)[..., 0]
+        u_r = u_rr if u_rr is not None else u4(depth, _SLOT_RR)[..., 0]
         q = jnp.minimum(jnp.max(thr, axis=-1) * eta * eta, 0.95)
         do_rr = depth + 1 >= rr_depth
         keep = jnp.where(do_rr, u_r < q, True)
@@ -329,9 +331,11 @@ def path_trace_regen(
             wi_g = mm.dot(its.wi_world, its.ng)
             active = active & (wi_g * mm.cos_theta(wi_l) > 0)
 
+        u_rr = None  # 4th NEE component doubles as the RR draw
         if pack.meta["n_emitters"] > 0:
             n_rays = n_rays + jnp.sum(active.astype(jnp.float32))
             u_n = u4(sidx, depth, _SLOT_NEE)
+            u_rr = u_n[..., 3]
             ds = em.sample_direct(pack, its.p, u_n[..., :3])
             wo_l = frame.to_local(ds.d)
             f = bsdf_eval(sp, wi_l, wo_l, present)
@@ -365,7 +369,7 @@ def path_trace_regen(
         depth = depth + 1
         active = active & (depth < max_depth)
 
-        u_r = u4(sidx, depth, _SLOT_RR)[..., 0]
+        u_r = u_rr if u_rr is not None else u4(sidx, depth, _SLOT_RR)[..., 0]
         q = jnp.minimum(jnp.max(thr, axis=-1) * eta * eta, 0.95)
         do_rr = depth >= rr_depth
         keep = jnp.where(do_rr, u_r < q, True)
