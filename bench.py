@@ -39,7 +39,7 @@ def main():
 
     w = h = 512
     film_rec.width, film_rec.height = w, h
-    spp_chunk = int(os.environ.get("BENCH_SPP_CHUNK", 8))
+    spp_chunk = int(os.environ.get("BENCH_SPP_CHUNK", 16))
 
     rp = jax.jit(
         make_render_pass(
