@@ -20,6 +20,35 @@ import jax.numpy as jnp
 
 _U32 = jnp.uint32
 
+# --- global RNG stream partition ---------------------------------------------
+#
+# Every independent CONSUMER of randomness draws from its own stream,
+# obtained by tagging the high nibble of the seed word (stream_seed).
+# Within a stream, (slot) integers must be unique per decision; ACROSS
+# streams, identical slots are fine because the seed word differs.  This
+# is the global partition CLAUDE.md's "slot collisions are bugs"
+# invariant refers to; tests/test_rng.py::test_stream_partition enforces
+# it.  (Reference analogue: per-decision sample streams of the
+# per-worker samplers, sched.h:395-403.)
+#
+# STREAM_PATH keeps the identity tag so existing path renders remain
+# bit-identical to round 1.
+STREAM_PATH = 0  # integrator bounce loops: slot = event * 8 + decision
+STREAM_CAMERA = 1  # sampler-owned draws: film jitter, lens, halton rot
+STREAM_MEDIUM_DIST = 2  # heterogeneous delta tracking (sample_distance)
+STREAM_MEDIUM_TRANS = 3  # shadow-ray ratio tracking (transmittance)
+STREAM_LIGHT = 4  # light-subpath walks (ptracer / bdpt light paths)
+STREAM_MLT = 5  # pssmlt/mlt chain mutations & control decisions
+
+
+def stream_seed(seed, stream):
+    """Derive the seed word for an independent RNG stream.
+
+    The stream tag lands in bits 28-31 of the seed, so user seeds (small
+    integers) can never alias two streams onto the same hash inputs.
+    """
+    return jnp.asarray(seed, _U32) ^ (_U32(stream) << 28)
+
 
 def pcg4d_mult(v):
     """PCG4D hash (Jarzynski & Olano). v: uint32 [..., 4] -> [..., 4].

@@ -154,12 +154,7 @@ def path_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
             shadow_t = jnp.where(
                 ds.dist >= em.ENV_DIST, 1e7, ds.dist * (1.0 - SHADOW_EPS)
             )
-            occ = occluded(
-                pack,
-                jnp.where(contributes[..., None], o_sh, o_sh),
-                ds.d,
-                shadow_t,
-            )
+            occ = occluded(pack, o_sh, ds.d, shadow_t)
             b_pdf = jnp.where(
                 ds.delta, 0.0, bsdf_pdf(sp, wi_l, wo_l, present)
             )

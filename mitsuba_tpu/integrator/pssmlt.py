@@ -228,6 +228,8 @@ def render_pssmlt(scene, spp=None, seed=0, pack=None, chains=None):
     p_large = integ.p_large if integ.p_large > 0 else 0.3
 
     n_chains = chains or min(1 << 17, n_px)
+    # chain control/mutation draws live in their own stream (core/rng.py)
+    seed_mlt = rng.stream_seed(seed, rng.STREAM_MLT)
 
     trace = jax.jit(
         lambda U: path_from_primary(pack, integ, cam, w, h, U)
@@ -242,7 +244,7 @@ def render_pssmlt(scene, spp=None, seed=0, pack=None, chains=None):
             jnp.arange(n_chains * D, dtype=jnp.uint32) // D,
             jnp.arange(n_chains * D, dtype=jnp.uint32) % D,
             jnp.uint32(7000 + b),
-            seed,
+            seed_mlt,
         )[:, 0].reshape(n_chains, D)
         _, L = trace(U)
         boot_lum.append(np.asarray(luminance(L)))
@@ -267,7 +269,7 @@ def render_pssmlt(scene, spp=None, seed=0, pack=None, chains=None):
                 jnp.arange(n_chains * D, dtype=jnp.uint32) // D,
                 jnp.arange(n_chains * D, dtype=jnp.uint32) % D,
                 jnp.uint32(7000 + b),
-                seed,
+                seed_mlt,
             )[:, 0]
         ).reshape(n_chains, D)
         U_cur[mask] = Ub[rows]
@@ -283,10 +285,10 @@ def render_pssmlt(scene, spp=None, seed=0, pack=None, chains=None):
     def step(carry, k):
         U_cur, pos_cur, L_cur, I_cur, film = carry
         lanes = jnp.arange(n_chains, dtype=jnp.uint32)
-        u_ctl = rng.rand4(lanes, k, 1, seed ^ 0xA5A5)
+        u_ctl = rng.rand4(lanes, k, 1, seed_mlt)
         # per-dim mutation randomness
         dim_l = jnp.arange(n_chains * D, dtype=jnp.uint32)
-        um = rng.rand4(dim_l, k, 2, seed ^ 0x5A5A)
+        um = rng.rand4(dim_l, k, 2, seed_mlt)
         u_mut = um[:, 0].reshape(n_chains, D)
         u_sign = um[:, 1].reshape(n_chains, D)
         u_fresh = um[:, 2].reshape(n_chains, D)

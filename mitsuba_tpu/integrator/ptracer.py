@@ -44,6 +44,8 @@ def _sample_emitter_ray(pack, lane, sidx, seed):
     Point lights: uniform sphere direction.
     """
     r = lane.shape[0]
+    # Light-subpath randomness has its own stream (core/rng.py partition)
+    seed = rng.stream_seed(seed, rng.STREAM_LIGHT)
     u = rng.rand4(lane, sidx, 0, seed)
     u2 = rng.rand4(lane, sidx, 1, seed)
 
@@ -237,14 +239,20 @@ def render_ptracer(scene, spp=None, seed=0, pack=None):
             )
 
             # continue the walk (importance transport)
-            u_b = rng.rand4(lane, sidx, depth * _SLOTS + 2, seed)
+            u_b = rng.rand4(
+                lane, sidx, depth * _SLOTS + 2,
+                rng.stream_seed(seed, rng.STREAM_LIGHT),
+            )
             bs = bsdf_sample(sp, wi_l, u_b[..., :2], u_b[..., 2], present)
             beta = beta * jnp.where(active[..., None], bs.weight, 1.0)
             d_new = frame.to_world(bs.wo)
             o_new = _path._offset_ray(its.p, its.ng, d_new)
             active = active & (jnp.max(beta, axis=-1) > 0)
 
-            u_r = rng.rand4(lane, sidx, depth * _SLOTS + 3, seed)[..., 0]
+            u_r = rng.rand4(
+                lane, sidx, depth * _SLOTS + 3,
+                rng.stream_seed(seed, rng.STREAM_LIGHT),
+            )[..., 0]
             q = jnp.minimum(jnp.max(beta, axis=-1) * 0.0 + 0.95, 0.95)
             do_rr = depth + 1 >= rr_depth
             keep = jnp.where(do_rr, u_r < q, True)

@@ -45,7 +45,13 @@ _SLOT_TRANS = 5
 
 def _attenuated_visibility(pack, p, d, dist, med, lane, sidx, slot, seed):
     """Visibility * transmittance along a shadow segment, passing through
-    `null`-BSDF boundaries and accumulating per-medium transmittance."""
+    `null`-BSDF boundaries and accumulating per-medium transmittance.
+
+    Truncation: at most SHADOW_SEGMENTS null boundaries are crossed; a
+    lane still marching after the last iteration keeps the transmittance
+    accumulated so far and treats the remainder as transparent (a small
+    brightening bias on >SHADOW_SEGMENTS nested interfaces, preferred
+    over silently zeroing such NEE contributions — ADVICE r1)."""
     r = p.shape[0]
     tr = jnp.ones((r, 3), jnp.float32)
     o = p
@@ -62,9 +68,7 @@ def _attenuated_visibility(pack, p, d, dist, med, lane, sidx, slot, seed):
 
         its = fill_interaction(pack, o, d, hit)
         is_null = pack.mat_type[jnp.maximum(its.mat, 0)] == NULL_BSDF
-        blocked = marching & hit.valid & (
-            ~is_null | (k == SHADOW_SEGMENTS - 1)
-        )
+        blocked = marching & hit.valid & ~is_null
         tr = jnp.where(blocked[..., None], 0.0, tr)
 
         passing = marching & hit.valid & is_null & ~blocked

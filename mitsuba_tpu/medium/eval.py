@@ -125,6 +125,9 @@ def sample_distance(pack, med, o, d, t_max, u3, lane, sidx, slot, seed):
     if het_id >= 0:
         sigma_max = jnp.float32(max(pack.meta["het_sigma_max"], 1e-9))
         is_het = med == het_id
+        # Tracking randomness lives in its own stream so per-step slots
+        # can never alias integrator-loop or camera slots (ADVICE r1).
+        seed_t = rng.stream_seed(seed, rng.STREAM_MEDIUM_DIST)
 
         def cond(s):
             t, alive, step, _ = s
@@ -132,7 +135,9 @@ def sample_distance(pack, med, o, d, t_max, u3, lane, sidx, slot, seed):
 
         def body(s):
             t, alive, step, hit_real = s
-            u = rng.rand2(lane, sidx, slot * 1024 + 64 + step, seed)
+            u = rng.rand2(
+                lane, sidx, slot * MAX_TRACKING_STEPS + step, seed_t
+            )
             t_new = t - jnp.log(jnp.maximum(1.0 - u[..., 0], 1e-20)) / sigma_max
             beyond = t_new >= t_max
             dens = _het_density(pack, o + d * t_new[..., None])
@@ -178,6 +183,7 @@ def transmittance(pack, med, o, d, dist, lane, sidx, slot, seed):
     if het_id >= 0:
         sigma_max = jnp.float32(max(pack.meta["het_sigma_max"], 1e-9))
         is_het = med == het_id
+        seed_t = rng.stream_seed(seed, rng.STREAM_MEDIUM_TRANS)
 
         def cond(s):
             t, w, alive, step = s
@@ -185,7 +191,9 @@ def transmittance(pack, med, o, d, dist, lane, sidx, slot, seed):
 
         def body(s):
             t, w, alive, step = s
-            u = rng.rand1(lane, sidx, slot * 1024 + 512 + step, seed)
+            u = rng.rand1(
+                lane, sidx, slot * MAX_TRACKING_STEPS + step, seed_t
+            )
             t_new = t - jnp.log(jnp.maximum(1.0 - u, 1e-20)) / sigma_max
             beyond = t_new >= dist
             dens = _het_density(pack, o + d * t_new[..., None])

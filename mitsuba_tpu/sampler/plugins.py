@@ -50,7 +50,7 @@ class SamplerRecord:
             ny = max(1, spp // nx)
             n = nx * ny
             idx = sample_idx % n
-            jit = rng.rand2(lane, sample_idx, 0, self.seed)
+            jit = rng.rand2(lane, sample_idx, 0, self._seed())
             cx = (idx % nx).astype(jnp.float32)
             cy = (idx // nx).astype(jnp.float32)
             return jnp.stack(
@@ -86,16 +86,21 @@ class SamplerRecord:
             )
             y = _radical_inverse_base3(i, lane, self.seed)
             return jnp.stack([x, y], axis=-1)
-        return rng.rand2(lane, sample_idx, 0, self.seed)
+        return rng.rand2(lane, sample_idx, 0, self._seed())
+
+    def _seed(self):
+        # Sampler-owned draws live in their own stream so slot integers
+        # can never alias integrator decisions (see core/rng.py partition).
+        return rng.stream_seed(self.seed, rng.STREAM_CAMERA)
 
     def next1d(self, lane, sample_idx, slot):
-        return rng.rand1(lane, sample_idx, slot, self.seed)
+        return rng.rand1(lane, sample_idx, slot, self._seed())
 
     def next2d(self, lane, sample_idx, slot):
-        return rng.rand2(lane, sample_idx, slot, self.seed)
+        return rng.rand2(lane, sample_idx, slot, self._seed())
 
     def next4d(self, lane, sample_idx, slot):
-        return rng.rand4(lane, sample_idx, slot, self.seed)
+        return rng.rand4(lane, sample_idx, slot, self._seed())
 
 
 def _radical_inverse_base3(i, lane, seed):
@@ -108,7 +113,7 @@ def _radical_inverse_base3(i, lane, seed):
         x = x + (v % 3).astype(jnp.float32) * f
         v = v // 3
         f = f / 3.0
-    rot = rng.rand1(lane, 0, 991, seed)
+    rot = rng.rand1(lane, 0, 991, rng.stream_seed(seed, rng.STREAM_CAMERA))
     return jnp.mod(x + rot, 1.0)
 
 

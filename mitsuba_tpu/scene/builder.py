@@ -210,15 +210,24 @@ def pack_scene(scene) -> ScenePack:
             from mitsuba_tpu.scene.shapes import _uv_sphere, _apply_transform
             from mitsuba_tpu.core.transform import Transform
 
+            base = _uv_sphere(32, 16)
+            # Area-preserving radius correction: the inscribed polyhedron
+            # has slightly less surface area than the analytic sphere the
+            # reference samples, which would dim the light by the same
+            # fraction (radiance is per-area).  Scale the radius so the
+            # tessellated area equals 4*pi*r^2 (ADVICE r1).
+            bp = base.positions
+            bi = base.indices.astype(np.int64)
+            e1 = bp[bi[:, 1]] - bp[bi[:, 0]]
+            e2 = bp[bi[:, 2]] - bp[bi[:, 0]]
+            a_unit = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1).sum()
+            corr = float(np.sqrt(4.0 * np.pi / a_unit))
             for s in sphs:
+                rr = s.radius * corr
                 t = Transform.translate(*s.center) * Transform.scale(
-                    s.radius, s.radius, s.radius
+                    rr, rr, rr
                 )
-                # light spheres need far fewer triangles than visible
-                # geometry (they're sampled, and 16x8 is visually round)
-                meshes.append(
-                    _apply_transform(_uv_sphere(16, 8), t, s.flip_normals)
-                )
+                meshes.append(_apply_transform(base, t, s.flip_normals))
             sphs = []
 
         for s in sphs:

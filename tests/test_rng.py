@@ -88,3 +88,79 @@ def test_sobol_stratification():
     pts = np.asarray(rng.sobol_2d(jnp.arange(n)))
     cells = (pts[:, 0] * 16).astype(int) * 16 + (pts[:, 1] * 16).astype(int)
     assert len(set(cells.tolist())) == n
+
+
+def test_rand4_component_independence():
+    """Components of ONE rand4 output drive different decisions (e.g.
+    NEE xyz + RR w share a hash call), so pairwise independence across
+    components is a hard requirement (ADVICE r1)."""
+    n = 200_000
+    u = np.asarray(rng.rand4(jnp.arange(n), 9, 123, 0))
+    for i in range(4):
+        for j in range(i + 1, 4):
+            corr = np.corrcoef(u[:, i], u[:, j])[0, 1]
+            assert abs(corr) < 0.01, (i, j, corr)
+            # 2D chi-square on the binned joint distribution
+            k = 16
+            hist, _, _ = np.histogram2d(
+                u[:, i], u[:, j], bins=k, range=[[0, 1], [0, 1]]
+            )
+            expected = n / (k * k)
+            stat = ((hist - expected) ** 2 / expected).sum()
+            p = _chi2.sf(stat, k * k - 1)
+            assert p > 1e-4, (i, j, stat, p)
+
+
+def test_stream_partition_distinct():
+    """Every RNG stream tag must map a given user seed to a distinct
+    seed word — the global slot partition rests on this."""
+    streams = [
+        rng.STREAM_PATH,
+        rng.STREAM_CAMERA,
+        rng.STREAM_MEDIUM_DIST,
+        rng.STREAM_MEDIUM_TRANS,
+        rng.STREAM_LIGHT,
+        rng.STREAM_MLT,
+    ]
+    assert len(set(streams)) == len(streams)
+    for seed in (0, 1, 12345, 0xFFFFFF):
+        words = [int(rng.stream_seed(seed, s)) for s in streams]
+        assert len(set(words)) == len(words), (seed, words)
+        # user seeds stay below bit 28, so tags can't alias across seeds
+        assert all((w >> 28) == s for w, s in zip(words, streams))
+
+
+def test_stream_partition_no_cross_stream_collisions():
+    """The concrete round-1 bugs: camera jitter slot 0 must differ from
+    volpath distance-sampling slot 0; heterogeneous tracking draws must
+    differ from main-loop draws at every (event, step) combination."""
+    n = 4096
+    lanes = jnp.arange(n)
+    jitter = np.asarray(
+        rng.rand2(lanes, 0, 0, rng.stream_seed(0, rng.STREAM_CAMERA))
+    )
+    dist0 = np.asarray(rng.rand2(lanes, 0, 0, 0))  # volpath u4(0, SLOT_DIST)
+    assert (jitter != dist0).any(axis=-1).all()
+
+    # tracking slot space: event * MAX_TRACKING_STEPS + step, own stream
+    from mitsuba_tpu.medium.eval import MAX_TRACKING_STEPS
+
+    main = {}
+    for event in range(0, 96):
+        for slot in range(8):
+            main[(event * 8 + slot, 0)] = ("path", event, slot)
+    for event in range(0, 96):
+        for step in (0, 1, MAX_TRACKING_STEPS - 1):
+            key = (
+                event * MAX_TRACKING_STEPS + step,
+                int(rng.stream_seed(0, rng.STREAM_MEDIUM_DIST)),
+            )
+            assert key not in main, key
+            main[key] = ("dist", event, step)
+    for base in range(0, 96 * 8):
+        for step in (0, MAX_TRACKING_STEPS - 1):
+            key = (
+                base * MAX_TRACKING_STEPS + step,
+                int(rng.stream_seed(0, rng.STREAM_MEDIUM_TRANS)),
+            )
+            assert key not in main, key
