@@ -150,6 +150,10 @@ def path_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
             contributes = active & (jnp.max(ds.value, axis=-1) > 0) & (
                 jnp.max(f, axis=-1) > 0
             )
+            # NEE creates a (depth+2)-edge path; the reference only
+            # samples it while depth < maxDepth (path.cpp:157 break
+            # before direct sampling)
+            contributes = contributes & (depth + 2 <= max_depth)
             o_sh = _offset_ray(its.p, its.ng, ds.d)
             shadow_t = jnp.where(
                 ds.dist >= em.ENV_DIST, 1e7, ds.dist * (1.0 - SHADOW_EPS)
@@ -343,7 +347,8 @@ def path_trace_regen(
                 ds.delta, 0.0, bsdf_pdf(sp, wi_l, wo_l, present)
             )
             w_nee = jnp.where(ds.delta, 1.0, mi_weight(ds.pdf, b_pdf))
-            contributes = active & ~occ
+            # reference maxDepth gate (see path_trace)
+            contributes = active & ~occ & (depth + 2 <= max_depth)
             L = L + jnp.where(
                 contributes[..., None],
                 thr * ds.value * f * w_nee[..., None],

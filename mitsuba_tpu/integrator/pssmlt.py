@@ -140,8 +140,9 @@ def path_from_primary(pack, integ, cam, w, h, U):
                 ds.delta, 0.0, bsdf_pdf(sp, wi_l, wo_l, present)
             )
             w_nee = jnp.where(ds.delta, 1.0, _path.mi_weight(ds.pdf, b_pdf))
+            # reference maxDepth gate (see path_trace)
             L = L + jnp.where(
-                (active & ~occ)[..., None],
+                (active & ~occ & (depth + 2 <= max_depth))[..., None],
                 thr * ds.value * f * w_nee[..., None],
                 0.0,
             )

@@ -229,7 +229,9 @@ def volpath_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
             )
             other_pdf = jnp.where(ds.delta, 0.0, other_pdf)
             w_nee = jnp.where(ds.delta, 1.0, _path.mi_weight(ds.pdf, other_pdf))
-            contributes = medium_evt | (surface_evt & its.valid)
+            contributes = (medium_evt | (surface_evt & its.valid)) & (
+                depth + 2 <= max_depth  # reference maxDepth gate
+            )
             L = L + jnp.where(
                 contributes[..., None],
                 thr * ds.value * tr * f * w_nee[..., None],
