@@ -251,6 +251,66 @@ def _bvh_traverse(pack, o, d, t_max):
     return best_t, best_prim, best_u, best_v
 
 
+def _bvh_traverse_any(pack, o, d, t_max):
+    """Any-hit shadow traversal: a lane terminates on its FIRST hit
+    (node jumps past the end), so shadow rays don't pay closest-hit
+    (= the reference's shadowRay path, sahkdtree3.h rayIntersect<true>)."""
+    r = o.shape[0]
+    end = pack.bvh_skip.shape[0]
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, 1e-20, d)
+    t_max = jnp.broadcast_to(t_max, (r,)).astype(jnp.float32)
+
+    def cond(state):
+        node, _ = state
+        return jnp.any(node < end)
+
+    def step(state):
+        node, occ = state
+        active = node < end
+        ni = jnp.minimum(node, end - 1)
+
+        lo = pack.bvh_lo[ni]
+        hi = pack.bvh_hi[ni]
+        first = pack.bvh_first[ni]
+        count = pack.bvh_count[ni]
+        skip = pack.bvh_skip[ni]
+
+        t0 = (lo - o) * inv_d
+        t1 = (hi - o) * inv_d
+        tn = jnp.minimum(t0, t1).max(axis=-1)
+        tf = jnp.maximum(t0, t1).min(axis=-1)
+        box_hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < t_max)
+
+        is_leaf = count > 0
+        tidx = first[:, None] + jnp.arange(LEAF_SIZE, dtype=jnp.int32)[None]
+        tidx = jnp.where(
+            jnp.arange(LEAF_SIZE)[None] < count[:, None],
+            tidx,
+            pack.tri_v0.shape[0] - 1,
+        )
+        do_leaf = box_hit & is_leaf & active
+        hit, _, _, _ = _moller_trumbore(
+            o[:, None, :],
+            d[:, None, :],
+            pack.tri_v0[tidx],
+            pack.tri_e1[tidx],
+            pack.tri_e2[tidx],
+            t_max[:, None],
+        )
+        found = jnp.any(hit & do_leaf[:, None], axis=-1)
+        occ = occ | found
+
+        descend = box_hit & ~is_leaf
+        nxt = jnp.where(descend, ni + 1, skip)
+        nxt = jnp.where(found, end, nxt)  # early exit on first hit
+        node = jnp.where(active, nxt, node)
+        return node, occ
+
+    init = (jnp.zeros((r,), jnp.int32), jnp.zeros((r,), bool))
+    _, occ = jax.lax.while_loop(cond, step, init)
+    return occ
+
+
 def _use_pallas():
     import jax
 
@@ -306,8 +366,10 @@ def occluded(pack, o, d, t_max) -> jnp.ndarray:
 
     t_max must already be shortened by the caller's epsilon.
     """
-    if pack.n_tris > 0 and not pack.use_bvh:
-        if _use_pallas():
+    if pack.n_tris > 0:
+        if pack.use_bvh:
+            occ = _bvh_traverse_any(pack, o, d, t_max)
+        elif _use_pallas():
             from mitsuba_tpu.accel import pallas_kernels as pk
 
             occ = pk.any_hit_v2(o, d, t_max, pack.tri_s)

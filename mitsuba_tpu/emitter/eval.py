@@ -184,12 +184,18 @@ def sample_direct(pack, p_ref, u3):
     u_sel = u3[..., 0]
     u2 = u3[..., 1:3]
 
-    # emitter selection with sample reuse (reference pmf.h sampleReuse)
-    e = jnp.clip(
-        jnp.searchsorted(pack.emitter_cdf, u_sel, side="right") - 1,
-        0,
-        pack.emitter_pmf.shape[0] - 1,
-    )
+    kinds = pack.meta.get("emitter_kinds", None)
+
+    # emitter selection with sample reuse (reference pmf.h sampleReuse);
+    # single-emitter scenes skip the search entirely (STATIC meta)
+    if pack.meta["n_emitters"] == 1:
+        e = jnp.zeros((r,), jnp.int32)
+    else:
+        e = jnp.clip(
+            jnp.searchsorted(pack.emitter_cdf, u_sel, side="right") - 1,
+            0,
+            pack.emitter_pmf.shape[0] - 1,
+        )
     pmf = pack.emitter_pmf[e]
 
     kind = pack.em_kind[e]
@@ -258,41 +264,49 @@ def sample_direct(pack, p_ref, u3):
         )
         put(kind == AREA, d_a, dist_a, pdf_a, val_a, False, ng)
 
-    # ---- point ----
-    to_l = pack.em_pos[e] - p_ref
-    dist_p = mm.length(to_l)
-    d_p = to_l / jnp.maximum(dist_p, 1e-12)[..., None]
-    inv_d2 = 1.0 / jnp.maximum(dist_p * dist_p, 1e-12)
-    val_p = rgb * (inv_d2 / jnp.maximum(pmf, 1e-12))[..., None]
-    put(kind == POINT, d_p, dist_p, pmf, val_p, True)
+    # per-kind branches are STATICALLY gated on the scene's emitter set
+    # (meta emitter_kinds) — masked dead branches are not free on TPU
+    if kinds is None or POINT in kinds or SPOT in kinds:
+        # ---- point ----
+        to_l = pack.em_pos[e] - p_ref
+        dist_p = mm.length(to_l)
+        d_p = to_l / jnp.maximum(dist_p, 1e-12)[..., None]
+        inv_d2 = 1.0 / jnp.maximum(dist_p * dist_p, 1e-12)
+        val_p = rgb * (inv_d2 / jnp.maximum(pmf, 1e-12))[..., None]
+        put(kind == POINT, d_p, dist_p, pmf, val_p, True)
 
-    # ---- spot: linear falloff between beamWidth and cutoff ----
-    cos_f = -mm.dot(d_p, pack.em_dir[e])
-    cc = pack.em_cos_cutoff[e]
-    cb = pack.em_cos_beam[e]
-    fall = jnp.clip((cos_f - cc) / jnp.maximum(cb - cc, 1e-6), 0.0, 1.0)
-    fall = jnp.where(cos_f >= cb, 1.0, fall)
-    fall = jnp.where(cos_f <= cc, 0.0, fall)
-    val_s = val_p * fall[..., None]
-    put(kind == SPOT, d_p, dist_p, pmf, val_s, True)
+        # ---- spot: linear falloff between beamWidth and cutoff ----
+        cos_f = -mm.dot(d_p, pack.em_dir[e])
+        cc = pack.em_cos_cutoff[e]
+        cb = pack.em_cos_beam[e]
+        fall = jnp.clip((cos_f - cc) / jnp.maximum(cb - cc, 1e-6), 0.0, 1.0)
+        fall = jnp.where(cos_f >= cb, 1.0, fall)
+        fall = jnp.where(cos_f <= cc, 0.0, fall)
+        val_s = val_p * fall[..., None]
+        put(kind == SPOT, d_p, dist_p, pmf, val_s, True)
 
-    # ---- directional ----
-    d_dir = -pack.em_dir[e]
-    val_d = rgb / jnp.maximum(pmf, 1e-12)[..., None]
-    put(
-        kind == DIRECTIONAL,
-        jnp.broadcast_to(d_dir, (r, 3)),
-        jnp.full((r,), ENV_DIST),
-        pmf,
-        val_d,
-        True,
-    )
+    if kinds is None or DIRECTIONAL in kinds or COLLIMATED in kinds:
+        # ---- directional ----
+        d_dir = -pack.em_dir[e]
+        val_d = rgb / jnp.maximum(pmf, 1e-12)[..., None]
+        put(
+            kind == DIRECTIONAL,
+            jnp.broadcast_to(d_dir, (r, 3)),
+            jnp.full((r,), ENV_DIST),
+            pmf,
+            val_d,
+            True,
+        )
 
-    # ---- constant env ----
-    d_c = warp.square_to_uniform_sphere(u2)
-    pdf_c = pmf * INV_FOURPI
-    val_c = rgb / jnp.maximum(pdf_c, 1e-12)[..., None]
-    put(kind == CONSTANT, d_c, jnp.full((r,), ENV_DIST), pdf_c, val_c, False)
+    if kinds is None or CONSTANT in kinds:
+        # ---- constant env ----
+        d_c = warp.square_to_uniform_sphere(u2)
+        pdf_c = pmf * INV_FOURPI
+        val_c = rgb / jnp.maximum(pdf_c, 1e-12)[..., None]
+        put(
+            kind == CONSTANT, d_c, jnp.full((r,), ENV_DIST), pdf_c, val_c,
+            False,
+        )
 
     # ---- envmap ----
     if pack.has_envmap:

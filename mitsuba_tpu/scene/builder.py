@@ -648,6 +648,9 @@ def pack_scene(scene) -> ScenePack:
             len(emitters) > env_idx and emitters[env_idx].kind == ENVMAP
         ),
         "has_area": any(r.kind == AREA for r in emitters),
+        "all_area_emitters": bool(emitters)
+        and all(r.kind == AREA for r in emitters),
+        "emitter_kinds": tuple(sorted({r.kind for r in emitters})),
         "has_delta_emitters": any(r.is_delta() for r in emitters),
         "n_area_tris": int(at_cursor),
         "has_textures": len(textures) > 0,
