@@ -95,7 +95,7 @@ def make_sharded_render_pass(
             x = (lane % w).astype(jnp.float32) + jitter[..., 0]
             y = (lane // w).astype(jnp.float32) + jitter[..., 1]
             pos01 = jnp.stack([x / w, y / h], axis=-1)
-            u_lens = sampler_rec.next2d(lane, sidx, 1009)
+            u_lens = sampler_rec.lens_sample(lane, sidx)
             return generate_rays(cam, pos01, u_lens)
 
         # layers beyond the requested spp contribute nothing
@@ -125,7 +125,7 @@ def make_sharded_render_pass(
         x = (lane % w).astype(jnp.float32) + jitter[..., 0]
         y = (lane // w).astype(jnp.float32) + jitter[..., 1]
         pos01 = jnp.stack([x / w, y / h], axis=-1)
-        u_lens = sampler_rec.next2d(lane, sidx, 1009)
+        u_lens = sampler_rec.lens_sample(lane, sidx)
         o, d = generate_rays(cam, pos01, u_lens)
         L = trace(pack, integ, o, d, lane, sidx, sampler_rec, seed)
 

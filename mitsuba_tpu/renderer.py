@@ -33,7 +33,7 @@ def _ensure_volpath_loaded():
 
 def make_render_pass(
     pack, integ, sensor_rec, film_rec, sampler_rec, spp_chunk,
-    with_stats=False,
+    with_stats=False, band_rows_arg=None,
 ):
     """Build the jitted one-pass render function.
 
@@ -114,7 +114,7 @@ def make_render_pass(
                 x = (lane % w).astype(jnp.float32) + jitter[..., 0]
                 y = (lane // w).astype(jnp.float32) + jitter[..., 1]
                 pos01 = jnp.stack([x / w, y / h], axis=-1)
-                u_lens = sampler_rec.next2d(lane, sidx, 1009)
+                u_lens = sampler_rec.lens_sample(lane, sidx)
                 return generate_rays(cam, pos01, u_lens)
 
             L_sum, n_done, n_rays = path_trace_regen(
@@ -131,13 +131,26 @@ def make_render_pass(
 
         return render_pass
 
-    def render_pass(film, sample_base, seed):
-        # lanes: [spp_chunk, n_px] — grid-aligned so the splat is dense
-        px = jnp.arange(n_px, dtype=jnp.uint32)
-        lane = jnp.broadcast_to(px[None, :], (spp_chunk, n_px))
+    def render_pass(film, sample_base, seed, row0=None):
+        # lanes: [spp_chunk, band_px] — grid-aligned so the splat is
+        # dense.  With `row0` (banded mode, media scenes) the pass
+        # renders `band_rows` film rows starting at that row; lane ids
+        # stay GLOBAL pixel ids, so banded output is bit-identical to a
+        # whole-frame pass (counter RNG keyed on lane).
+        if row0 is None:
+            band_rows, base_px = h, jnp.int32(0)
+        else:
+            # row0 may be negative (filter halo above the frame)
+            band_rows = band_rows_static
+            base_px = jnp.asarray(row0, jnp.int32) * jnp.int32(w)
+        band_px = band_rows * w
+        px_i = base_px + jnp.arange(band_px, dtype=jnp.int32)
+        in_frame = (px_i >= 0) & (px_i < n_px)
+        px = jnp.clip(px_i, 0, n_px - 1).astype(jnp.uint32)
+        lane = jnp.broadcast_to(px[None, :], (spp_chunk, band_px))
         sidx = sample_base + jnp.arange(spp_chunk, dtype=jnp.uint32)[:, None]
         lane = lane.reshape(-1)
-        sidx = jnp.broadcast_to(sidx, (spp_chunk, n_px)).reshape(-1)
+        sidx = jnp.broadcast_to(sidx, (spp_chunk, band_px)).reshape(-1)
 
         jitter = sampler_rec.pixel_sample(
             lane, sidx, sampler_rec.sample_count
@@ -145,20 +158,26 @@ def make_render_pass(
         x = (lane % w).astype(jnp.float32) + jitter[..., 0]
         y = (lane // w).astype(jnp.float32) + jitter[..., 1]
         pos01 = jnp.stack([x / w, y / h], axis=-1)
-        u_lens = sampler_rec.next2d(lane, sidx, 1009)
+        u_lens = sampler_rec.lens_sample(lane, sidx)
         o, d = generate_rays(cam, pos01, u_lens)
 
         L = trace(pack, integ, o, d, lane, sidx, sampler_rec, seed)
+        valid = jnp.broadcast_to(
+            in_frame[None, :], (spp_chunk, band_px)
+        ).reshape(spp_chunk, band_rows, w)
         film = splat_grid(
             film,
-            jitter.reshape(spp_chunk, h, w, 2),
-            L.reshape(spp_chunk, h, w, 3),
+            jitter.reshape(spp_chunk, band_rows, w, 2),
+            L.reshape(spp_chunk, band_rows, w, 3),
             rfilter,
+            valid=valid if row0 is not None else None,
         )
         if with_stats:
             rays = getattr(trace, "last_ray_count", jnp.float32(0.0))
             return film, rays
         return film
+
+    band_rows_static = band_rows_arg
 
     return render_pass
 
@@ -183,9 +202,20 @@ def render(
     sampler_rec = sensor_rec.sampler
     integ = scene.integrator
 
-    if integ.kind in ("pssmlt", "mlt", "erpt", "ptracer"):
+    if integ.kind in (
+        "pssmlt", "mlt", "erpt", "ptracer", "bdpt",
+        "sppm", "ppm", "photonmapper",
+    ):
         # integrators with their own orchestration
-        if integ.kind == "ptracer":
+        if integ.kind == "bdpt":
+            from mitsuba_tpu.integrator.bdpt import render_bdpt
+
+            img = render_bdpt(scene, spp=spp, seed=seed, pack=pack)
+        elif integ.kind in ("sppm", "ppm", "photonmapper"):
+            from mitsuba_tpu.integrator.sppm import render_sppm
+
+            img = render_sppm(scene, spp=spp, seed=seed, pack=pack)
+        elif integ.kind == "ptracer":
             from mitsuba_tpu.integrator.ptracer import render_ptracer
 
             img = render_ptracer(scene, spp=spp, seed=seed, pack=pack)
@@ -205,6 +235,51 @@ def render(
     lanes = lanes_per_pass or int(
         os.environ.get("MTS_TPU_LANES_PER_PASS", DEFAULT_LANES_PER_PASS)
     )
+
+    # Media scenes: heterogeneous tracking makes a lane far more
+    # expensive, and single XLA executions past ~60 s can kill the TPU
+    # tunnel worker (CLAUDE.md) — tile the film into row bands so each
+    # execution stays small.  Lane ids stay global: banded output is
+    # bit-identical to the whole-frame pass.
+    media_lanes = int(os.environ.get("MTS_TPU_MEDIA_LANES", 1 << 16))
+    if pack.meta.get("has_media", False) and w * h > media_lanes:
+        # halo so filter footprints crossing band edges stay complete —
+        # banded output matches the whole-frame pass exactly
+        rad = film_rec.rfilter.radius
+        pad = max(int(math.ceil(0.5 + rad)) - 1, 0)
+        hb = max(media_lanes // w - 2 * pad, 8)
+        hbe = hb + 2 * pad
+        n_bands = math.ceil(h / hb)
+        spp_chunk = max(1, min(spp, max(media_lanes // (hbe * w), 1)))
+        n_passes = math.ceil(spp / spp_chunk)
+        rp = jax.jit(
+            make_render_pass(
+                pack, integ, sensor_rec, film_rec, sampler_rec,
+                spp_chunk, band_rows_arg=hbe,
+            ),
+            donate_argnums=(0,),
+        )
+        rows = []
+        for b in range(n_bands):
+            band = new_film(hbe, w)
+            base = 0
+            for i in range(n_passes):
+                band = rp(
+                    band, jnp.uint32(base), jnp.uint32(seed),
+                    jnp.int32(b * hb - pad),
+                )
+                base += spp_chunk
+                if progress:
+                    band.block_until_ready()
+                    progress(b * n_passes + i + 1, n_bands * n_passes)
+            rows.append(band[pad:pad + hb])
+        film = jnp.concatenate(rows, axis=0)[:h]
+        img = develop(film)
+        img.block_until_ready()
+        if return_film:
+            return np.asarray(img), film
+        return np.asarray(img)
+
     spp_chunk = max(1, min(spp, lanes // (w * h)))
     n_passes = math.ceil(spp / spp_chunk)
 
