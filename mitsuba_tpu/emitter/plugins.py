@@ -198,42 +198,90 @@ class EnvMapEmitter(_EmitterBase):
         self.record.scale = props.get_float("scale", 1.0)
 
 
-def _sky_average_radiance(props):
-    """Very rough stand-in for the Hosek-Wilkie model — returns a sky-blue
-    radiance scaled by turbidity (full model planned)."""
-    scale = props.get_float("scale", 1.0)
-    return np.array([0.22, 0.38, 0.65], np.float32) * 20.0 * scale
+def _sun_direction(props):
+    """sunDirection property, or computed from date/time/location like
+    the reference (src/emitters/sunsky/sun.cpp configure)."""
+    from mitsuba_tpu.emitter.sky import sun_direction_from_time
+
+    d = props.get_vector("sunDirection", None)
+    if d is not None:
+        d = np.asarray(d, np.float64)
+        return d / np.linalg.norm(d)
+    return sun_direction_from_time(
+        int(props.get_int("year", 2010)),
+        int(props.get_int("month", 7)),
+        int(props.get_int("day", 10)),
+        props.get_float("hour", 15.0)
+        + props.get_float("minute", 0.0) / 60.0,
+        props.get_float("latitude", 35.6894),
+        props.get_float("longitude", 139.6917),
+        props.get_float("timezone", 9.0),
+    )
+
+
+class _SkyBase(_EmitterBase):
+    """Analytic Preetham daylight baked to a lat-long env map
+    (= reference sky.cpp, which also rasterizes to a bitmap for
+    sampling; the Hosek-Wilkie dataset model is a planned upgrade)."""
+
+    kind = ENVMAP
+    _with_sun = False
+
+    def _finish(self, props):
+        from mitsuba_tpu.emitter.sky import preetham_sky_image
+
+        sun_dir = _sun_direction(props)
+        scale = props.get_float("scale", 1.0)
+        self.record.env_image = preetham_sky_image(
+            props.get_float("turbidity", 3.0),
+            sun_dir,
+            resolution=int(props.get_int("resolution", 512)) // 2,
+            sky_scale=props.get_float("skyScale", 1.0) * scale,
+            sun_scale=props.get_float("sunScale", 1.0) * scale,
+            with_sun=self._with_sun,
+            ground_albedo=float(
+                np.mean(
+                    props.get_spectrum(
+                        "groundAlbedo", np.full(3, 0.15, np.float32)
+                    )
+                )
+            ),
+        )
 
 
 @register("emitter", "sky")
-class SkyEmitter(_EmitterBase):
-    """PLACEHOLDER for reference src/emitters/sunsky/sky.cpp (Hosek-Wilkie).
-    Currently a constant emitter with sky-like average radiance; the
-    analytic model is planned."""
+class SkyEmitter(_SkyBase):
+    """reference: src/emitters/sunsky/sky.cpp (Preetham variant)."""
 
-    kind = CONSTANT
+    _with_sun = False
 
-    def _finish(self, props):
-        self.record.radiance = _sky_average_radiance(props)
+
+@register("emitter", "sunsky")
+class SunSkyEmitter(_SkyBase):
+    """reference: src/emitters/sunsky/sunsky.cpp — sky + the solar disk
+    baked into the same map (the luminance CDF importance-samples it)."""
+
+    _with_sun = True
 
 
 @register("emitter", "sun")
 class SunEmitter(_EmitterBase):
-    """PLACEHOLDER for src/emitters/sunsky/sun.cpp — directional sun."""
+    """reference: src/emitters/sunsky/sun.cpp — directional sun with
+    Preetham atmospheric transmittance."""
 
     kind = DIRECTIONAL
 
     def _finish(self, props):
-        scale = props.get_float("scale", 1.0)
-        self.record.irradiance = (
-            np.array([1.0, 0.95, 0.9], np.float32) * 500.0 * scale
+        from mitsuba_tpu.emitter.sky import sun_irradiance_rgb
+
+        scale = props.get_float("scale", 1.0) * props.get_float(
+            "sunScale", 1.0
         )
-        d = props.get_vector("sunDirection", np.array([0.0, 0.3, 1.0]))
-        self.record.direction = (
-            -np.asarray(d, np.float64) / np.linalg.norm(d)
+        sun_dir = _sun_direction(props)
+        turb = props.get_float("turbidity", 3.0)
+        self.record.irradiance = (
+            sun_irradiance_rgb(sun_dir[1], turb)
+            * max(sun_dir[1], 0.0)  # irradiance on the ground plane
+            * scale
         ).astype(np.float32)
-
-
-@register("emitter", "sunsky")
-class SunSkyEmitter(SkyEmitter):
-    pass
+        self.record.direction = (-sun_dir).astype(np.float32)

@@ -95,3 +95,64 @@ def test_direct_sampling_value_matches_analytic():
     integrand = 5.0 * (3.0 / np.sqrt(d2)) * (3.0 / np.sqrt(d2)) / d2
     ref = integrand.mean() * 4.0  # area of the plate
     assert abs(est / ref - 1.0) < 0.02, (est, ref)
+
+
+def test_preetham_sky_model():
+    """Preetham sky: blue zenith, bright near sun, energy-conserving
+    baked solar disk (reference src/emitters/sunsky)."""
+    import math
+    import numpy as np
+    from mitsuba_tpu.emitter.sky import (
+        preetham_sky_image, sun_direction_from_time, sun_irradiance_rgb,
+    )
+
+    s = np.array([0.3, 0.8, 0.2])
+    s /= np.linalg.norm(s)
+    img = preetham_sky_image(3.0, s, resolution=96)
+    assert np.isfinite(img).all() and (img >= 0).all()
+    zen = img[1].mean(axis=0)
+    hor = img[45].mean(axis=0)
+    assert zen[2] / zen[0] > hor[2] / hor[0]  # zenith relatively bluer
+
+    # baked sun disk integrates to the analytic direct irradiance
+    img_sun = preetham_sky_image(3.0, s, resolution=96, with_sun=True)
+    h, w = img.shape[:2]
+    theta = (np.arange(h) + 0.5) / h * math.pi
+    omega = (
+        np.sin(theta)[:, None] * (math.pi / h) * (2 * math.pi / w)
+        * np.ones((1, w))
+    )
+    E = ((img_sun - img) * omega[..., None]).sum(axis=(0, 1))
+    assert np.allclose(E, sun_irradiance_rgb(s[1], 3.0), rtol=0.02)
+
+
+def test_solar_position():
+    import numpy as np
+    from mitsuba_tpu.emitter.sky import sun_direction_from_time
+
+    noon = sun_direction_from_time(2010, 7, 10, 12.0, 35.7, 139.7, 9.0)
+    assert noon[1] > 0.7
+    morning = sun_direction_from_time(2010, 7, 10, 6.0, 35.7, 139.7, 9.0)
+    assert morning[1] < 0.3 and morning[0] > 0.3  # low in the east
+    winter = sun_direction_from_time(2010, 12, 21, 12.0, 35.7, 139.7, 9.0)
+    assert 0 < winter[1] < noon[1]
+
+
+def test_sky_plugin_renders():
+    """sky/sunsky load as importance-sampled env maps and light a scene."""
+    import numpy as np
+    from mitsuba_tpu.scene.registry import create
+    from mitsuba_tpu.scene.properties import Properties
+
+    for name in ("sky", "sunsky", "sun"):
+        props = Properties(name)
+        props._values["turbidity"] = 3.0
+        props._values["sunDirection"] = np.array([0.2, 0.8, 0.3])
+        props._values["resolution"] = 128
+        em = create("emitter", name, props)
+        rec = em.record
+        if name == "sun":
+            assert rec.irradiance.sum() > 100.0
+        else:
+            assert rec.env_image is not None
+            assert rec.env_image.shape[1] == rec.env_image.shape[0] * 2
