@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from mitsuba_tpu.accel.bvh import LEAF_SIZE
 from mitsuba_tpu.core import math as mm
+from mitsuba_tpu.core.gather import take_fused
 
 RAY_EPS = 1e-4
 # brute-force triangle tile; [R_tile, 128] tests vectorize on the 8x128 VPU
@@ -132,9 +133,8 @@ def _brute_force(pack, o, d, t_max):
 
     # recompute barycentrics for the single winning triangle per lane
     pi = jnp.maximum(best_prim, 0)
-    _, _, u, v = _moller_trumbore(
-        o, d, pack.tri_v0[pi], pack.tri_e1[pi], pack.tri_e2[pi], jnp.inf
-    )
+    v0, e1, e2 = take_fused(pi, pack.tri_v0, pack.tri_e1, pack.tri_e2)
+    _, _, u, v = _moller_trumbore(o, d, v0, e1, e2, jnp.inf)
     u = jnp.where(best_prim >= 0, u, 0.0)
     v = jnp.where(best_prim >= 0, v, 0.0)
     return best_t, best_prim, u, v
@@ -335,10 +335,10 @@ def intersect(pack, o, d, t_max=jnp.inf) -> Hit:
                 jnp.broadcast_to(t_max, best_t.shape).astype(jnp.float32),
             )
             pi = jnp.maximum(prim, 0)
-            _, _, u, v = _moller_trumbore(
-                o, d, pack.tri_v0[pi], pack.tri_e1[pi], pack.tri_e2[pi],
-                jnp.inf,
+            v0, e1, e2 = take_fused(
+                pi, pack.tri_v0, pack.tri_e1, pack.tri_e2
             )
+            _, _, u, v = _moller_trumbore(o, d, v0, e1, e2, jnp.inf)
             u = jnp.where(prim >= 0, u, 0.0)
             v = jnp.where(prim >= 0, v, 0.0)
         else:
@@ -402,35 +402,46 @@ class SurfaceInteraction(NamedTuple):
 
 def fill_interaction(pack, o, d, hit: Hit) -> SurfaceInteraction:
     """Gather per-hit surface data (= fillIntersectionRecord,
-    reference records.inl)."""
+    reference records.inl).
+
+    All per-triangle attributes come from ONE fused one-hot matmul
+    (core/gather.py) — random gathers are ~1000x more expensive than
+    MXU flops on TPU, and this function was the round-1 hot spot."""
     prim = jnp.maximum(hit.prim, 0)
 
-    # triangle branch
-    v0 = pack.tri_v0[prim]
-    e1 = pack.tri_e1[prim]
-    e2 = pack.tri_e2[prim]
+    # triangle branch — single fused attribute fetch
+    if pack.meta.get("has_media", False):
+        (e1, e2, n0, n1, n2, tuv0, tuv1, tuv2, mat_tri, emit_tri,
+         med_in_t, med_ex_t) = take_fused(
+            prim, pack.tri_e1, pack.tri_e2, pack.tri_n0, pack.tri_n1,
+            pack.tri_n2, pack.tri_uv0, pack.tri_uv1, pack.tri_uv2,
+            pack.tri_mat, pack.tri_emit, pack.tri_med_in, pack.tri_med_ex,
+        )
+    else:
+        (e1, e2, n0, n1, n2, tuv0, tuv1, tuv2, mat_tri, emit_tri) = (
+            take_fused(
+                prim, pack.tri_e1, pack.tri_e2, pack.tri_n0, pack.tri_n1,
+                pack.tri_n2, pack.tri_uv0, pack.tri_uv1, pack.tri_uv2,
+                pack.tri_mat, pack.tri_emit,
+            )
+        )
     w = 1.0 - hit.u - hit.v
-    p_tri = v0 + hit.u[:, None] * e1 + hit.v[:, None] * e2
     ng_tri = mm.normalize(mm.cross(e1, e2))
     ns_tri = mm.normalize(
-        w[:, None] * pack.tri_n0[prim]
-        + hit.u[:, None] * pack.tri_n1[prim]
-        + hit.v[:, None] * pack.tri_n2[prim]
+        w[:, None] * n0 + hit.u[:, None] * n1 + hit.v[:, None] * n2
     )
     uv_tri = (
-        w[:, None] * pack.tri_uv0[prim]
-        + hit.u[:, None] * pack.tri_uv1[prim]
-        + hit.v[:, None] * pack.tri_uv2[prim]
+        w[:, None] * tuv0 + hit.u[:, None] * tuv1 + hit.v[:, None] * tuv2
     )
-    mat_tri = pack.tri_mat[prim]
-    emit_tri = pack.tri_emit[prim]
 
     p = o + hit.t[:, None] * d
 
     if pack.n_spheres > 0:
         sid = prim
-        center = pack.sph_center[sid]
-        ns_sph = mm.normalize(p - center) * pack.sph_flip[sid][:, None]
+        center, flip_s, mat_s, emit_s = take_fused(
+            sid, pack.sph_center, pack.sph_flip, pack.sph_mat, pack.sph_emit
+        )
+        ns_sph = mm.normalize(p - center) * flip_s[:, None]
         theta_phi_n = mm.normalize(p - center)
         theta = mm.safe_acos(theta_phi_n[..., 2])
         phi = jnp.arctan2(theta_phi_n[..., 1], theta_phi_n[..., 0])
@@ -440,8 +451,8 @@ def fill_interaction(pack, o, d, hit: Hit) -> SurfaceInteraction:
         ng = jnp.where(sphere[:, None], ns_sph, ng_tri)
         ns = jnp.where(sphere[:, None], ns_sph, ns_tri)
         uv = jnp.where(sphere[:, None], uv_sph, uv_tri)
-        mat = jnp.where(sphere, pack.sph_mat[sid], mat_tri)
-        emit = jnp.where(sphere, pack.sph_emit[sid], emit_tri)
+        mat = jnp.where(sphere, mat_s, mat_tri)
+        emit = jnp.where(sphere, emit_s, emit_tri)
     else:
         ng, ns, uv, mat, emit = ng_tri, ns_tri, uv_tri, mat_tri, emit_tri
 
@@ -449,14 +460,14 @@ def fill_interaction(pack, o, d, hit: Hit) -> SurfaceInteraction:
     flip = mm.dot(ng, ns) < 0.0
     ng = jnp.where(flip[:, None], -ng, ng)
 
-    del p_tri  # (the ray-parametric point is used for both prim kinds)
-
     if pack.meta.get("has_media", False):
-        med_in = pack.tri_med_in[prim]
-        med_ex = pack.tri_med_ex[prim]
+        med_in, med_ex = med_in_t, med_ex_t
         if pack.n_spheres > 0:
-            med_in = jnp.where(hit.is_sphere, pack.sph_med_in[prim], med_in)
-            med_ex = jnp.where(hit.is_sphere, pack.sph_med_ex[prim], med_ex)
+            med_in_s, med_ex_s = take_fused(
+                prim, pack.sph_med_in, pack.sph_med_ex
+            )
+            med_in = jnp.where(hit.is_sphere, med_in_s, med_in)
+            med_ex = jnp.where(hit.is_sphere, med_ex_s, med_ex)
     else:
         med_in = jnp.full(hit.t.shape, -1, jnp.int32)
         med_ex = med_in

@@ -22,6 +22,7 @@ def np_ceil_log2(n: int) -> int:
 
 from mitsuba_tpu.core import math as mm
 from mitsuba_tpu.core import warp
+from mitsuba_tpu.core.gather import ONEHOT_MAX_ROWS, onehot, take_fused
 from mitsuba_tpu.emitter.plugins import (
     AREA,
     COLLIMATED,
@@ -48,13 +49,25 @@ class DirectSample(NamedTuple):
 
 
 def _searchsorted_segment(cdf, u, lo, hi, iters=None):
-    """Per-lane binary search: smallest i in [lo, hi) with u < cdf[i]
+    """Per-lane search: smallest i in [lo, hi) with u < cdf[i]
     (clamped to hi-1).  cdf holds per-segment normalized cumulative
-    sums.  Standard halving: u >= cdf[mid] -> answer > mid."""
+    sums.
+
+    Small tables use a broadcast count (pure VPU compares, no gathers —
+    gathers cost ~1000 flops each on TPU); large ones binary-search."""
+    n = int(cdf.shape[0])
+    lo = lo.astype(jnp.int32)
+    hi = hi.astype(jnp.int32)
+    if n <= ONEHOT_MAX_ROWS:
+        j = jnp.arange(n, dtype=jnp.int32)
+        inseg = (j[None, :] >= lo[:, None]) & (j[None, :] < hi[:, None])
+        below = inseg & (u[:, None] >= cdf[None, :])
+        cnt = jnp.sum(below.astype(jnp.int32), axis=-1)
+        return jnp.minimum(lo + cnt, jnp.maximum(hi - 1, lo))
     if iters is None:
-        iters = np_ceil_log2(int(cdf.shape[0]) + 1)
-    left = lo.astype(jnp.int32)
-    right = jnp.maximum(hi.astype(jnp.int32) - 1, left)  # inclusive
+        iters = np_ceil_log2(n + 1)
+    left = lo
+    right = jnp.maximum(hi - 1, left)  # inclusive
     for _ in range(iters):
         mid = (left + right) // 2
         go_right = u >= cdf[jnp.clip(mid, 0, cdf.shape[0] - 1)]
@@ -196,10 +209,9 @@ def sample_direct(pack, p_ref, u3):
             0,
             pack.emitter_pmf.shape[0] - 1,
         )
-    pmf = pack.emitter_pmf[e]
-
-    kind = pack.em_kind[e]
-    rgb = pack.em_rgb[e]
+    pmf, kind, rgb = take_fused(
+        e, pack.emitter_pmf, pack.em_kind, pack.em_rgb
+    )
 
     d = jnp.zeros((r, 3), jnp.float32)
     dist = jnp.full((r,), ENV_DIST, jnp.float32)
@@ -220,17 +232,21 @@ def sample_direct(pack, p_ref, u3):
 
     # ---- area lights: triangle from per-emitter area CDF ----
     if pack.has_area:
+        em_lo, em_hi, area = take_fused(
+            e, pack.em_tri_lo, pack.em_tri_hi, pack.em_area
+        )
         tri_slot = _searchsorted_segment(
-            pack.area_tri_cdf, u2[..., 0], pack.em_tri_lo[e], pack.em_tri_hi[e]
+            pack.area_tri_cdf, u2[..., 0], em_lo, em_hi
         )
-        tri = pack.area_tri_idx[tri_slot]
-        # re-uniformize the triangle-selection sample
-        lo_c = jnp.where(
-            tri_slot > pack.em_tri_lo[e],
-            pack.area_tri_cdf[jnp.maximum(tri_slot - 1, 0)],
-            0.0,
+        # fused slot-indexed fetch: the winning triangle's id, its cdf
+        # value, and its predecessor's (re-uniformization bounds)
+        cdf_prev = jnp.concatenate(
+            [jnp.zeros((1,), jnp.float32), pack.area_tri_cdf[:-1]]
         )
-        hi_c = pack.area_tri_cdf[tri_slot]
+        tri, hi_c, prev_c = take_fused(
+            tri_slot, pack.area_tri_idx, pack.area_tri_cdf, cdf_prev
+        )
+        lo_c = jnp.where(tri_slot > em_lo, prev_c, 0.0)
         u0 = jnp.clip(
             (u2[..., 0] - lo_c) / jnp.maximum(hi_c - lo_c, 1e-12),
             0.0,
@@ -239,9 +255,9 @@ def sample_direct(pack, p_ref, u3):
         bary = warp.square_to_uniform_triangle(
             jnp.stack([u0, u2[..., 1]], axis=-1)
         )
-        v0 = pack.tri_v0[tri]
-        e1 = pack.tri_e1[tri]
-        e2 = pack.tri_e2[tri]
+        v0, e1, e2 = take_fused(
+            tri, pack.tri_v0, pack.tri_e1, pack.tri_e2
+        )
         p_l = v0 + bary[..., 0:1] * e1 + bary[..., 1:2] * e2
         ng = mm.cross(e1, e2)
         ng = mm.normalize(ng)
@@ -249,7 +265,6 @@ def sample_direct(pack, p_ref, u3):
         dist_a = mm.length(to_l)
         d_a = to_l / jnp.maximum(dist_a, 1e-12)[..., None]
         cos_l = -mm.dot(d_a, ng)
-        area = pack.em_area[e]
         # pdf_area = 1/area; convert to solid angle
         pdf_a = (
             pmf
@@ -268,7 +283,11 @@ def sample_direct(pack, p_ref, u3):
     # (meta emitter_kinds) — masked dead branches are not free on TPU
     if kinds is None or POINT in kinds or SPOT in kinds:
         # ---- point ----
-        to_l = pack.em_pos[e] - p_ref
+        em_pos, em_dir, cc, cb = take_fused(
+            e, pack.em_pos, pack.em_dir, pack.em_cos_cutoff,
+            pack.em_cos_beam,
+        )
+        to_l = em_pos - p_ref
         dist_p = mm.length(to_l)
         d_p = to_l / jnp.maximum(dist_p, 1e-12)[..., None]
         inv_d2 = 1.0 / jnp.maximum(dist_p * dist_p, 1e-12)
@@ -276,9 +295,7 @@ def sample_direct(pack, p_ref, u3):
         put(kind == POINT, d_p, dist_p, pmf, val_p, True)
 
         # ---- spot: linear falloff between beamWidth and cutoff ----
-        cos_f = -mm.dot(d_p, pack.em_dir[e])
-        cc = pack.em_cos_cutoff[e]
-        cb = pack.em_cos_beam[e]
+        cos_f = -mm.dot(d_p, em_dir)
         fall = jnp.clip((cos_f - cc) / jnp.maximum(cb - cc, 1e-6), 0.0, 1.0)
         fall = jnp.where(cos_f >= cb, 1.0, fall)
         fall = jnp.where(cos_f <= cc, 0.0, fall)
@@ -287,7 +304,7 @@ def sample_direct(pack, p_ref, u3):
 
     if kinds is None or DIRECTIONAL in kinds or COLLIMATED in kinds:
         # ---- directional ----
-        d_dir = -pack.em_dir[e]
+        d_dir = -take_fused(e, pack.em_dir)[0]
         val_d = rgb / jnp.maximum(pmf, 1e-12)[..., None]
         put(
             kind == DIRECTIONAL,
@@ -329,8 +346,7 @@ def pdf_direct_area(pack, emit_id, dist, cos_l):
     """Solid-angle pdf of sample_direct having produced this area-light
     hit (for MIS on BSDF-sampled rays; reference scene.cpp pdfEmitterDirect)."""
     e = jnp.maximum(emit_id, 0)
-    pmf = pack.emitter_pmf[e]
-    area = pack.em_area[e]
+    pmf, area = take_fused(e, pack.emitter_pmf, pack.em_area)
     pdf = pmf * (dist * dist) / jnp.maximum(cos_l * area, 1e-12)
     return jnp.where((emit_id >= 0) & (cos_l > 1e-6), pdf, 0.0)
 

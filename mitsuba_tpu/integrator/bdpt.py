@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from mitsuba_tpu.accel.intersect import fill_interaction, intersect, occluded
 from mitsuba_tpu.bsdf.eval import bsdf_eval, bsdf_pdf, bsdf_sample
 from mitsuba_tpu.core import math as mm
+from mitsuba_tpu.core.gather import take_rows
 from mitsuba_tpu.core import rng, warp
 from mitsuba_tpu.emitter.plugins import AREA
 from mitsuba_tpu.integrator import path as _path
@@ -189,7 +190,7 @@ def _sample_area_light_vertex(pack, lane, sidx, seed):
 
     area = pack.em_area[e]
     pdf_pos = pmf / jnp.maximum(area, 1e-12)  # area measure incl. PMF
-    le = pack.em_rgb[e]
+    le = take_rows(pack.em_rgb, e)
     beta0 = le / jnp.maximum(pdf_pos, 1e-12)[..., None]
 
     frame = mm.Frame.from_normal(n0)

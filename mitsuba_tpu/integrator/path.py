@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from mitsuba_tpu.accel.intersect import fill_interaction, intersect, occluded
 from mitsuba_tpu.bsdf.eval import bsdf_eval, bsdf_pdf, bsdf_sample
 from mitsuba_tpu.core import math as mm
+from mitsuba_tpu.core.gather import take_rows
 from mitsuba_tpu.core import rng
 from mitsuba_tpu.emitter import eval as em
 from mitsuba_tpu.scene.texture_eval import shading_params
@@ -113,7 +114,7 @@ def path_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
         if pack.has_area:
             cos_l = mm.dot(its.ns, its.wi_world)
             emissive = found & (its.emit >= 0) & (cos_l > 0)
-            le = pack.em_rgb[jnp.maximum(its.emit, 0)]
+            le = take_rows(pack.em_rgb, jnp.maximum(its.emit, 0))
             p_direct = em.pdf_direct_area(pack, its.emit, its.t, cos_l)
             w_hit = jnp.where(
                 s["prev_delta"], 1.0, mi_weight(s["prev_pdf"], p_direct)
@@ -311,7 +312,7 @@ def path_trace_regen(
         if pack.has_area:
             cos_l = mm.dot(its.ns, its.wi_world)
             emissive = found & (its.emit >= 0) & (cos_l > 0)
-            le = pack.em_rgb[jnp.maximum(its.emit, 0)]
+            le = take_rows(pack.em_rgb, jnp.maximum(its.emit, 0))
             p_direct = em.pdf_direct_area(pack, its.emit, its.t, cos_l)
             w_hit = jnp.where(
                 prev_delta, 1.0, mi_weight(prev_pdf, p_direct)
@@ -461,7 +462,7 @@ def field_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
     elif name == "primIndex":
         v = jnp.repeat(its.prim[..., None].astype(jnp.float32), 3, -1)
     elif name == "emission":
-        le = pack.em_rgb[jnp.maximum(its.emit, 0)]
+        le = take_rows(pack.em_rgb, jnp.maximum(its.emit, 0))
         v = jnp.where((its.emit >= 0)[..., None], le, 0.0)
     else:
         raise ValueError(f"field: unknown field '{name}'")

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from mitsuba_tpu.accel.intersect import fill_interaction, intersect, occluded
 from mitsuba_tpu.bsdf.eval import bsdf_eval, bsdf_sample
 from mitsuba_tpu.core import math as mm
+from mitsuba_tpu.core.gather import take_rows
 from mitsuba_tpu.core import rng
 from mitsuba_tpu.emitter import eval as em
 from mitsuba_tpu.integrator import path as _path
@@ -160,7 +161,7 @@ def render_sppm(scene, spp=None, seed=0, pack=None, photons_per_pass=None):
             if pack.has_area:
                 cos_l = mm.dot(its.ns, its.wi_world)
                 emis = found & (its.emit >= 0) & (cos_l > 0)
-                le = pack.em_rgb[jnp.maximum(its.emit, 0)]
+                le = take_rows(pack.em_rgb, jnp.maximum(its.emit, 0))
                 p_dir = em.pdf_direct_area(pack, its.emit, its.t, cos_l)
                 w_hit = jnp.where(
                     prev_delta, 1.0, _path.mi_weight(prev_pdf, p_dir)

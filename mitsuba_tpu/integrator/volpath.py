@@ -24,6 +24,7 @@ from mitsuba_tpu.accel.intersect import fill_interaction, intersect
 from mitsuba_tpu.bsdf.eval import bsdf_eval, bsdf_pdf, bsdf_sample
 from mitsuba_tpu.bsdf.plugins import NULL_BSDF
 from mitsuba_tpu.core import math as mm
+from mitsuba_tpu.core.gather import take_rows
 from mitsuba_tpu.core import rng
 from mitsuba_tpu.emitter import eval as em
 from mitsuba_tpu.integrator import path as _path
@@ -164,7 +165,7 @@ def volpath_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
         if pack.has_area:
             cos_l = mm.dot(its.ns, its.wi_world)
             emissive = surface_evt & its.valid & (its.emit >= 0) & (cos_l > 0)
-            le = pack.em_rgb[jnp.maximum(its.emit, 0)]
+            le = take_rows(pack.em_rgb, jnp.maximum(its.emit, 0))
             p_direct = em.pdf_direct_area(pack, its.emit, its.t, cos_l)
             w_hit = jnp.where(
                 s["prev_delta"], 1.0, _path.mi_weight(s["prev_pdf"], p_direct)

@@ -114,7 +114,10 @@ def make_render_pass(
                 x = (lane % w).astype(jnp.float32) + jitter[..., 0]
                 y = (lane // w).astype(jnp.float32) + jitter[..., 1]
                 pos01 = jnp.stack([x / w, y / h], axis=-1)
-                u_lens = sampler_rec.lens_sample(lane, sidx)
+                u_lens = (
+                    sampler_rec.lens_sample(lane, sidx)
+                    if cam["use_lens"] else jnp.zeros_like(u2)
+                )
                 return generate_rays(cam, pos01, u_lens)
 
             L_sum, n_done, n_rays = path_trace_regen(
@@ -158,7 +161,10 @@ def make_render_pass(
         x = (lane % w).astype(jnp.float32) + jitter[..., 0]
         y = (lane // w).astype(jnp.float32) + jitter[..., 1]
         pos01 = jnp.stack([x / w, y / h], axis=-1)
-        u_lens = sampler_rec.lens_sample(lane, sidx)
+        u_lens = (
+            sampler_rec.lens_sample(lane, sidx)
+            if cam["use_lens"] else jnp.zeros_like(jitter)
+        )
         o, d = generate_rays(cam, pos01, u_lens)
 
         L = trace(pack, integ, o, d, lane, sidx, sampler_rec, seed)
@@ -219,6 +225,14 @@ def render(
             from mitsuba_tpu.integrator.ptracer import render_ptracer
 
             img = render_ptracer(scene, spp=spp, seed=seed, pack=pack)
+        elif integ.kind == "mlt":
+            from mitsuba_tpu.integrator.mlt import render_mlt
+
+            img = render_mlt(scene, spp=spp, seed=seed, pack=pack)
+        elif integ.kind == "erpt":
+            from mitsuba_tpu.integrator.mlt import render_erpt
+
+            img = render_erpt(scene, spp=spp, seed=seed, pack=pack)
         else:
             from mitsuba_tpu.integrator.pssmlt import render_pssmlt
 

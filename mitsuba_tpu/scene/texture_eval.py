@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from mitsuba_tpu.core.gather import take_fused
 from mitsuba_tpu.scene.textures import (
     TEX_BITMAP,
     TEX_CHECKERBOARD,
@@ -22,11 +23,10 @@ def eval_texture(pack, tid, uv, default_rgb):
     """tid: [R] int32 texture ids (-1 -> default_rgb [R,3]); uv: [R,2]."""
     has = tid >= 0
     t = jnp.maximum(tid, 0)
-    kind = pack.tex_type[t]
-    c0 = pack.tex_c0[t]
-    c1 = pack.tex_c1[t]
-    scale = pack.tex_scale[t]
-    uvt = pack.tex_uv[t]  # uscale, vscale, uoffset, voffset
+    kind, c0, c1, scale, uvt, lw, rect, nearest_sel = take_fused(
+        t, pack.tex_type, pack.tex_c0, pack.tex_c1, pack.tex_scale,
+        pack.tex_uv, pack.tex_lw, pack.tex_rect, pack.tex_nearest,
+    )  # uvt = uscale, vscale, uoffset, voffset
     u = uv[..., 0] * uvt[..., 0] + uvt[..., 2]
     v = uv[..., 1] * uvt[..., 1] + uvt[..., 3]
 
@@ -40,7 +40,6 @@ def eval_texture(pack, tid, uv, default_rgb):
     out = jnp.where((kind == TEX_CHECKERBOARD)[..., None], checker, out)
 
     # grid lines (reference src/textures/gridtexture.cpp)
-    lw = pack.tex_lw[t]
     fu = u - jnp.floor(u)
     fv = v - jnp.floor(v)
     on_line = (
@@ -50,7 +49,7 @@ def eval_texture(pack, tid, uv, default_rgb):
     out = jnp.where((kind == TEX_GRID)[..., None], grid, out)
 
     # bitmap: bilinear atlas gather with repeat wrap
-    rect = pack.tex_rect[t]  # x, y, w, h
+    # rect = x, y, w, h
     w = jnp.maximum(rect[..., 2], 1)
     h = jnp.maximum(rect[..., 3], 1)
     # image row 0 = v=1 (top); mitsuba bitmap texture: uv (0,0) = top-left
@@ -79,9 +78,7 @@ def eval_texture(pack, tid, uv, default_rgb):
     nearest = fetch(
         jnp.round(fx).astype(jnp.int32), jnp.round(fy).astype(jnp.int32)
     )
-    bitmap = jnp.where(
-        (pack.tex_nearest[t] > 0)[..., None], nearest, bilin
-    )
+    bitmap = jnp.where((nearest_sel > 0)[..., None], nearest, bilin)
     out = jnp.where((kind == TEX_BITMAP)[..., None], bitmap, out)
 
     out = out * scale
@@ -89,24 +86,31 @@ def eval_texture(pack, tid, uv, default_rgb):
 
 
 def _gather_params(pack, m, uv):
-    cA = pack.mat_cA[m]
+    (typ, cA, cB, cC, cD, a_u, a_v, eta, expo, dist, nonlin, twos,
+     fdr, spw, texA) = take_fused(
+        m, pack.mat_type, pack.mat_cA, pack.mat_cB, pack.mat_cC,
+        pack.mat_cD, pack.mat_alpha_u, pack.mat_alpha_v, pack.mat_eta,
+        pack.mat_exponent, pack.mat_dist, pack.mat_nonlinear,
+        pack.mat_twosided, pack.mat_fdr_int, pack.mat_spec_w,
+        pack.mat_texA,
+    )
     if pack.has_textures:
-        cA = eval_texture(pack, pack.mat_texA[m], uv, cA)
+        cA = eval_texture(pack, texA, uv, cA)
     return {
-        "type": pack.mat_type[m],
+        "type": typ,
         "cA": cA,
-        "cB": pack.mat_cB[m],
-        "cC": pack.mat_cC[m],
-        "cD": pack.mat_cD[m],
-        "alpha_u": pack.mat_alpha_u[m],
-        "alpha_v": pack.mat_alpha_v[m],
-        "eta": pack.mat_eta[m],
-        "exponent": pack.mat_exponent[m],
-        "dist": pack.mat_dist[m],
-        "nonlinear": pack.mat_nonlinear[m],
-        "twosided": pack.mat_twosided[m],
-        "fdr_int": pack.mat_fdr_int[m],
-        "spec_w": pack.mat_spec_w[m],
+        "cB": cB,
+        "cC": cC,
+        "cD": cD,
+        "alpha_u": a_u,
+        "alpha_v": a_v,
+        "eta": eta,
+        "exponent": expo,
+        "dist": dist,
+        "nonlinear": nonlin,
+        "twosided": twos,
+        "fdr_int": fdr,
+        "spec_w": spw,
     }
 
 
@@ -118,19 +122,21 @@ def shading_params(pack, mat_id, uv):
     m = jnp.maximum(mat_id, 0)
     sp = _gather_params(pack, m, uv)
     if pack.meta.get("has_mixtures", False):
-        mix_b = pack.mat_mix_b[m]
+        mix_b, mix_wa, mix_wb = take_fused(
+            m, pack.mat_mix_b, pack.mat_mix_wa, pack.mat_mix_wb
+        )
         mb = jnp.where(mix_b >= 0, mix_b, m)
         sp["mix"] = {
             "spB": _gather_params(pack, mb, uv),
-            "wa": jnp.where(mix_b >= 0, pack.mat_mix_wa[m], 1.0),
-            "wb": jnp.where(mix_b >= 0, pack.mat_mix_wb[m], 0.0),
+            "wa": jnp.where(mix_b >= 0, mix_wa, 1.0),
+            "wb": jnp.where(mix_b >= 0, mix_wb, 0.0),
         }
     return sp
 
 
 def eval_opacity(pack, mat_id, uv):
     m = jnp.maximum(mat_id, 0)
-    op = pack.mat_opacity[m]
+    op, tex_op = take_fused(m, pack.mat_opacity, pack.mat_tex_opacity)
     if pack.has_textures:
-        op = eval_texture(pack, pack.mat_tex_opacity[m], uv, op)
+        op = eval_texture(pack, tex_op, uv, op)
     return op.mean(axis=-1)

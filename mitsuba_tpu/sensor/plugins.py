@@ -51,7 +51,12 @@ class SensorRecord:
         aspect = width / height
         tan_half = math.tan(math.radians(self.xfov_deg) / 2.0)
         return {
-            "kind": jnp.int32(self.kind),
+            # static python ints/bools: only the scene's actual camera
+            # model is traced into the render loop
+            "kind": int(self.kind),
+            "use_lens": bool(
+                self.kind == THINLENS and self.aperture_radius > 0
+            ),
             "to_world": jnp.asarray(self.to_world.m, jnp.float32),
             "tan_half_x": jnp.float32(tan_half),
             "aspect": jnp.float32(aspect),
@@ -169,64 +174,61 @@ def generate_rays(cam, pos01, u_lens):
     """
     sx, sy = pos01[..., 0], pos01[..., 1]
     tw = cam["to_world"]
-    kind = cam["kind"]
+    kind = int(cam["kind"])  # STATIC — one camera model traced per scene
     th = cam["tan_half_x"]
     aspect = cam["aspect"]
 
-    # perspective / thinlens camera-space direction
-    x = (1.0 - 2.0 * sx) * th
-    y = (1.0 - 2.0 * sy) * th / aspect
-    d_cam = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
-    d_cam = mm.normalize(d_cam)
-
-    o_cam = jnp.zeros_like(d_cam)
-
-    # thinlens: offset origin on the aperture disk, re-aim at the focal
-    # plane (reference src/sensors/thinlens.cpp sampleRay)
-    p_lens = warp.square_to_uniform_disk_concentric(u_lens) * cam["aperture"]
-    t_focus = cam["focus_dist"] / jnp.maximum(d_cam[..., 2], 1e-6)
-    p_focus = d_cam * t_focus[..., None]
-    o_lens = jnp.stack(
-        [p_lens[..., 0], p_lens[..., 1], jnp.zeros_like(sx)], axis=-1
-    )
-    d_lens = mm.normalize(p_focus - o_lens)
-
-    use_lens = (kind == THINLENS) & (cam["aperture"] > 0)
-    o_cam = jnp.where(use_lens, o_lens, o_cam)
-    d_cam = jnp.where(use_lens, d_lens, d_cam)
-
-    # orthographic: parallel rays from the image plane
-    # (reference src/sensors/orthographic.cpp; extent = [-1,1] x aspect)
-    o_orth = jnp.stack(
-        [(1.0 - 2.0 * sx), (1.0 - 2.0 * sy) / aspect, jnp.zeros_like(sx)],
-        axis=-1,
-    )
-    d_orth = jnp.broadcast_to(
-        jnp.array([0.0, 0.0, 1.0], jnp.float32), d_cam.shape
-    )
-    o_cam = jnp.where(kind == ORTHOGRAPHIC, o_orth, o_cam)
-    d_cam = jnp.where(kind == ORTHOGRAPHIC, d_orth, d_cam)
-
-    # spherical: full lat-long panorama (reference src/sensors/spherical.cpp)
-    theta = sy * jnp.pi
-    phi = sx * 2.0 * jnp.pi - jnp.pi / 2.0
-    d_sph = jnp.stack(
-        [
-            jnp.sin(theta) * jnp.cos(phi),
-            jnp.cos(theta),
-            jnp.sin(theta) * jnp.sin(phi),
-        ],
-        axis=-1,
-    )
-    o_cam = jnp.where(kind == SPHERICAL, jnp.zeros_like(o_cam), o_cam)
-    d_cam = jnp.where(kind == SPHERICAL, d_sph, d_cam)
-
-    # radiancemeter: single ray along +z
-    d_cam = jnp.where(
-        kind == RADIANCEMETER,
-        jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), d_cam.shape),
-        d_cam,
-    )
+    if kind in (PERSPECTIVE, THINLENS, TELECENTRIC):
+        # perspective / thinlens camera-space direction
+        x = (1.0 - 2.0 * sx) * th
+        y = (1.0 - 2.0 * sy) * th / aspect
+        d_cam = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+        d_cam = mm.normalize(d_cam)
+        o_cam = jnp.zeros_like(d_cam)
+        if cam["use_lens"]:
+            # thinlens: offset origin on the aperture disk, re-aim at the
+            # focal plane (reference src/sensors/thinlens.cpp sampleRay)
+            p_lens = (
+                warp.square_to_uniform_disk_concentric(u_lens)
+                * cam["aperture"]
+            )
+            t_focus = cam["focus_dist"] / jnp.maximum(d_cam[..., 2], 1e-6)
+            p_focus = d_cam * t_focus[..., None]
+            o_cam = jnp.stack(
+                [p_lens[..., 0], p_lens[..., 1], jnp.zeros_like(sx)], axis=-1
+            )
+            d_cam = mm.normalize(p_focus - o_cam)
+    elif kind == ORTHOGRAPHIC:
+        # orthographic: parallel rays from the image plane
+        # (reference src/sensors/orthographic.cpp; extent = [-1,1] x aspect)
+        o_cam = jnp.stack(
+            [(1.0 - 2.0 * sx), (1.0 - 2.0 * sy) / aspect, jnp.zeros_like(sx)],
+            axis=-1,
+        )
+        d_cam = jnp.broadcast_to(
+            jnp.array([0.0, 0.0, 1.0], jnp.float32), o_cam.shape
+        )
+    elif kind == SPHERICAL:
+        # full lat-long panorama (reference src/sensors/spherical.cpp)
+        theta = sy * jnp.pi
+        phi = sx * 2.0 * jnp.pi - jnp.pi / 2.0
+        d_cam = jnp.stack(
+            [
+                jnp.sin(theta) * jnp.cos(phi),
+                jnp.cos(theta),
+                jnp.sin(theta) * jnp.sin(phi),
+            ],
+            axis=-1,
+        )
+        o_cam = jnp.zeros_like(d_cam)
+    elif kind == RADIANCEMETER:
+        # single ray along +z
+        o_cam = jnp.zeros(pos01.shape[:-1] + (3,), jnp.float32)
+        d_cam = jnp.broadcast_to(
+            jnp.array([0.0, 0.0, 1.0], jnp.float32), o_cam.shape
+        )
+    else:
+        raise ValueError(f"generate_rays: unknown sensor kind {kind}")
 
     o_world = o_cam @ tw[:3, :3].T + tw[:3, 3]
     d_world = mm.normalize(d_cam @ tw[:3, :3].T)
