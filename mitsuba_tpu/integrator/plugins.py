@@ -33,12 +33,13 @@ class IntegratorRecord:
     # bdpt / mlt family
     light_image: bool = True
     sample_direct: bool = True
-    # pssmlt
+    # pssmlt / mlt / erpt
     bidirectional: bool = False
     luminance_samples: int = 100000
     two_stage: bool = False
     p_large: float = 0.3
     mutations_per_pixel: int = 100
+    chain_length: int = 100
     sub_integrator: "IntegratorRecord | None" = None
 
 
@@ -150,12 +151,23 @@ class PSSMLTIntegrator(_IntBase):
 
 @register("integrator", "mlt")
 class MLTIntegrator(PSSMLTIntegrator):
+    """reference: src/integrators/mlt/mlt.cpp — Veach mutation suite
+    (lens/caustic/multichain/bidirectional) over chain tensors, see
+    integrator/mlt.py."""
+
     kind = "mlt"
 
 
 @register("integrator", "erpt")
 class ERPTIntegrator(PSSMLTIntegrator):
+    """reference: src/integrators/erpt/erpt.cpp:134 — energy
+    redistribution PT with perturbation-only chains, integrator/mlt.py."""
+
     kind = "erpt"
+
+    def _finish(self, props):
+        super()._finish(props)
+        self.record.chain_length = props.get_int("chainLength", 100)
 
 
 @register("integrator", "ptracer")

@@ -31,6 +31,7 @@ from mitsuba_tpu.accel.intersect import fill_interaction, intersect, occluded
 from mitsuba_tpu.bsdf.eval import bsdf_eval, bsdf_pdf, bsdf_sample
 from mitsuba_tpu.bsdf.plugins import NULL_BSDF
 from mitsuba_tpu.core import math as mm
+from mitsuba_tpu.core.gather import take_rows
 from mitsuba_tpu.core import rng
 from mitsuba_tpu.core.spectrum import luminance
 from mitsuba_tpu.emitter import eval as em
@@ -111,7 +112,7 @@ def path_from_primary(pack, integ, cam, w, h, U):
         if pack.has_area:
             cos_l = mm.dot(its.ns, its.wi_world)
             emissive = found & (its.emit >= 0) & (cos_l > 0)
-            le = pack.em_rgb[jnp.maximum(its.emit, 0)]
+            le = take_rows(pack.em_rgb, jnp.maximum(its.emit, 0))
             p_direct = em.pdf_direct_area(pack, its.emit, its.t, cos_l)
             w_hit = jnp.where(
                 s["prev_delta"], 1.0, _path.mi_weight(s["prev_pdf"], p_direct)
@@ -207,6 +208,48 @@ def _splat(film, pos, value, w, h):
     return film.at[y, x].add(value)
 
 
+def bootstrap_chains(trace, D, n_chains, n_boot_batches, seed, seed_mlt):
+    """Luminance-normalization bootstrap + proportional seed resampling
+    (reference pssmlt.cpp:181-198).  Returns (U_cur [N, D], b_norm) or
+    (None, 0.0) for a black scene."""
+    boot_lum = []
+    for b in range(n_boot_batches):
+        U = rng.rand4(
+            jnp.arange(n_chains * D, dtype=jnp.uint32) // D,
+            jnp.arange(n_chains * D, dtype=jnp.uint32) % D,
+            jnp.uint32(7000 + b),
+            seed_mlt,
+        )[:, 0].reshape(n_chains, D)
+        _, L = trace(U)
+        boot_lum.append(np.asarray(luminance(L)))
+    boot_lum = np.concatenate(boot_lum)
+    b_norm = float(boot_lum.mean())
+    if b_norm <= 0:
+        return None, 0.0
+
+    # resample seeds proportional to luminance
+    p = boot_lum / boot_lum.sum()
+    rng_np = np.random.default_rng(seed)
+    chosen = rng_np.choice(len(boot_lum), size=n_chains, p=p)
+    # regenerate the chosen batches' U rows
+    U_cur = np.zeros((n_chains, D), np.float32)
+    for b in range(n_boot_batches):
+        mask = (chosen // n_chains) == b
+        if not mask.any():
+            continue
+        rows = chosen[mask] % n_chains
+        Ub = np.asarray(
+            rng.rand4(
+                jnp.arange(n_chains * D, dtype=jnp.uint32) // D,
+                jnp.arange(n_chains * D, dtype=jnp.uint32) % D,
+                jnp.uint32(7000 + b),
+                seed_mlt,
+            )[:, 0]
+        ).reshape(n_chains, D)
+        U_cur[mask] = Ub[rows]
+    return jnp.asarray(U_cur), b_norm
+
+
 def render_pssmlt(scene, spp=None, seed=0, pack=None, chains=None):
     """Full PSSMLT render (= PSSMLT::render, pssmlt.cpp).
 
@@ -236,45 +279,12 @@ def render_pssmlt(scene, spp=None, seed=0, pack=None, chains=None):
         lambda U: path_from_primary(pack, integ, cam, w, h, U)
     )
 
-    # ---- bootstrap: luminance normalization + seed resampling ----
-    # (reference pssmlt.cpp:196-198, luminanceSamples)
     n_boot_batches = max(integ.luminance_samples // n_chains, 2)
-    boot_lum = []
-    for b in range(n_boot_batches):
-        U = rng.rand4(
-            jnp.arange(n_chains * D, dtype=jnp.uint32) // D,
-            jnp.arange(n_chains * D, dtype=jnp.uint32) % D,
-            jnp.uint32(7000 + b),
-            seed_mlt,
-        )[:, 0].reshape(n_chains, D)
-        _, L = trace(U)
-        boot_lum.append(np.asarray(luminance(L)))
-    boot_lum = np.concatenate(boot_lum)
-    b_norm = float(boot_lum.mean())
-    if b_norm <= 0:
+    U_cur, b_norm = bootstrap_chains(
+        trace, D, n_chains, n_boot_batches, seed, seed_mlt
+    )
+    if U_cur is None:
         return np.zeros((h, w, 3), np.float32)
-
-    # resample seeds proportional to luminance
-    p = boot_lum / boot_lum.sum()
-    rng_np = np.random.default_rng(seed)
-    chosen = rng_np.choice(len(boot_lum), size=n_chains, p=p)
-    # regenerate the chosen batches' U rows
-    U_cur = np.zeros((n_chains, D), np.float32)
-    for b in range(n_boot_batches):
-        mask = (chosen // n_chains) == b
-        if not mask.any():
-            continue
-        rows = chosen[mask] % n_chains
-        Ub = np.asarray(
-            rng.rand4(
-                jnp.arange(n_chains * D, dtype=jnp.uint32) // D,
-                jnp.arange(n_chains * D, dtype=jnp.uint32) % D,
-                jnp.uint32(7000 + b),
-                seed_mlt,
-            )[:, 0]
-        ).reshape(n_chains, D)
-        U_cur[mask] = Ub[rows]
-    U_cur = jnp.asarray(U_cur)
 
     pos_cur, L_cur = trace(U_cur)
     I_cur = luminance(L_cur)

@@ -1,0 +1,94 @@
+"""MLT (Veach mutation suite) and ERPT cross-agreement with the path
+tracer — the same validation the reference applies to its MLT family
+(unbiasedness: the Metropolis estimator must reproduce the path-traced
+image up to noise)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def small_cbox():
+    import os
+    from mitsuba_tpu.scene.xml_loader import load_scene
+
+    scene = load_scene(
+        os.path.join(os.path.dirname(__file__), "..", "scenes", "cbox.xml")
+    )
+    scene.sensor.record.film.width = 24
+    scene.sensor.record.film.height = 24
+    return scene
+
+
+@pytest.fixture(scope="module")
+def path_ref(small_cbox):
+    from mitsuba_tpu.integrator.plugins import IntegratorRecord
+    from mitsuba_tpu.renderer import render
+
+    scene = small_cbox
+    scene.integrator = IntegratorRecord(kind="path", max_depth=4, rr_depth=100)
+    return render(scene, spp=512)
+
+
+def test_mlt_matches_path(small_cbox, path_ref):
+    from mitsuba_tpu.integrator.plugins import IntegratorRecord
+    from mitsuba_tpu.integrator.mlt import render_mlt
+
+    scene = small_cbox
+    scene.integrator = IntegratorRecord(
+        kind="mlt", max_depth=4, luminance_samples=4096,
+        mutations_per_pixel=600,
+    )
+    img = render_mlt(scene, seed=5, chains=2048)
+
+    ratio = img.mean(axis=(0, 1)) / path_ref.mean(axis=(0, 1))
+    assert np.all(np.abs(ratio - 1.0) < 0.12), ratio
+    # pixelwise agreement away from the emitter (nearest-pixel splats)
+    lum = path_ref.mean(axis=-1)
+    mask = lum < 5.0 * np.median(lum)
+    d = (img - path_ref)[mask]
+    rel = float(np.sqrt((d * d).mean()) / path_ref[mask].mean())
+    assert rel < 0.6, rel
+
+
+def test_erpt_matches_path(small_cbox, path_ref):
+    from mitsuba_tpu.integrator.plugins import IntegratorRecord
+    from mitsuba_tpu.integrator.mlt import render_erpt
+
+    scene = small_cbox
+    scene.integrator = IntegratorRecord(
+        kind="erpt", max_depth=4, chain_length=50,
+    )
+    img = render_erpt(scene, spp=8, seed=7, chains=2048)
+
+    ratio = img.mean(axis=(0, 1)) / path_ref.mean(axis=(0, 1))
+    assert np.all(np.abs(ratio - 1.0) < 0.15), ratio
+
+
+def test_mutation_moves_are_structured():
+    """Lens perturbation touches only the film dims; caustic touches one
+    bounce block; both wrap to [0,1)."""
+    import jax.numpy as jnp
+    from mitsuba_tpu.integrator import mlt as m
+    from mitsuba_tpu.integrator.pssmlt import _HEAD, _PER_DEPTH, dims_for
+
+    n, max_depth = 64, 4
+    D = dims_for(max_depth)
+    U = jnp.linspace(0.05, 0.95, n * D).reshape(n, D)
+
+    u4 = jnp.full((n, 4), 0.4)
+    U_lens = m._perturb_lens(U, 64, 64, u4)
+    moved = np.asarray(jnp.abs(U_lens - U).max(axis=0))
+    assert (moved[:2] > 0).all()
+    assert (moved[2:] == 0).all()
+    assert float(U_lens.min()) >= 0 and float(U_lens.max()) < 1
+
+    k = jnp.full((n,), 2, jnp.int32)
+    U_c = m._perturb_block(U, k, jnp.full((n, 3), 0.3),
+                           jnp.full((n, 3), 0.7))
+    moved = np.asarray(jnp.abs(U_c - U).max(axis=0))
+    base = _HEAD + _PER_DEPTH * 2 + 3
+    expect = np.zeros(D, bool)
+    expect[base:base + 3] = True
+    assert (moved[expect] > 0).all()
+    assert (moved[~expect] == 0).all()
