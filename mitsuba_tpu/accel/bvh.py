@@ -22,7 +22,12 @@ from dataclasses import dataclass
 
 import numpy as np
 
-LEAF_SIZE = 4  # max prims per leaf; traversal tests this many with masks
+# Max prims per leaf.  Lockstep traversal cost is dominated by the
+# MAXIMUM node-visit count over all lanes (every while-loop iteration
+# pays two gathers for every lane), while leaf triangle tests are cheap
+# batched VPU work — so TPU wants much fatter leaves than a CPU kd-tree
+# (reference gkdtree.h stops at ~4-6 prims).
+LEAF_SIZE = 16
 _TRAVERSAL_COST = 1.0
 _INTERSECT_COST = 1.0
 _NUM_BINS = 16

@@ -173,9 +173,14 @@ def _pad_rows(a, n, fill):
 
 
 def _bvh_traverse(pack, o, d, t_max):
-    """Batched stackless traversal over the threaded BVH."""
+    """Batched stackless traversal over the threaded BVH.
+
+    Node and triangle data are ROW-PACKED (bvh_nodes [N, 9],
+    tri9 [Tp, 9]) so every traversal step costs one gather and every
+    leaf visit one more — gathers are the dominant cost of TPU
+    traversal (~1000 flops each)."""
     r = o.shape[0]
-    end = pack.bvh_skip.shape[0]
+    end = pack.bvh_nodes.shape[0]
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, 1e-20, d)
 
     def cond(state):
@@ -187,11 +192,11 @@ def _bvh_traverse(pack, o, d, t_max):
         active = node < end
         ni = jnp.minimum(node, end - 1)
 
-        lo = pack.bvh_lo[ni]
-        hi = pack.bvh_hi[ni]
-        first = pack.bvh_first[ni]
-        count = pack.bvh_count[ni]
-        skip = pack.bvh_skip[ni]
+        nd = pack.bvh_nodes[ni]  # [R, 9] — ONE gather
+        lo, hi = nd[:, 0:3], nd[:, 3:6]
+        first = nd[:, 6].astype(jnp.int32)
+        count = nd[:, 7].astype(jnp.int32)
+        skip = nd[:, 8].astype(jnp.int32)
 
         # slab test
         t0 = (lo - o) * inv_d
@@ -206,12 +211,11 @@ def _bvh_traverse(pack, o, d, t_max):
         tidx = jnp.where(
             jnp.arange(LEAF_SIZE)[None] < count[:, None],
             tidx,
-            pack.tri_v0.shape[0] - 1,  # padded far-away triangle
+            pack.tri9.shape[0] - 1,  # padded far-away triangle
         )
         do_leaf = box_hit & is_leaf & active
-        v0 = pack.tri_v0[tidx]
-        e1 = pack.tri_e1[tidx]
-        e2 = pack.tri_e2[tidx]
+        t9 = pack.tri9[tidx]  # [R, LEAF, 9] — ONE gather
+        v0, e1, e2 = t9[..., 0:3], t9[..., 3:6], t9[..., 6:9]
         hit, t, u, v = _moller_trumbore(
             o[:, None, :], d[:, None, :], v0, e1, e2, best_t[:, None]
         )
@@ -256,7 +260,7 @@ def _bvh_traverse_any(pack, o, d, t_max):
     (node jumps past the end), so shadow rays don't pay closest-hit
     (= the reference's shadowRay path, sahkdtree3.h rayIntersect<true>)."""
     r = o.shape[0]
-    end = pack.bvh_skip.shape[0]
+    end = pack.bvh_nodes.shape[0]
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, 1e-20, d)
     t_max = jnp.broadcast_to(t_max, (r,)).astype(jnp.float32)
 
@@ -269,11 +273,11 @@ def _bvh_traverse_any(pack, o, d, t_max):
         active = node < end
         ni = jnp.minimum(node, end - 1)
 
-        lo = pack.bvh_lo[ni]
-        hi = pack.bvh_hi[ni]
-        first = pack.bvh_first[ni]
-        count = pack.bvh_count[ni]
-        skip = pack.bvh_skip[ni]
+        nd = pack.bvh_nodes[ni]  # [R, 9] — ONE gather
+        lo, hi = nd[:, 0:3], nd[:, 3:6]
+        first = nd[:, 6].astype(jnp.int32)
+        count = nd[:, 7].astype(jnp.int32)
+        skip = nd[:, 8].astype(jnp.int32)
 
         t0 = (lo - o) * inv_d
         t1 = (hi - o) * inv_d
@@ -286,15 +290,16 @@ def _bvh_traverse_any(pack, o, d, t_max):
         tidx = jnp.where(
             jnp.arange(LEAF_SIZE)[None] < count[:, None],
             tidx,
-            pack.tri_v0.shape[0] - 1,
+            pack.tri9.shape[0] - 1,
         )
         do_leaf = box_hit & is_leaf & active
+        t9 = pack.tri9[tidx]  # [R, LEAF, 9] — ONE gather
         hit, _, _, _ = _moller_trumbore(
             o[:, None, :],
             d[:, None, :],
-            pack.tri_v0[tidx],
-            pack.tri_e1[tidx],
-            pack.tri_e2[tidx],
+            t9[..., 0:3],
+            t9[..., 3:6],
+            t9[..., 6:9],
             t_max[:, None],
         )
         found = jnp.any(hit & do_leaf[:, None], axis=-1)
@@ -398,6 +403,7 @@ class SurfaceInteraction(NamedTuple):
     wi_world: jnp.ndarray  # -ray.d
     med_in: jnp.ndarray  # interior medium id (-1 vacuum)
     med_ex: jnp.ndarray  # exterior medium id
+    dpdu: jnp.ndarray  # [R, 3] uv-aligned tangent (bump/normal maps)
 
 
 def fill_interaction(pack, o, d, hit: Hit) -> SurfaceInteraction:
@@ -472,6 +478,20 @@ def fill_interaction(pack, o, d, hit: Hit) -> SurfaceInteraction:
         med_in = jnp.full(hit.t.shape, -1, jnp.int32)
         med_ex = med_in
 
+    if pack.meta.get("has_bumpmaps", False):
+        dpdu = take_fused(prim, pack.tri_dpdu)[0]
+        if pack.n_spheres > 0:
+            # spherical tangent along +phi
+            t_sph = mm.normalize(
+                jnp.stack(
+                    [-(p - center)[..., 1], (p - center)[..., 0],
+                     jnp.zeros_like(hit.t)], axis=-1,
+                )
+            )
+            dpdu = jnp.where(hit.is_sphere[:, None], t_sph, dpdu)
+    else:
+        dpdu = jnp.zeros_like(ng)
+
     return SurfaceInteraction(
         valid=hit.valid,
         t=hit.t,
@@ -485,4 +505,5 @@ def fill_interaction(pack, o, d, hit: Hit) -> SurfaceInteraction:
         wi_world=-d,
         med_in=med_in,
         med_ex=med_ex,
+        dpdu=dpdu,
     )

@@ -150,7 +150,7 @@ class Distribution2D:
         )[..., 0]
         du = jnp.maximum(hi_c - lo_c, 1e-20)
         uu = (col + jnp.clip((u2[..., 0] - lo_c) / du, 0.0, 0.99999994)) / w
-        pdf = self.density[row, col]
+        pdf = self.density.reshape(-1)[row * w + col]  # 1D gather (TPU)
         return jnp.stack([uu, v], axis=-1), pdf
 
     def pdf(self, xy):
@@ -158,4 +158,4 @@ class Distribution2D:
         h, w = self.density.shape
         col = jnp.clip((xy[..., 0] * w).astype(jnp.int32), 0, w - 1)
         row = jnp.clip((xy[..., 1] * h).astype(jnp.int32), 0, h - 1)
-        return self.density[row, col]
+        return self.density.reshape(-1)[row * w + col]

@@ -107,10 +107,13 @@ def _env_bilinear(pack, uv):
     ax = (fx - x0)[..., None]
     ay = (fy - y0)[..., None]
 
+    flat = img.reshape(-1, img.shape[-1])  # 1D gathers: 2D-index
+    # gathers lower catastrophically on TPU (~100x slower)
+
     def fetch(x, y):
         x = jnp.mod(x, w)
         y = jnp.clip(y, 0, h - 1)
-        return img[y, x]
+        return flat[y * w + x]
 
     return (
         fetch(x0, y0) * (1 - ax) * (1 - ay)
@@ -139,7 +142,7 @@ def _env_pdf_dir(pack, d):
         h, w = pack.env_density.shape
         col = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
         row = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
-        dens = pack.env_density[row, col]
+        dens = pack.env_density.reshape(-1)[row * w + col]
         sin_t = jnp.maximum(jnp.sin(uv[..., 1] * jnp.pi), 1e-6)
         return dens / (2.0 * jnp.pi * jnp.pi * sin_t)
     return jnp.full(d.shape[:-1], INV_FOURPI)
@@ -162,27 +165,30 @@ def _sample_env_dir(pack, u2):
     # per-lane binary search in the row's conditional CDF (point gathers
     # only — a full row gather would be W+1 floats per lane)
     ccdf = pack.env_conditional_cdf
+    ccdf_flat = ccdf.reshape(-1)
+    cw = ccdf.shape[1]
+    rbase = row * cw
     left = jnp.zeros_like(row)
     right = jnp.full_like(row, w)
     uq = u2[..., 0]
     iters = max(int(np_ceil_log2(w + 1)), 1)
     for _ in range(iters):
         mid = (left + right) // 2
-        val = ccdf[row, jnp.minimum(mid + 1, w)]
+        val = ccdf_flat[rbase + jnp.minimum(mid + 1, w)]
         go_right = uq >= val
         left = jnp.where(go_right, jnp.minimum(mid + 1, w - 1), left)
         right = jnp.where(go_right, right, mid)
         left = jnp.minimum(left, right)
     col = jnp.clip(left, 0, w - 1)
-    lo_c = ccdf[row, col]
-    hi_c = ccdf[row, col + 1]
+    lo_c = ccdf_flat[rbase + col]
+    hi_c = ccdf_flat[rbase + col + 1]
     ufrac = jnp.clip(
         (uq - lo_c) / jnp.maximum(hi_c - lo_c, 1e-12), 0.0, mm.ONE_MINUS_EPS
     )
     u = (col.astype(jnp.float32) + ufrac) / w
     uv = jnp.stack([u, v], axis=-1)
     d = _env_dir_from_uv(pack, uv)
-    dens = pack.env_density[row, col]
+    dens = pack.env_density.reshape(-1)[row * w + col]
     sin_t = jnp.maximum(jnp.sin(v * jnp.pi), 1e-6)
     pdf = dens / (2.0 * jnp.pi * jnp.pi * sin_t)
     return d, pdf

@@ -23,7 +23,7 @@ from mitsuba_tpu.core import math as mm
 from mitsuba_tpu.core.gather import take_rows
 from mitsuba_tpu.core import rng
 from mitsuba_tpu.emitter import eval as em
-from mitsuba_tpu.scene.texture_eval import shading_params
+from mitsuba_tpu.scene.texture_eval import shading_frame, shading_params
 
 SHADOW_EPS = 1e-3
 MAX_BOUNCES_CAP = 64  # hard cap when maxDepth = -1 (infinite)
@@ -128,7 +128,7 @@ def path_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
         active = found
 
         # ---- local frame + shading params ----
-        frame = mm.Frame.from_normal(its.ns)
+        frame = shading_frame(pack, its)
         wi_l = frame.to_local(its.wi_world)
         sp = shading_params(pack, its.mat, its.uv)
 
@@ -324,7 +324,7 @@ def path_trace_regen(
             )
 
         active = found
-        frame = mm.Frame.from_normal(its.ns)
+        frame = shading_frame(pack, its)
         wi_l = frame.to_local(its.wi_world)
         sp = shading_params(pack, its.mat, its.uv)
         if integ.strict_normals:
@@ -419,7 +419,7 @@ def ao_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
     """Ambient occlusion (reference src/integrators/direct/ao.cpp)."""
     hit = intersect(pack, o, d)
     its = fill_interaction(pack, o, d, hit)
-    frame = mm.Frame.from_normal(its.ns)
+    frame = shading_frame(pack, its)
     u = rng.rand4(lane, sample_idx, 1, seed)
     from mitsuba_tpu.core import warp
 

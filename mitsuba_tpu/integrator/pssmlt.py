@@ -36,7 +36,7 @@ from mitsuba_tpu.core import rng
 from mitsuba_tpu.core.spectrum import luminance
 from mitsuba_tpu.emitter import eval as em
 from mitsuba_tpu.integrator import path as _path
-from mitsuba_tpu.scene.texture_eval import shading_params
+from mitsuba_tpu.scene.texture_eval import shading_frame, shading_params
 from mitsuba_tpu.sensor.plugins import generate_rays
 
 # primary-sample layout per path:
@@ -122,7 +122,7 @@ def path_from_primary(pack, integ, cam, w, h, U):
             )
 
         active = found
-        frame = mm.Frame.from_normal(its.ns)
+        frame = shading_frame(pack, its)
         wi_l = frame.to_local(its.wi_world)
         sp = shading_params(pack, its.mat, its.uv)
 

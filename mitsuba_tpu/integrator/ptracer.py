@@ -31,7 +31,7 @@ from mitsuba_tpu.core import math as mm
 from mitsuba_tpu.core import rng, warp
 from mitsuba_tpu.emitter.plugins import AREA, POINT
 from mitsuba_tpu.integrator import path as _path
-from mitsuba_tpu.scene.texture_eval import shading_params
+from mitsuba_tpu.scene.texture_eval import shading_frame, shading_params
 
 _SLOTS = 4
 
@@ -220,7 +220,7 @@ def render_ptracer(scene, spp=None, seed=0, pack=None):
             its = fill_interaction(pack, o, d, hit)
             active = active & its.valid
 
-            frame = mm.Frame.from_normal(its.ns)
+            frame = shading_frame(pack, its)
             wi_l = frame.to_local(its.wi_world)
             sp = shading_params(pack, its.mat, its.uv)
 

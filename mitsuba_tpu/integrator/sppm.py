@@ -41,7 +41,7 @@ from mitsuba_tpu.core import rng
 from mitsuba_tpu.emitter import eval as em
 from mitsuba_tpu.integrator import path as _path
 from mitsuba_tpu.integrator.ptracer import _sample_emitter_ray
-from mitsuba_tpu.scene.texture_eval import shading_params
+from mitsuba_tpu.scene.texture_eval import shading_frame, shading_params
 
 ALPHA = 0.7  # radius-shrink exponent (reference sppm.cpp:92)
 PHOTONS_PER_CELL = 32  # bounded per-cell scan window
@@ -172,7 +172,7 @@ def render_sppm(scene, spp=None, seed=0, pack=None, photons_per_pass=None):
 
             active = found
             sp = shading_params(pack, its.mat, its.uv)
-            frame = mm.Frame.from_normal(its.ns)
+            frame = shading_frame(pack, its)
             wi_l = frame.to_local(its.wi_world)
 
             is_delta_mat = jnp.zeros((n_px,), bool)
@@ -277,7 +277,7 @@ def render_sppm(scene, spp=None, seed=0, pack=None, photons_per_pass=None):
             ph_ok.append(store)
 
             sp = shading_params(pack, its.mat, its.uv)
-            frame = mm.Frame.from_normal(its.ns)
+            frame = shading_frame(pack, its)
             wi_l = frame.to_local(its.wi_world)
             u_b = rng.rand4(
                 lane_ph, sidx, depth * _PH_SLOTS + 2, seed_ph

@@ -29,7 +29,7 @@ from mitsuba_tpu.core import rng
 from mitsuba_tpu.emitter import eval as em
 from mitsuba_tpu.integrator import path as _path
 from mitsuba_tpu.medium import eval as med_eval
-from mitsuba_tpu.scene.texture_eval import shading_params
+from mitsuba_tpu.scene.texture_eval import shading_frame, shading_params
 
 SHADOW_EPS = 1e-3
 MAX_EVENTS_FACTOR = 3  # events can exceed maxDepth (null crossings)
@@ -68,7 +68,9 @@ def _attenuated_visibility(pack, p, d, dist, med, lane, sidx, slot, seed):
         tr = jnp.where(marching[..., None], tr * seg_tr, tr)
 
         its = fill_interaction(pack, o, d, hit)
-        is_null = pack.mat_type[jnp.maximum(its.mat, 0)] == NULL_BSDF
+        is_null = (
+            take_rows(pack.mat_type, jnp.maximum(its.mat, 0)) == NULL_BSDF
+        )
         blocked = marching & hit.valid & ~is_null
         tr = jnp.where(blocked[..., None], 0.0, tr)
 
@@ -183,7 +185,7 @@ def volpath_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
         d_phase, ph_pdf = med_eval.phase_sample(pack, med, d, u_p[..., :2])
 
         # ============ SURFACE EVENT ============
-        frame = mm.Frame.from_normal(its.ns)
+        frame = shading_frame(pack, its)
         wi_l = frame.to_local(its.wi_world)
         sp = shading_params(pack, its.mat, its.uv)
 

@@ -29,18 +29,18 @@ def read_image(path):
         return read_png(path), True
     if ext == ".hdr" or ext == ".rgbe":
         return read_rgbe(path), False
-    if ext in (".jpg", ".jpeg"):
-        # no libjpeg in the image; PIL may exist — try it, else fail clearly
+    if ext in (".jpg", ".jpeg", ".tga", ".bmp", ".gif", ".webp"):
+        # LDR formats decoded via PIL (reference links libjpeg/libpng,
+        # bitmap.cpp readJPEG/readTGA/readBMP)
         try:
             from PIL import Image
 
-            img = np.asarray(Image.open(path), np.float32) / 255.0
-            if img.ndim == 2:
-                img = img[..., None]
+            with Image.open(path) as im:
+                img = np.asarray(im.convert("RGB"), np.float32) / 255.0
             return img, True
         except ImportError as e:
             raise NotImplementedError(
-                f"JPEG support requires PIL, which is unavailable: {path}"
+                f"{ext} support requires PIL, which is unavailable: {path}"
             ) from e
     raise ValueError(f"unsupported image format: {path}")
 
@@ -64,6 +64,11 @@ def write_image(path, img):
         write_rgbe(path, img)
     elif ext == ".npy":
         np.save(path, img)
+    elif ext in (".jpg", ".jpeg", ".tga", ".bmp", ".webp"):
+        from PIL import Image
+
+        u8 = np.clip(np.asarray(img, np.float32) * 255.0 + 0.5, 0, 255)
+        Image.fromarray(u8.astype(np.uint8)).save(path)
     else:
         raise ValueError(f"unsupported output format: {path}")
 

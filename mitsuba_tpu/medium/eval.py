@@ -6,6 +6,16 @@ balance distance sampling, :149-330) and heterogeneous.cpp (Woodcock /
 delta tracking, :172) as masked wavefront loops, plus src/phase/{
 isotropic,hg,rayleigh}.cpp.
 
+Heterogeneous tracking is TPU-restructured (round 2):
+* densities are CORNER-PACKED — each grid base point stores its 2x2x2
+  neighborhood as one 8-wide row, so a trilinear lookup is ONE row
+  gather instead of 8 scalar gathers (gathers cost ~1000 flops each);
+* a SUPERGRID of local majorants (8^3 grid cells per supercell, maxima
+  dilated by one cell for trilinear support) drives DDA delta tracking:
+  empty/thin supercells are crossed in a single step instead of
+  sigma_max-rate null collisions, and any number of heterogeneous
+  media per scene is supported (per-lane grid descriptors).
+
 All functions operate per-lane; `med` is the per-lane medium id
 (-1 = vacuum, which yields no interaction and transmittance 1).
 """
@@ -19,10 +29,12 @@ import jax.numpy as jnp
 
 from mitsuba_tpu.core import math as mm
 from mitsuba_tpu.core import warp
+from mitsuba_tpu.core.gather import take_fused, take_rows
 from mitsuba_tpu.medium.plugins import HG, HETEROGENEOUS, RAYLEIGH
 
 INV_FOURPI = 0.25 / jnp.pi
-MAX_TRACKING_STEPS = 256
+MAX_TRACKING_STEPS = 256  # total tentative collisions (RNG slot space)
+TRACK_BATCH = 4  # tentative collisions per sequential loop iteration
 
 
 class MediumSample(NamedTuple):
@@ -31,48 +43,245 @@ class MediumSample(NamedTuple):
     weight: jnp.ndarray  # [R, 3] throughput factor (both outcomes)
 
 
-def _het_density(pack, p):
-    """Trilinear grid lookup of sigma_t at world position p
+def _het_params(pack, med):
+    """Per-lane heterogeneous-grid descriptors (multi-medium)."""
+    m = jnp.maximum(med, 0)
+    slot = jnp.where(med >= 0, take_rows(pack.med_het_slot, m), -1)
+    s = jnp.maximum(slot, 0)
+    w2g, albedo, dims, sdims, cbase, sbase, smax = take_fused(
+        s, pack.het_w2g, pack.het_albedo, pack.het_dims, pack.het_sdims,
+        pack.het_cbase, pack.het_sbase, pack.het_smax,
+    )
+    return {
+        "slot": slot,
+        "w2g": w2g,  # [R, 12] row-major 3x4
+        "albedo": albedo,
+        "dims": dims.astype(jnp.float32),  # [R, 3] (D, H, W)
+        "sdims": sdims,  # [R, 3] int
+        "cbase": cbase,
+        "sbase": sbase,
+        "smax": smax,
+    }
+
+
+def _to_grid(hp, p):
+    """World position -> grid-normalized coords q in [0,1]^3 (per-lane
+    affine 3x4)."""
+    w = hp["w2g"]
+    x = (
+        w[..., 0] * p[..., 0] + w[..., 1] * p[..., 1]
+        + w[..., 2] * p[..., 2] + w[..., 3]
+    )
+    y = (
+        w[..., 4] * p[..., 0] + w[..., 5] * p[..., 1]
+        + w[..., 6] * p[..., 2] + w[..., 7]
+    )
+    z = (
+        w[..., 8] * p[..., 0] + w[..., 9] * p[..., 1]
+        + w[..., 10] * p[..., 2] + w[..., 11]
+    )
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def _to_grid_dir(hp, d):
+    w = hp["w2g"]
+    x = w[..., 0] * d[..., 0] + w[..., 1] * d[..., 1] + w[..., 2] * d[..., 2]
+    y = w[..., 4] * d[..., 0] + w[..., 5] * d[..., 1] + w[..., 6] * d[..., 2]
+    z = w[..., 8] * d[..., 0] + w[..., 9] * d[..., 1] + w[..., 10] * d[..., 2]
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def _het_density_q(pack, hp, q):
+    """Trilinear density at grid-normalized q — ONE corner-row gather
     (reference gridvolume.cpp lookupFloat)."""
-    g = pack.het_grid  # [D, H, W]
-    m = pack.het_world_to_grid
-    q = p @ m[:3, :3].T + m[:3, 3]  # [R, 3] in [0,1]^3
-    d_, h_, w_ = g.shape
-    fx = q[..., 0] * w_ - 0.5
-    fy = q[..., 1] * h_ - 0.5
-    fz = q[..., 2] * d_ - 0.5
-    x0 = jnp.floor(fx).astype(jnp.int32)
-    y0 = jnp.floor(fy).astype(jnp.int32)
-    z0 = jnp.floor(fz).astype(jnp.int32)
+    D_ = hp["dims"][..., 0]
+    H_ = hp["dims"][..., 1]
+    W_ = hp["dims"][..., 2]
+    fx = q[..., 0] * W_ - 0.5
+    fy = q[..., 1] * H_ - 0.5
+    fz = q[..., 2] * D_ - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    z0 = jnp.floor(fz)
     ax, ay, az = fx - x0, fy - y0, fz - z0
+    inb = (
+        (x0 >= -1.0) & (x0 <= W_ - 1.0)
+        & (y0 >= -1.0) & (y0 <= H_ - 1.0)
+        & (z0 >= -1.0) & (z0 <= D_ - 1.0)
+    )
+    xi = jnp.clip(x0, -1.0, W_ - 1.0) + 1.0
+    yi = jnp.clip(y0, -1.0, H_ - 1.0) + 1.0
+    zi = jnp.clip(z0, -1.0, D_ - 1.0) + 1.0
+    cell = hp["cbase"] + (
+        (zi * (H_ + 1.0) + yi) * (W_ + 1.0) + xi
+    ).astype(jnp.int32)
+    n = pack.het_corners.shape[0]
+    c8 = pack.het_corners[jnp.clip(cell, 0, n - 1)]  # [R, 8]
+    bx, by, bz = ax[..., None], ay[..., None], az[..., None]
+    c_y = c8[..., 0::2] * (1 - bx) + c8[..., 1::2] * bx  # [R,4] (z,y)
+    c_z = c_y[..., 0::2] * (1 - by) + c_y[..., 1::2] * by  # [R,2] (z)
+    dens = c_z[..., 0] * (1 - az) + c_z[..., 1] * az
+    return jnp.where(inb, dens, 0.0)
 
-    def fetch(xi, yi, zi):
-        ok = (
-            (xi >= 0) & (xi < w_) & (yi >= 0) & (yi < h_)
-            & (zi >= 0) & (zi < d_)
+
+def _super_lookup(pack, hp, q, B):
+    """Local majorant + supercell exit bounds at grid-normalized q.
+    Returns (sigma_loc, lo_q [R,3], hi_q [R,3])."""
+    # grid-index coords per axis (x, y, z) with dims (D, H, W)
+    gx = q[..., 0] * hp["dims"][..., 2]
+    gy = q[..., 1] * hp["dims"][..., 1]
+    gz = q[..., 2] * hp["dims"][..., 0]
+    sD = hp["sdims"][..., 0]
+    sH = hp["sdims"][..., 1]
+    sW = hp["sdims"][..., 2]
+    sx = jnp.clip(jnp.floor(gx / B).astype(jnp.int32), 0, sW - 1)
+    sy = jnp.clip(jnp.floor(gy / B).astype(jnp.int32), 0, sH - 1)
+    sz = jnp.clip(jnp.floor(gz / B).astype(jnp.int32), 0, sD - 1)
+    scell = hp["sbase"] + (sz * sH + sy) * sW + sx
+    n = pack.het_super.shape[0]
+    sig = pack.het_super[jnp.clip(scell, 0, n - 1)]
+    lo = jnp.stack(
+        [
+            sx.astype(jnp.float32) * B / hp["dims"][..., 2],
+            sy.astype(jnp.float32) * B / hp["dims"][..., 1],
+            sz.astype(jnp.float32) * B / hp["dims"][..., 0],
+        ],
+        axis=-1,
+    )
+    hi = jnp.stack(
+        [
+            (sx + 1).astype(jnp.float32) * B / hp["dims"][..., 2],
+            (sy + 1).astype(jnp.float32) * B / hp["dims"][..., 1],
+            (sz + 1).astype(jnp.float32) * B / hp["dims"][..., 0],
+        ],
+        axis=-1,
+    )
+    return sig, lo, hi
+
+
+def _slab(qo, qd, lo, hi):
+    """Ray-box slab test in grid coords; returns (t_enter, t_exit)."""
+    inv = 1.0 / jnp.where(jnp.abs(qd) < 1e-12, 1e-12, qd)
+    t0 = (lo - qo) * inv
+    t1 = (hi - qo) * inv
+    tn = jnp.minimum(t0, t1).max(axis=-1)
+    tf = jnp.maximum(t0, t1).min(axis=-1)
+    return tn, tf
+
+
+def _het_track(pack, hp, o, d, t_max, lane, sidx, slot, seed_t, ratio):
+    """Supergrid-DDA delta tracking shared by distance sampling
+    (ratio=False: stop at the first real collision) and transmittance
+    estimation (ratio=True: accumulate null ratios).
+
+    Each sequential loop iteration draws TRACK_BATCH tentative
+    collisions inside the current supercell at once (their densities
+    come back in one batched corner gather) — sequential-loop latency,
+    not per-step flops, dominates tracking cost on TPU.
+
+    Returns (t, hit_real, w_ratio)."""
+    from mitsuba_tpu.core import rng
+
+    r = o.shape[0]
+    B = float(pack.meta["het_super_b"])
+    K = TRACK_BATCH
+    qo = _to_grid(hp, o)
+    qd = _to_grid_dir(hp, d)
+    t_max = jnp.broadcast_to(t_max, (r,)).astype(jnp.float32)
+
+    is_het = hp["slot"] >= 0
+    tn, tf = _slab(qo, qd, jnp.zeros_like(qo), jnp.ones_like(qo))
+    t_enter = jnp.maximum(tn, 0.0)
+    t_lim = jnp.minimum(t_max, tf)
+    hits_box = is_het & (tf > t_enter) & (t_enter < t_max)
+
+    # boundary-crossing epsilon: a small fraction of one supercell
+    cell_t = B / jnp.maximum(
+        (jnp.abs(qd) * hp["dims"][..., ::-1]).max(axis=-1), 1e-12
+    )
+    eps_t = 1e-3 * cell_t
+    max_iters = MAX_TRACKING_STEPS // K
+
+    hp_k = {
+        k: (v[:, None] if v.ndim == 1 else v[:, None, :])
+        for k, v in hp.items()
+    }
+
+    def cond(s):
+        t, alive, step, hit_real, w = s
+        return jnp.any(alive) & (step < max_iters)
+
+    def body(s):
+        t, alive, step, hit_real, w = s
+        ua = rng.rand4(lane, sidx, slot * MAX_TRACKING_STEPS + 2 * step,
+                       seed_t)
+        ub = rng.rand4(lane, sidx, slot * MAX_TRACKING_STEPS + 2 * step + 1,
+                       seed_t)
+        u_jump = jnp.stack(
+            [ua[..., 0], ua[..., 1], ua[..., 2], ua[..., 3]], axis=-1
+        )  # [R, K]
+        u_acc = jnp.stack(
+            [ub[..., 0], ub[..., 1], ub[..., 2], ub[..., 3]], axis=-1
         )
-        v = g[
-            jnp.clip(zi, 0, d_ - 1),
-            jnp.clip(yi, 0, h_ - 1),
-            jnp.clip(xi, 0, w_ - 1),
-        ]
-        return jnp.where(ok, v, 0.0)
+        q = qo + qd * t[..., None]
+        sig, lo, hi = _super_lookup(pack, hp, q, B)
+        _, t_exit = _slab(qo, qd, lo, hi)
+        # the local majorant only bounds density INSIDE this supercell —
+        # candidates past the boundary are free flights to the next cell
+        t_exit = jnp.maximum(t_exit, t)
 
-    c000 = fetch(x0, y0, z0)
-    c100 = fetch(x0 + 1, y0, z0)
-    c010 = fetch(x0, y0 + 1, z0)
-    c110 = fetch(x0 + 1, y0 + 1, z0)
-    c001 = fetch(x0, y0, z0 + 1)
-    c101 = fetch(x0 + 1, y0, z0 + 1)
-    c011 = fetch(x0, y0 + 1, z0 + 1)
-    c111 = fetch(x0 + 1, y0 + 1, z0 + 1)
-    c00 = c000 * (1 - ax) + c100 * ax
-    c10 = c010 * (1 - ax) + c110 * ax
-    c01 = c001 * (1 - ax) + c101 * ax
-    c11 = c011 * (1 - ax) + c111 * ax
-    return (c00 * (1 - ay) + c10 * ay) * (1 - az) + (
-        c01 * (1 - ay) + c11 * ay
-    ) * az
+        # K cumulative exponential jumps with the cell's majorant
+        delta = -jnp.log(jnp.maximum(1.0 - u_jump, 1e-20)) / jnp.maximum(
+            sig, 1e-20
+        )[..., None]
+        t_c = t[..., None] + jnp.cumsum(delta, axis=-1)  # [R, K]
+        in_cell = (
+            (sig > 0.0)[..., None]
+            & (t_c <= t_exit[..., None])
+            & (t_c < t_lim[..., None])
+        )
+        # densities at all K candidates — one batched corner gather
+        q_c = qo[:, None, :] + qd[:, None, :] * t_c[..., None]  # [R, K, 3]
+        dens = _het_density_q(pack, hp_k, q_c)  # [R, K]
+        frac = dens / jnp.maximum(sig, 1e-20)[..., None]
+
+        if ratio:
+            # ratio tracking: every in-cell candidate is a null collision
+            mult = jnp.where(in_cell, jnp.maximum(1.0 - frac, 0.0), 1.0)
+            w = jnp.where(alive, w * jnp.prod(mult, axis=-1), w)
+            # advance to the cell boundary once the batch leaves the cell,
+            # else continue from the last candidate
+            all_in = in_cell[..., K - 1]
+            t_new = jnp.where(all_in, t_c[..., K - 1], t_exit + eps_t)
+            beyond = t_new >= t_lim
+            t = jnp.where(alive, jnp.minimum(t_new, t_lim), t)
+            alive = alive & ~beyond & (w > 1e-5)
+        else:
+            real_k = in_cell & (u_acc < frac)
+            any_real = jnp.any(real_k, axis=-1)
+            first = jnp.argmax(real_k, axis=-1)
+            t_real = jnp.take_along_axis(t_c, first[..., None], -1)[..., 0]
+            all_in = in_cell[..., K - 1]
+            t_new = jnp.where(
+                any_real,
+                t_real,
+                jnp.where(all_in, t_c[..., K - 1], t_exit + eps_t),
+            )
+            beyond = t_new >= t_lim
+            hit_real = hit_real | (alive & any_real & ~beyond)
+            t = jnp.where(alive, jnp.minimum(t_new, t_lim), t)
+            alive = alive & ~beyond & ~any_real
+        return t, alive, step + 1, hit_real, w
+
+    state = (
+        t_enter,
+        hits_box,
+        jnp.int32(0),
+        jnp.zeros(r, bool),
+        jnp.ones(r, jnp.float32),
+    )
+    t, _, _, hit_real, w = jax.lax.while_loop(cond, body, state)
+    return t, hit_real, w
 
 
 def sample_distance(pack, med, o, d, t_max, u3, lane, sidx, slot, seed):
@@ -80,9 +289,9 @@ def sample_distance(pack, med, o, d, t_max, u3, lane, sidx, slot, seed):
 
     Homogeneous: channel-balance analytic sampling
     (reference homogeneous.cpp:275-330).
-    Heterogeneous: Woodcock delta tracking — iterate tentative
-    collisions; unbiased, weight = single-channel albedo at the real
-    collision (reference heterogeneous.cpp:172-199).
+    Heterogeneous: Woodcock delta tracking over supergrid majorants —
+    unbiased, weight = albedo at the real collision
+    (reference heterogeneous.cpp:172-199).
     """
     from mitsuba_tpu.core import rng
 
@@ -120,49 +329,28 @@ def sample_distance(pack, med, o, d, t_max, u3, lane, sidx, slot, seed):
     out_w = jnp.where(in_medium[..., None], w_h, 1.0)
     out_med = in_medium & success_h
 
-    # --- heterogeneous (delta tracking) ---
-    het_id = pack.meta["het_med_id"]
-    if het_id >= 0:
-        sigma_max = jnp.float32(max(pack.meta["het_sigma_max"], 1e-9))
-        is_het = med == het_id
+    # --- heterogeneous (supergrid delta tracking) ---
+    if pack.meta.get("n_het", 0) > 0:
+        hp = _het_params(pack, med)
+        is_het = in_medium & (hp["slot"] >= 0)
         # Tracking randomness lives in its own stream so per-step slots
         # can never alias integrator-loop or camera slots (ADVICE r1).
         seed_t = rng.stream_seed(seed, rng.STREAM_MEDIUM_DIST)
-
-        def cond(s):
-            t, alive, step, _ = s
-            return jnp.any(alive) & (step < MAX_TRACKING_STEPS)
-
-        def body(s):
-            t, alive, step, hit_real = s
-            u = rng.rand2(
-                lane, sidx, slot * MAX_TRACKING_STEPS + step, seed_t
-            )
-            t_new = t - jnp.log(jnp.maximum(1.0 - u[..., 0], 1e-20)) / sigma_max
-            beyond = t_new >= t_max
-            dens = _het_density(pack, o + d * t_new[..., None])
-            real = u[..., 1] < dens / sigma_max
-            stop = beyond | real
-            hit_real = jnp.where(alive & real & ~beyond, True, hit_real)
-            t = jnp.where(alive, jnp.minimum(t_new, t_max), t)
-            alive = alive & ~stop
-            return t, alive, step + 1, hit_real
-
-        t0 = jnp.zeros(r, jnp.float32)
-        alive0 = is_het & in_medium
-        t_het, _, _, real_het = jax.lax.while_loop(
-            cond, body, (t0, alive0, jnp.int32(0), jnp.zeros(r, bool))
+        t_het, real_het, _ = _het_track(
+            pack, hp, o, d, t_max, lane, sidx, slot, seed_t, ratio=False
         )
         # Woodcock: transmittance estimator is 1 on failure; on a real
         # collision the scatter weight is the albedo
         w_het = jnp.where(
-            real_het[..., None],
-            jnp.broadcast_to(pack.het_albedo, (r, 3)),
-            jnp.ones((r, 3), jnp.float32),
+            real_het[..., None], hp["albedo"], jnp.ones((r, 3), jnp.float32)
         )
-        out_t = jnp.where(is_het, jnp.where(real_het, t_het, t_max), out_t)
+        out_t = jnp.where(
+            is_het,
+            jnp.where(real_het, t_het, jnp.broadcast_to(t_max, (r,))),
+            out_t,
+        )
         out_w = jnp.where(is_het[..., None], w_het, out_w)
-        out_med = jnp.where(is_het, real_het, out_med)
+        out_med = jnp.where(is_het, real_het & is_het, out_med)
 
     return MediumSample(is_medium=out_med, t=out_t, weight=out_w)
 
@@ -170,8 +358,8 @@ def sample_distance(pack, med, o, d, t_max, u3, lane, sidx, slot, seed):
 def transmittance(pack, med, o, d, dist, lane, sidx, slot, seed):
     """Tr along a segment inside a single medium (shadow rays).
 
-    Homogeneous: closed form.  Heterogeneous: ratio tracking
-    (unbiased; reference heterogeneous.cpp evalTransmittance)."""
+    Homogeneous: closed form.  Heterogeneous: ratio tracking with local
+    majorants (unbiased; reference heterogeneous.cpp evalTransmittance)."""
     from mitsuba_tpu.core import rng
 
     in_medium = med >= 0
@@ -179,35 +367,12 @@ def transmittance(pack, med, o, d, dist, lane, sidx, slot, seed):
     sigma_t = pack.med_sigma_s[m] + pack.med_sigma_a[m]
     tr = jnp.exp(-sigma_t * dist[..., None])
 
-    het_id = pack.meta["het_med_id"]
-    if het_id >= 0:
-        sigma_max = jnp.float32(max(pack.meta["het_sigma_max"], 1e-9))
-        is_het = med == het_id
+    if pack.meta.get("n_het", 0) > 0:
+        hp = _het_params(pack, med)
+        is_het = in_medium & (hp["slot"] >= 0)
         seed_t = rng.stream_seed(seed, rng.STREAM_MEDIUM_TRANS)
-
-        def cond(s):
-            t, w, alive, step = s
-            return jnp.any(alive) & (step < MAX_TRACKING_STEPS)
-
-        def body(s):
-            t, w, alive, step = s
-            u = rng.rand1(
-                lane, sidx, slot * MAX_TRACKING_STEPS + step, seed_t
-            )
-            t_new = t - jnp.log(jnp.maximum(1.0 - u, 1e-20)) / sigma_max
-            beyond = t_new >= dist
-            dens = _het_density(pack, o + d * t_new[..., None])
-            ratio = jnp.maximum(1.0 - dens / sigma_max, 0.0)
-            w = jnp.where(alive & ~beyond, w * ratio, w)
-            t = jnp.where(alive, t_new, t)
-            alive = alive & ~beyond & (w > 1e-5)
-            return t, w, alive, step + 1
-
-        w0 = jnp.ones_like(dist)
-        _, w_het, _, _ = jax.lax.while_loop(
-            cond,
-            body,
-            (jnp.zeros_like(dist), w0, is_het, jnp.int32(0)),
+        _, _, w_het = _het_track(
+            pack, hp, o, d, dist, lane, sidx, slot, seed_t, ratio=True
         )
         tr = jnp.where(is_het[..., None], w_het[..., None], tr)
 

@@ -161,10 +161,63 @@ class GridVolume(_VolumeBase):
 
 @register("volume", "hgridvolume")
 class HGridVolume(_VolumeBase):
-    """PLACEHOLDER — hierarchical grid flattened to a dense grid planned."""
+    """Hierarchical grid (reference src/volume/hgridvolume.cpp:70-112):
+    a dictionary file holds the AABB, the block-grid resolution, and a
+    list of occupied block coordinates whose contents live in .vol files
+    named `{prefix}{x:03}_{y:03}_{z:03}{postfix}`.
+
+    TPU-side the hierarchy is FLATTENED to one dense grid at load time
+    (missing blocks are zero) — the supergrid majorants in medium/eval.py
+    recover the sparsity benefit the reference gets from the hierarchy."""
 
     def _build(self, props):
-        raise NotImplementedError("hgridvolume: planned (round 2)")
+        import os
+
+        prefix = props.get_string("prefix")
+        postfix = props.get_string("postfix")
+        path = props.resolve_path(props.get_string("filename"))
+        base = os.path.dirname(path)
+        with open(path, "rb") as f:
+            blob = f.read()
+        xmin, ymin, zmin, xmax, ymax, zmax = struct.unpack_from("<6f", blob, 0)
+        rx, ry, rz = struct.unpack_from("<3i", blob, 24)
+        off = 36
+        blocks = []
+        while off + 12 <= len(blob):
+            bx, by, bz = struct.unpack_from("<3i", blob, off)
+            off += 12
+            blocks.append((bx, by, bz))
+        if not blocks:
+            raise ValueError(f"{path}: empty hgridvolume dictionary")
+        grid = None
+        bres = None
+        for bx, by, bz in blocks:
+            bpath = os.path.join(
+                base, f"{prefix}{bx:03d}_{by:03d}_{bz:03d}{postfix}"
+            )
+            sub = load_vol(bpath)
+            g = sub.grid[..., 0] if sub.grid.ndim == 4 else sub.grid
+            if grid is None:
+                bres = g.shape  # (D, H, W) per block
+                grid = np.zeros(
+                    (rz * bres[0], ry * bres[1], rx * bres[2]), np.float32
+                )
+            if g.shape != bres:
+                raise NotImplementedError(
+                    "hgridvolume: blocks with differing resolutions"
+                )
+            grid[
+                bz * bres[0] : (bz + 1) * bres[0],
+                by * bres[1] : (by + 1) * bres[1],
+                bx * bres[2] : (bx + 1) * bres[2],
+            ] = g
+        rec = VolumeRecord(
+            grid=grid,
+            aabb_min=np.array([xmin, ymin, zmin], np.float32),
+            aabb_max=np.array([xmax, ymax, zmax], np.float32),
+        )
+        rec.to_world = props.get_transform("toWorld")
+        return rec
 
 
 @register("volume", "volcache")

@@ -294,6 +294,10 @@ def render(
             return np.asarray(img), film
         return np.asarray(img)
 
+    if pack.meta.get("has_media", False):
+        # media passes stay within the media lane budget even when the
+        # film itself is small enough to skip banding
+        lanes = min(lanes, media_lanes)
     spp_chunk = max(1, min(spp, lanes // (w * h)))
     n_passes = math.ceil(spp / spp_chunk)
 

@@ -323,6 +323,18 @@ def pack_scene(scene) -> ScenePack:
     tri_t = pack_triangles_transposed(tri_v0, tri_e1, tri_e2, n_tris)
     tri_s = pack_triangles_sublane(tri_v0, tri_e1, tri_e2, n_tris)
 
+    # row-packed BVH nodes + triangles: ONE gather per traversal step /
+    # leaf visit instead of 5 / 3 (TPU gathers are ~1000-flop expensive)
+    bvh_nodes = np.concatenate(
+        [
+            bvh.lo, bvh.hi,
+            bvh.first[:, None].astype(np.float32),
+            bvh.count[:, None].astype(np.float32),
+            bvh.skip[:, None].astype(np.float32),
+        ],
+        axis=1,
+    ).astype(np.float32)  # [N, 9]
+
     # pad triangles so leaf gathers of LEAF_SIZE never go out of bounds
     pad = LEAF_SIZE
     def pad_tri(a, fill=0.0):
@@ -342,6 +354,23 @@ def pack_scene(scene) -> ScenePack:
     tri_emit = pad_tri(tri_emit, -1)
     tri_med_in = pad_tri(tri_med_in, -1)
     tri_med_ex = pad_tri(tri_med_ex, -1)
+
+    # row-packed triangle geometry (see bvh_nodes above)
+    tri9 = np.concatenate([tri_v0, tri_e1, tri_e2], axis=1).astype(
+        np.float32
+    )  # [Tp, 9]
+
+    # UV-aligned tangent per triangle (dp/du, for bump/normal mapping —
+    # reference intersection partials, trimesh.cpp getNormalDerivative)
+    duv1 = tri_uv1 - tri_uv0
+    duv2 = tri_uv2 - tri_uv0
+    uv_det = duv1[:, 0] * duv2[:, 1] - duv2[:, 0] * duv1[:, 1]
+    safe = np.abs(uv_det) > 1e-12
+    inv_det = np.where(safe, 1.0 / np.where(safe, uv_det, 1.0), 0.0)
+    tri_dpdu = (
+        tri_e1 * duv2[:, 1:2] - tri_e2 * duv1[:, 1:2]
+    ) * inv_det[:, None]
+    tri_dpdu = np.where(safe[:, None], tri_dpdu, tri_e1).astype(np.float32)
 
     # ---------------- spheres ----------------
     n_sph = len(spheres)
@@ -383,6 +412,8 @@ def pack_scene(scene) -> ScenePack:
         "mat_opacity": np.ones((n_mat, 3), np.float32),
         "mat_texA": np.full(n_mat, -1, np.int32),
         "mat_tex_opacity": np.full(n_mat, -1, np.int32),
+        "mat_tex_bump": np.full(n_mat, -1, np.int32),
+        "mat_bump_nm": np.zeros(n_mat, np.float32),  # 1 = normal map
     }
     # mixture support: a MIXTURE row carries child A's params inline
     # plus (child-B row id, weight-A, weight-B); deeper nesting collapses
@@ -451,6 +482,14 @@ def pack_scene(scene) -> ScenePack:
             mt["mat_opacity"][i] = rec.opacity
         mt["mat_texA"][i] = add_texture(rec.texA)
         mt["mat_tex_opacity"][i] = add_texture(rec.tex_opacity)
+        mt["mat_tex_bump"][i] = add_texture(rec.tex_bump)
+        mt["mat_bump_nm"][i] = float(rec.bump_is_normalmap)
+
+    has_bumpmaps = any(
+        rec.tex_bump is not None
+        for rec in materials
+        if hasattr(rec, "tex_bump")
+    )
 
     tex_arrays = _pack_textures(textures)
 
@@ -553,36 +592,76 @@ def pack_scene(scene) -> ScenePack:
     med_g = np.zeros(n_med, np.float32)
     med_kind = np.zeros(n_med, np.int32)
     med_sampling_w = np.zeros(n_med, np.float32)
-    het_grid = np.zeros((1, 1, 2), np.float32)
-    het_world_to_grid = np.eye(4, dtype=np.float32)
-    het_sigma_max = 0.0
-    het_albedo = np.full(3, 0.9, np.float32)
+    # heterogeneous grids: corner-packed densities + supergrid majorants
+    # (fast TPU delta tracking — medium/eval.py; reference equivalent:
+    # heterogeneous.cpp:164-199 integrates density along the ray)
+    SUPER_B = 8  # grid cells per supergrid cell, each axis
+    het_slot_of_med = np.full(n_med, -1, np.int32)  # med id -> het slot
+    hc_parts, hs_parts = [], []
+    h_w2g, h_albedo, h_dims, h_sdims, h_cbase, h_sbase, h_smax = (
+        [], [], [], [], [], [], []
+    )
     het_med_id = -1
+    het_sigma_max = 0.0
     for i, m in enumerate(media):
         med_kind[i] = m.kind
         from mitsuba_tpu.medium.plugins import PhaseRecord, HG
 
         med_g[i] = m.phase.g if m.phase.kind == HG else 0.0
         if m.kind == HETEROGENEOUS:
-            if het_med_id >= 0:
-                raise NotImplementedError(
-                    "only one heterogeneous medium per scene (round 1)"
-                )
-            het_med_id = i
+            if het_med_id < 0:
+                het_med_id = i  # kept for meta back-compat
+            het_slot_of_med[i] = len(h_dims)
             vol = m.density
             grid = vol.grid[..., 0] if vol.grid.ndim == 4 else vol.grid
-            het_grid = np.ascontiguousarray(grid * m.scale, np.float32)
+            grid = np.ascontiguousarray(grid * m.scale, np.float32)
+            D_, H_, W_ = grid.shape
+            # corner packing: pad by one zero layer; base point (z,y,x)
+            # with z in [-1, D-1] holds its 2x2x2 corner block -> ONE
+            # row gather per trilinear lookup instead of 8 scalar ones
+            gp = np.zeros((D_ + 2, H_ + 2, W_ + 2), np.float32)
+            gp[1:-1, 1:-1, 1:-1] = grid
+            corners = np.empty((D_ + 1, H_ + 1, W_ + 1, 8), np.float32)
+            for dz in (0, 1):
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        corners[..., dz * 4 + dy * 2 + dx] = gp[
+                            dz : dz + D_ + 1,
+                            dy : dy + H_ + 1,
+                            dx : dx + W_ + 1,
+                        ]
+            # supergrid majorants: per-block max over the covered cells
+            # DILATED by one (trilinear support reaches the neighbors)
+            sd = [max((n + SUPER_B - 1) // SUPER_B, 1) for n in (D_, H_, W_)]
+            sup = np.zeros(sd, np.float32)
+            for z in range(sd[0]):
+                for y in range(sd[1]):
+                    for x in range(sd[2]):
+                        sup[z, y, x] = grid[
+                            max(z * SUPER_B - 1, 0) : (z + 1) * SUPER_B + 1,
+                            max(y * SUPER_B - 1, 0) : (y + 1) * SUPER_B + 1,
+                            max(x * SUPER_B - 1, 0) : (x + 1) * SUPER_B + 1,
+                        ].max()
+            h_cbase.append(sum(p.shape[0] for p in hc_parts))
+            h_sbase.append(sum(p.shape[0] for p in hs_parts))
+            hc_parts.append(corners.reshape(-1, 8))
+            hs_parts.append(sup.reshape(-1))
+            h_dims.append([D_, H_, W_])
+            h_sdims.append(sd)
+            h_smax.append(float(grid.max()))
+            het_sigma_max = max(het_sigma_max, float(grid.max()))
             # world -> grid-index transform: world -> volume local (aabb)
             ext = np.maximum(vol.aabb_max - vol.aabb_min, 1e-9)
             to_local = np.eye(4)
             to_local[:3, :3] = np.diag(1.0 / ext)
             to_local[:3, 3] = -vol.aabb_min / ext
-            het_world_to_grid = (
-                to_local @ vol.to_world.inv
-            ).astype(np.float32)
-            het_sigma_max = float(het_grid.max())
+            h_w2g.append(
+                (to_local @ vol.to_world.inv).astype(np.float32)[:3].reshape(-1)
+            )
             if m.albedo is not None and m.albedo.constant is not None:
-                het_albedo = np.asarray(m.albedo.constant, np.float32)
+                h_albedo.append(np.asarray(m.albedo.constant, np.float32))
+            else:
+                h_albedo.append(np.full(3, 0.9, np.float32))
         else:
             med_sigma_s[i] = m.sigma_s
             med_sigma_a[i] = m.sigma_a
@@ -593,15 +672,34 @@ def pack_scene(scene) -> ScenePack:
             a = float(albedo.max())
             med_sampling_w[i] = max(a, 0.5) if a > 0 else 0.0
 
+    n_het = len(h_dims)
+    if n_het == 0:
+        hc_parts = [np.zeros((1, 8), np.float32)]
+        hs_parts = [np.zeros(1, np.float32)]
+        h_w2g = [np.eye(4, dtype=np.float32)[:3].reshape(-1)]
+        h_albedo = [np.full(3, 0.9, np.float32)]
+        h_dims = [[1, 1, 1]]
+        h_sdims = [[1, 1, 1]]
+        h_cbase = [0]
+        h_sbase = [0]
+        h_smax = [0.0]
+
     arrays = {
         "med_sigma_s": med_sigma_s,
         "med_sigma_a": med_sigma_a,
         "med_g": med_g,
         "med_kind": med_kind,
         "med_sampling_w": med_sampling_w,
-        "het_grid": het_grid,
-        "het_world_to_grid": het_world_to_grid,
-        "het_albedo": het_albedo,
+        "med_het_slot": het_slot_of_med,
+        "het_corners": np.concatenate(hc_parts, axis=0),
+        "het_super": np.concatenate(hs_parts),
+        "het_w2g": np.stack(h_w2g),  # [K, 12] row-major 3x4
+        "het_albedo": np.stack(h_albedo),  # [K, 3]
+        "het_dims": np.asarray(h_dims, np.int32),  # [K, 3] (D, H, W)
+        "het_sdims": np.asarray(h_sdims, np.int32),  # [K, 3]
+        "het_cbase": np.asarray(h_cbase, np.int32),
+        "het_sbase": np.asarray(h_sbase, np.int32),
+        "het_smax": np.asarray(h_smax, np.float32),
         "tri_med_in": tri_med_in,
         "tri_med_ex": tri_med_ex,
         "tri_t": tri_t,
@@ -609,12 +707,13 @@ def pack_scene(scene) -> ScenePack:
         "tri_v0": tri_v0, "tri_e1": tri_e1, "tri_e2": tri_e2,
         "tri_n0": tri_n0, "tri_n1": tri_n1, "tri_n2": tri_n2,
         "tri_uv0": tri_uv0, "tri_uv1": tri_uv1, "tri_uv2": tri_uv2,
-        "tri_mat": tri_mat, "tri_emit": tri_emit,
+        "tri_mat": tri_mat, "tri_emit": tri_emit, "tri_dpdu": tri_dpdu,
         "sph_center": sph_center, "sph_radius": sph_radius,
         "sph_mat": sph_mat, "sph_emit": sph_emit, "sph_flip": sph_flip,
         "sph_med_in": sph_med_in, "sph_med_ex": sph_med_ex,
         "bvh_lo": bvh.lo, "bvh_hi": bvh.hi, "bvh_skip": bvh.skip,
         "bvh_first": bvh.first, "bvh_count": bvh.count,
+        "bvh_nodes": bvh_nodes, "tri9": tri9,
         **mt,
         **tex_arrays,
         **em,
@@ -655,10 +754,13 @@ def pack_scene(scene) -> ScenePack:
         "n_area_tris": int(at_cursor),
         "has_textures": len(textures) > 0,
         "has_mixtures": bool(mix_rows),
+        "has_bumpmaps": has_bumpmaps,
         "has_media": len(media) > 0,
         "n_media": len(media),
         "het_med_id": het_med_id,
         "het_sigma_max": het_sigma_max,
+        "n_het": n_het,
+        "het_super_b": SUPER_B,
         "camera_medium": -1,
     }
     return ScenePack(arrays, meta)

@@ -60,10 +60,16 @@ def eval_texture(pack, tid, uv, default_rgb):
     ax = (fx - x0)[..., None]
     ay = (fy - y0)[..., None]
 
+    atlas_w = pack.tex_atlas.shape[1]
+    atlas_flat = pack.tex_atlas.reshape(-1, 3)  # 1D gathers (2D-index
+    # gathers lower catastrophically on TPU)
+
     def fetch(xi_, yi_):
         xi_ = jnp.mod(xi_, w)
         yi_ = jnp.mod(yi_, h)
-        return pack.tex_atlas[rect[..., 1] + yi_, rect[..., 0] + xi_]
+        return atlas_flat[
+            (rect[..., 1] + yi_) * atlas_w + rect[..., 0] + xi_
+        ]
 
     c00 = fetch(x0, y0)
     c10 = fetch(x0 + 1, y0)
@@ -132,6 +138,64 @@ def shading_params(pack, mat_id, uv):
             "wb": jnp.where(mix_b >= 0, mix_wb, 0.0),
         }
     return sp
+
+
+def shading_frame(pack, its):
+    """Shading frame at the hit, with bump/normal-map perturbation
+    (reference src/bsdfs/{bumpmap,normalmap}.cpp getFrame).
+
+    Scenes without bump textures compile to a plain Frame.from_normal
+    (static meta gate).  Normal maps rotate the tangent-space normal
+    (2c-1) into the TBN basis built from dp/du; bump maps displace the
+    normal by finite-difference height gradients."""
+    from mitsuba_tpu.core import math as mm
+    import jax.numpy as jnp
+
+    if not pack.meta.get("has_bumpmaps", False):
+        return mm.Frame.from_normal(its.ns)
+
+    m = jnp.maximum(its.mat, 0)
+    tex_b, is_nm = take_fused(m, pack.mat_tex_bump, pack.mat_bump_nm)
+    has = tex_b >= 0
+
+    ns = its.ns
+    # orthonormal TBN from the uv tangent
+    t_raw = its.dpdu - ns * jnp.sum(its.dpdu * ns, axis=-1, keepdims=True)
+    t_len = jnp.linalg.norm(t_raw, axis=-1, keepdims=True)
+    fallback = mm.Frame.from_normal(ns)
+    t = jnp.where(t_len > 1e-8, t_raw / jnp.maximum(t_len, 1e-12),
+                  fallback.s)
+    b = jnp.cross(ns, t)
+
+    # normal map: c in [0,1]^3 -> tangent-space normal
+    c = eval_texture(pack, tex_b, its.uv, jnp.full(its.uv.shape[:-1] + (3,),
+                                                   0.5))
+    n_t = 2.0 * c - 1.0
+    n_nm = mm.normalize(
+        t * n_t[..., 0:1] + b * n_t[..., 1:2] + ns * n_t[..., 2:3]
+    )
+
+    # bump map: central differences of the height field
+    eps = 1.0 / 1024.0
+    h0 = eval_texture(pack, tex_b, its.uv, jnp.zeros_like(c)).mean(-1)
+    hu = eval_texture(
+        pack, tex_b, its.uv + jnp.asarray([eps, 0.0]), jnp.zeros_like(c)
+    ).mean(-1)
+    hv = eval_texture(
+        pack, tex_b, its.uv + jnp.asarray([0.0, eps]), jnp.zeros_like(c)
+    ).mean(-1)
+    dhdu = (hu - h0) / eps
+    dhdv = (hv - h0) / eps
+    n_bm = mm.normalize(
+        ns - t * dhdu[..., None] - b * dhdv[..., None]
+    )
+
+    n_new = jnp.where((is_nm > 0.5)[..., None], n_nm, n_bm)
+    n_new = jnp.where(has[..., None], n_new, ns)
+    # keep the perturbed normal in the geometric hemisphere
+    flip = jnp.sum(n_new * ns, axis=-1) < 0
+    n_new = jnp.where(flip[..., None], -n_new, n_new)
+    return mm.Frame.from_normal(n_new)
 
 
 def eval_opacity(pack, mat_id, uv):

@@ -27,15 +27,27 @@ def random_tri_pack(n_tris=900, seed=0, use_bvh=True):
             [a, np.full((4,) + a.shape[1:], fill, a.dtype)]
         )
 
+    bvh_nodes = np.concatenate(
+        [
+            bvh.lo, bvh.hi,
+            bvh.first[:, None].astype(np.float32),
+            bvh.count[:, None].astype(np.float32),
+            bvh.skip[:, None].astype(np.float32),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    tv0, te1, te2 = padded(v0p, 1e30), padded(e1p), padded(e2p)
     arrays = {
-        "tri_v0": jnp.asarray(padded(v0p, 1e30)),
-        "tri_e1": jnp.asarray(padded(e1p)),
-        "tri_e2": jnp.asarray(padded(e2p)),
+        "tri_v0": jnp.asarray(tv0),
+        "tri_e1": jnp.asarray(te1),
+        "tri_e2": jnp.asarray(te2),
+        "tri9": jnp.asarray(np.concatenate([tv0, te1, te2], axis=1)),
         "bvh_lo": jnp.asarray(bvh.lo),
         "bvh_hi": jnp.asarray(bvh.hi),
         "bvh_skip": jnp.asarray(bvh.skip),
         "bvh_first": jnp.asarray(bvh.first),
         "bvh_count": jnp.asarray(bvh.count),
+        "bvh_nodes": jnp.asarray(bvh_nodes),
     }
     meta = {"n_tris": n_tris, "n_spheres": 0, "use_bvh": use_bvh}
     return ScenePack(arrays, meta), perm
@@ -185,15 +197,24 @@ def test_native_bvh_builder_matches_numpy():
         perm = bvh.order
         def padded(a, fill=0.0):
             return np.concatenate([a, np.full((4,) + a.shape[1:], fill, a.dtype)])
+        nodes = np.concatenate(
+            [bvh.lo, bvh.hi,
+             bvh.first[:, None].astype(np.float32),
+             bvh.count[:, None].astype(np.float32),
+             bvh.skip[:, None].astype(np.float32)], axis=1,
+        ).astype(np.float32)
+        tv0, te1, te2 = padded(v0[perm], 1e30), padded(e1[perm]), padded(e2[perm])
         arrays = {
-            "tri_v0": jnp.asarray(padded(v0[perm], 1e30)),
-            "tri_e1": jnp.asarray(padded(e1[perm])),
-            "tri_e2": jnp.asarray(padded(e2[perm])),
+            "tri_v0": jnp.asarray(tv0),
+            "tri_e1": jnp.asarray(te1),
+            "tri_e2": jnp.asarray(te2),
+            "tri9": jnp.asarray(np.concatenate([tv0, te1, te2], axis=1)),
             "bvh_lo": jnp.asarray(bvh.lo),
             "bvh_hi": jnp.asarray(bvh.hi),
             "bvh_skip": jnp.asarray(bvh.skip),
             "bvh_first": jnp.asarray(bvh.first),
             "bvh_count": jnp.asarray(bvh.count),
+            "bvh_nodes": jnp.asarray(nodes),
         }
         return ScenePack(arrays, {"n_tris": n, "n_spheres": 0, "use_bvh": True}), perm
 
