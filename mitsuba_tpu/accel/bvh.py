@@ -22,12 +22,14 @@ from dataclasses import dataclass
 
 import numpy as np
 
-# Max prims per leaf.  Lockstep traversal cost is dominated by the
-# MAXIMUM node-visit count over all lanes (every while-loop iteration
-# pays two gathers for every lane), while leaf triangle tests are cheap
-# batched VPU work — so TPU wants much fatter leaves than a CPU kd-tree
-# (reference gkdtree.h stops at ~4-6 prims).
-LEAF_SIZE = 16
+# Max prims per leaf.  Trade-off: lockstep traversal pays the MAXIMUM
+# node-visit count over all lanes per while-loop iteration, but every
+# iteration also gathers LEAF_SIZE triangle rows per lane whether or not
+# the lane is at a leaf — fat leaves shorten the walk yet inflate every
+# step's gather traffic.  (reference gkdtree.h stops at ~4-6 prims.)
+import os as _os
+
+LEAF_SIZE = int(_os.environ.get("MTS_BVH_LEAF", 8))
 _TRAVERSAL_COST = 1.0
 _INTERSECT_COST = 1.0
 _NUM_BINS = 16
@@ -57,6 +59,88 @@ def build_bvh(
         if out is not None:
             return out
     return _build_bvh_numpy(centroids, prim_lo, prim_hi)
+
+
+# cap on 8-layout octant threading: 8 copies of the node array
+OCTANT_MAX_NODES = 1 << 19
+
+
+def octant_node_rows(bvh: BVH) -> tuple[np.ndarray, int]:
+    """Emit row-packed nodes [(K*N), 9] in K=8 direction-ordered DFS
+    layouts (or K=1 above OCTANT_MAX_NODES).
+
+    Closest-hit lockstep traversal pays for every node the WORST lane
+    visits; visiting the near child first tightens best_t early so far
+    boxes fail `tn < best_t` and whole subtrees are skipped.  A
+    skip-pointer layout fixes the child order at build time, so we
+    thread EIGHT layouts — one per ray-direction sign octant — and each
+    lane traverses the one matching sign(d).  (The reference gets the
+    same effect dynamically from its kd-tree stack, sahkdtree3.h:178.)
+
+    Octant o has bit a set iff d[a] < 0; the near child along the
+    children's dominant separation axis goes first."""
+    n = len(bvh.skip)
+
+    def rows(lo, hi, first, count, skip):
+        return np.concatenate(
+            [lo, hi,
+             first[:, None].astype(np.float32),
+             count[:, None].astype(np.float32),
+             skip[:, None].astype(np.float32)],
+            axis=1,
+        ).astype(np.float32)
+
+    base = rows(bvh.lo, bvh.hi, bvh.first, bvh.count, bvh.skip)
+    if n > OCTANT_MAX_NODES or n <= 1:
+        return base, 1
+
+    # reconstruct children from the threaded DFS layout:
+    # internal i -> left = i+1, right = skip[left]
+    is_leaf = bvh.count > 0
+    center = (bvh.lo + bvh.hi) * 0.5
+    layouts = []
+    for oct_ in range(8):
+        neg = np.array([oct_ & 1, (oct_ >> 1) & 1, (oct_ >> 2) & 1], bool)
+        # new DFS order with per-octant child ordering
+        order = np.empty(n, np.int32)  # new position -> old node id
+        pos_of = np.empty(n, np.int32)
+        stack = [0]
+        w = 0
+        while stack:
+            i = stack.pop()
+            order[w] = i
+            pos_of[i] = w
+            w += 1
+            if not is_leaf[i]:
+                left = i + 1
+                right = bvh.skip[left]
+                axis = int(
+                    np.argmax(np.abs(center[right] - center[left]))
+                )
+                near_is_left = center[left][axis] <= center[right][axis]
+                if neg[axis]:
+                    near_is_left = not near_is_left
+                near, far = (
+                    (left, right) if near_is_left else (right, left)
+                )
+                stack.append(far)   # visited second
+                stack.append(near)  # visited first (popped next)
+        # skip link in the new order: next node after my subtree.
+        # With the stack DFS above, node at position w's subtree occupies
+        # [w, w + size); compute sizes via the old tree.
+        size = np.ones(n, np.int64)
+        # old-layout subtree size = skip[i] - i (threaded DFS property)
+        old_size = bvh.skip - np.arange(n)
+        size = old_size[order]
+        new_skip = np.arange(n) + size
+        layouts.append(
+            rows(
+                bvh.lo[order], bvh.hi[order],
+                bvh.first[order], bvh.count[order],
+                new_skip.astype(np.int32),
+            )
+        )
+    return np.concatenate(layouts, axis=0), 8
 
 
 def _build_bvh_native(centroids, prim_lo, prim_hi) -> BVH | None:

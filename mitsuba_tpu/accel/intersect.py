@@ -175,13 +175,24 @@ def _pad_rows(a, n, fill):
 def _bvh_traverse(pack, o, d, t_max):
     """Batched stackless traversal over the threaded BVH.
 
-    Node and triangle data are ROW-PACKED (bvh_nodes [N, 9],
+    Node and triangle data are ROW-PACKED (bvh_nodes [K*N, 9],
     tri9 [Tp, 9]) so every traversal step costs one gather and every
     leaf visit one more — gathers are the dominant cost of TPU
-    traversal (~1000 flops each)."""
+    traversal (~1000 flops each).  Each lane traverses the node layout
+    matching its direction-sign octant (near child first, bvh.py)."""
     r = o.shape[0]
-    end = pack.bvh_nodes.shape[0]
+    n_layouts = pack.meta.get("bvh_n_layouts", 1)
+    end = pack.bvh_nodes.shape[0] // n_layouts
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, 1e-20, d)
+    if n_layouts == 8:
+        oct_ = (
+            (d[:, 0] < 0).astype(jnp.int32)
+            + 2 * (d[:, 1] < 0).astype(jnp.int32)
+            + 4 * (d[:, 2] < 0).astype(jnp.int32)
+        )
+        layout_base = oct_ * end
+    else:
+        layout_base = jnp.zeros((r,), jnp.int32)
 
     def cond(state):
         node, *_ = state
@@ -192,7 +203,7 @@ def _bvh_traverse(pack, o, d, t_max):
         active = node < end
         ni = jnp.minimum(node, end - 1)
 
-        nd = pack.bvh_nodes[ni]  # [R, 9] — ONE gather
+        nd = pack.bvh_nodes[layout_base + ni]  # [R, 9] — ONE gather
         lo, hi = nd[:, 0:3], nd[:, 3:6]
         first = nd[:, 6].astype(jnp.int32)
         count = nd[:, 7].astype(jnp.int32)
@@ -260,9 +271,14 @@ def _bvh_traverse_any(pack, o, d, t_max):
     (node jumps past the end), so shadow rays don't pay closest-hit
     (= the reference's shadowRay path, sahkdtree3.h rayIntersect<true>)."""
     r = o.shape[0]
-    end = pack.bvh_nodes.shape[0]
+    n_layouts = pack.meta.get("bvh_n_layouts", 1)
+    end = pack.bvh_nodes.shape[0] // n_layouts
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, 1e-20, d)
     t_max = jnp.broadcast_to(t_max, (r,)).astype(jnp.float32)
+    # any-hit has no best_t tightening to exploit — layout 0 is fine,
+    # but using the octant layout keeps node fetches shared with the
+    # closest-hit pass in fused programs
+    layout_base = jnp.zeros((r,), jnp.int32)
 
     def cond(state):
         node, _ = state
@@ -273,7 +289,7 @@ def _bvh_traverse_any(pack, o, d, t_max):
         active = node < end
         ni = jnp.minimum(node, end - 1)
 
-        nd = pack.bvh_nodes[ni]  # [R, 9] — ONE gather
+        nd = pack.bvh_nodes[layout_base + ni]  # [R, 9] — ONE gather
         lo, hi = nd[:, 0:3], nd[:, 3:6]
         first = nd[:, 6].astype(jnp.int32)
         count = nd[:, 7].astype(jnp.int32)

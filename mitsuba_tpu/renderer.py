@@ -196,11 +196,21 @@ def render(
     progress=None,
     return_film=False,
     pack=None,
+    checkpoint=None,
+    checkpoint_every=8,
 ):
     """Render a SceneDescription to a linear HDR numpy image [H, W, 3].
 
     (= RenderJob::run, reference src/librender/renderjob.cpp:87-113.)
+
+    checkpoint: optional .npz path — the film and pass counter are saved
+    every `checkpoint_every` passes and the render RESUMES from an
+    existing checkpoint (counter RNG makes resumed output bit-identical
+    to an uninterrupted run; the reference's analogue is the
+    snapshot/resume of its render queue).
     """
+    from mitsuba_tpu.core.logging import counter, logger
+
     if pack is None:
         pack = pack_scene(scene)
     sensor_rec = scene.sensor.record
@@ -300,6 +310,10 @@ def render(
         lanes = min(lanes, media_lanes)
     spp_chunk = max(1, min(spp, lanes // (w * h)))
     n_passes = math.ceil(spp / spp_chunk)
+    logger.debug(
+        "render: %dx%d, %d spp (%d passes x %d), integrator=%s",
+        w, h, spp, n_passes, spp_chunk, integ.kind,
+    )
 
     rp = jax.jit(
         make_render_pass(pack, integ, sensor_rec, film_rec, sampler_rec, spp_chunk),
@@ -307,9 +321,30 @@ def render(
     )
     film = new_film(h, w)
     base = 0
-    for i in range(n_passes):
+    start_pass = 0
+    if checkpoint and os.path.exists(checkpoint):
+        ck = np.load(checkpoint)
+        if tuple(ck["film"].shape) == tuple(film.shape) and int(
+            ck["spp_chunk"]
+        ) == spp_chunk:
+            film = jnp.asarray(ck["film"])
+            start_pass = int(ck["passes_done"])
+            base = start_pass * spp_chunk
+            logger.info(
+                "render: resumed from %s at pass %d", checkpoint, start_pass
+            )
+    for i in range(start_pass, n_passes):
         film = rp(film, jnp.uint32(base), jnp.uint32(seed))
         base += spp_chunk
+        counter("Samples rendered").add(spp_chunk * w * h)
+        if checkpoint and ((i + 1) % checkpoint_every == 0 or i + 1 == n_passes):
+            film.block_until_ready()
+            np.savez(
+                checkpoint,
+                film=np.asarray(film),
+                passes_done=i + 1,
+                spp_chunk=spp_chunk,
+            )
         if progress:
             film.block_until_ready()
             progress(i + 1, n_passes)

@@ -324,16 +324,11 @@ def pack_scene(scene) -> ScenePack:
     tri_s = pack_triangles_sublane(tri_v0, tri_e1, tri_e2, n_tris)
 
     # row-packed BVH nodes + triangles: ONE gather per traversal step /
-    # leaf visit instead of 5 / 3 (TPU gathers are ~1000-flop expensive)
-    bvh_nodes = np.concatenate(
-        [
-            bvh.lo, bvh.hi,
-            bvh.first[:, None].astype(np.float32),
-            bvh.count[:, None].astype(np.float32),
-            bvh.skip[:, None].astype(np.float32),
-        ],
-        axis=1,
-    ).astype(np.float32)  # [N, 9]
+    # leaf visit instead of 5 / 3 (TPU gathers are ~1000-flop expensive);
+    # nodes come in 8 direction-octant-ordered layouts (see bvh.py)
+    from mitsuba_tpu.accel.bvh import octant_node_rows
+
+    bvh_nodes, bvh_n_layouts = octant_node_rows(bvh)
 
     # pad triangles so leaf gathers of LEAF_SIZE never go out of bounds
     pad = LEAF_SIZE
@@ -757,6 +752,7 @@ def pack_scene(scene) -> ScenePack:
         "has_bumpmaps": has_bumpmaps,
         "has_media": len(media) > 0,
         "n_media": len(media),
+        "bvh_n_layouts": bvh_n_layouts,
         "het_med_id": het_med_id,
         "het_sigma_max": het_sigma_max,
         "n_het": n_het,

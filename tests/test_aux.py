@@ -1,0 +1,87 @@
+"""Auxiliary subsystems: logger/statistics, checkpoint/resume,
+mtsimport (SURVEY §5, §2.6)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_logger_and_counters(capsys):
+    from mitsuba_tpu.core import logging as L
+
+    buf = []
+
+    class Cap(L.Appender):
+        def append(self, level, text):
+            buf.append((level, text))
+
+    lg = L.Logger(level=L.EInfo)
+    lg.clear_appenders()
+    lg.add_appender(Cap())
+    lg.debug("hidden %d", 1)
+    lg.info("shown %d", 2)
+    lg.error("bad")
+    assert len(buf) == 2
+    assert "shown 2" in buf[0][1]
+
+    L.reset_statistics()
+    L.counter("Rays traced").add(1e6).add(2e6)
+    L.counter("Cache hits").add(30).add_base(40)
+    s = L.stats_summary()
+    assert "3M" in s and "75.00%" in s
+
+
+def test_checkpoint_resume(tmp_path):
+    """A checkpointed render interrupted halfway resumes to the exact
+    same image (counter RNG makes resumption bit-deterministic)."""
+    import mitsuba_tpu
+    from mitsuba_tpu.renderer import render
+
+    scene = mitsuba_tpu.load_scene(
+        os.path.join(os.path.dirname(__file__), "..", "scenes", "cbox.xml")
+    )
+    scene.sensor.record.film.width = 16
+    scene.sensor.record.film.height = 16
+
+    ref = render(scene, spp=8, lanes_per_pass=16 * 16 * 2)  # 4 passes
+
+    ck = str(tmp_path / "film.npz")
+
+    class Stop(Exception):
+        pass
+
+    def interrupt(i, n):
+        if i == 2:
+            raise Stop
+
+    with pytest.raises(Stop):
+        render(
+            scene, spp=8, lanes_per_pass=16 * 16 * 2,
+            checkpoint=ck, checkpoint_every=1, progress=interrupt,
+        )
+    assert os.path.exists(ck)
+    resumed = render(
+        scene, spp=8, lanes_per_pass=16 * 16 * 2,
+        checkpoint=ck, checkpoint_every=1,
+    )
+    assert np.array_equal(ref, resumed)
+
+
+def test_mtsimport_roundtrip(tmp_path):
+    """OBJ+MTL -> XML+serialized -> loadable, renderable scene."""
+    import mitsuba_tpu
+    from mitsuba_tpu.mtsimport import import_obj
+
+    obj = tmp_path / "tri.obj"
+    obj.write_text(
+        "mtllib tri.mtl\no tri\nusemtl green\n"
+        "v -1 0 -1\nv 1 0 -1\nv 0 0 1\nvn 0 1 0\n"
+        "f 1//1 2//1 3//1\n"
+    )
+    (tmp_path / "tri.mtl").write_text("newmtl green\nKd 0.1 0.7 0.1\n")
+    out = import_obj(str(obj), str(tmp_path / "out"))
+    scene = mitsuba_tpu.load_scene(out)
+    scene.sensor.record.film.width = scene.sensor.record.film.height = 8
+    img = mitsuba_tpu.render(scene, spp=2)
+    assert np.isfinite(img).all()
