@@ -338,11 +338,96 @@ def _use_pallas():
     return jax.default_backend() == "tpu"
 
 
-def intersect(pack, o, d, t_max=jnp.inf) -> Hit:
-    """Closest-hit query (= Scene::rayIntersect, reference scene.h:187)."""
+# sorted-chunked traversal: lockstep while_loops pay the WORST lane's
+# node-visit count, so incoherent batches are sorted by direction
+# octant + quantized direction + origin morton and traversed in chunks —
+# each chunk's loop exits at its own (much smaller) maximum
+import os as _os
+
+BVH_SORT_MIN = int(_os.environ.get("MTS_BVH_SORT_MIN", 1 << 16))
+BVH_CHUNK = int(_os.environ.get("MTS_BVH_CHUNK", 1 << 15))
+
+
+def _ray_sort_key(pack, o, d):
+    """Coherence sort key: [octant(3) | dir-quant(6) | origin-morton(15)]."""
+    oct_ = (
+        (d[:, 0] < 0).astype(jnp.uint32)
+        + 2 * (d[:, 1] < 0).astype(jnp.uint32)
+        + 4 * (d[:, 2] < 0).astype(jnp.uint32)
+    )
+    ad = jnp.abs(d)
+    theta = jnp.clip((ad[:, 2] * 7.999).astype(jnp.uint32), 0, 7)
+    phi = jnp.clip(
+        (ad[:, 1] / jnp.maximum(ad[:, 0] + ad[:, 1], 1e-9) * 7.999)
+        .astype(jnp.uint32), 0, 7,
+    )
+    lo = pack.bvh_nodes[0, 0:3]
+    hi = pack.bvh_nodes[0, 3:6]
+    q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 1.0)
+    qi = (q * 31.999).astype(jnp.uint32)  # 5 bits per axis
+
+    def spread5(x):  # interleave 5 bits with 2-bit gaps
+        x = (x | (x << 8)) & jnp.uint32(0x0100F)
+        x = (x | (x << 4)) & jnp.uint32(0x010C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249)
+        return x
+
+    morton = (
+        spread5(qi[:, 0]) | (spread5(qi[:, 1]) << 1)
+        | (spread5(qi[:, 2]) << 2)
+    )
+    return (oct_ << 21) | (theta << 18) | (phi << 15) | morton
+
+
+def _sorted_chunked(pack, o, d, t_max, traverse, n_out):
+    """Sort rays by coherence key, traverse in BVH_CHUNK-sized chunks
+    via lax.map (sequential — each chunk's while_loop exits on its own),
+    scatter results back to original order."""
+    r = o.shape[0]
+    t_max = jnp.broadcast_to(t_max, (r,)).astype(jnp.float32)
+    key = _ray_sort_key(pack, o, d)
+    perm = jnp.argsort(key)
+    pad = (-r) % BVH_CHUNK
+    if pad:
+        perm = jnp.concatenate([perm, jnp.zeros(pad, perm.dtype)])
+    os_ = o[perm].reshape(-1, BVH_CHUNK, 3)
+    ds_ = d[perm].reshape(-1, BVH_CHUNK, 3)
+    tm_s = t_max[perm]
+    if pad:  # padded duplicate rays get t_max 0 -> immediate miss
+        tm_s = tm_s.at[r:].set(0.0)
+    tm_ = tm_s.reshape(-1, BVH_CHUNK)
+
+    outs = jax.lax.map(
+        lambda args: traverse(pack, args[0], args[1], args[2]),
+        (os_, ds_, tm_),
+    )
+    if not isinstance(outs, (tuple, list)):
+        outs = (outs,)
+    # scatter back to original order; pad entries land in a dummy slot
+    idx = jnp.where(jnp.arange(r + pad) < r, perm, r)
+    res = []
+    for x in outs:
+        flat = x.reshape(-1)
+        full = jnp.zeros((r + 1,), flat.dtype)
+        full = full.at[idx].set(flat)
+        res.append(full[:r])
+    return res if n_out > 1 else res[0]
+
+
+def intersect(pack, o, d, t_max=jnp.inf, sort=False) -> Hit:
+    """Closest-hit query (= Scene::rayIntersect, reference scene.h:187).
+
+    sort=True enables coherence-sorted chunked BVH traversal — a win
+    for large INCOHERENT top-level batches (kdbench); never use it
+    inside a bounce loop (nested sequential loops compile terribly)."""
     if pack.n_tris > 0:
         if pack.use_bvh:
-            best_t, prim, u, v = _bvh_traverse(pack, o, d, t_max)
+            if sort:
+                best_t, prim, u, v = _sorted_chunked(
+                    pack, o, d, t_max, _bvh_traverse, 4
+                )
+            else:
+                best_t, prim, u, v = _bvh_traverse(pack, o, d, t_max)
         elif _use_pallas():
             from mitsuba_tpu.accel import pallas_kernels as pk
 
@@ -382,14 +467,19 @@ def intersect(pack, o, d, t_max=jnp.inf) -> Hit:
     return Hit(valid=valid, t=best_t, prim=prim, is_sphere=is_sphere, u=u, v=v)
 
 
-def occluded(pack, o, d, t_max) -> jnp.ndarray:
+def occluded(pack, o, d, t_max, sort=False) -> jnp.ndarray:
     """Boolean shadow query (= rayIntersect any-hit path).
 
     t_max must already be shortened by the caller's epsilon.
     """
     if pack.n_tris > 0:
         if pack.use_bvh:
-            occ = _bvh_traverse_any(pack, o, d, t_max)
+            if sort:
+                occ = _sorted_chunked(
+                    pack, o, d, t_max, _bvh_traverse_any, 1
+                )
+            else:
+                occ = _bvh_traverse_any(pack, o, d, t_max)
         elif _use_pallas():
             from mitsuba_tpu.accel import pallas_kernels as pk
 

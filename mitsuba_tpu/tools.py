@@ -114,7 +114,7 @@ def kdbench(argv):
     d = p2 - p1
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
-    f = jax.jit(lambda o, d: intersect(pack, o, d).t)
+    f = jax.jit(lambda o, d: intersect(pack, o, d, sort=pack.use_bvh).t)
     f(p1, d).block_until_ready()  # compile
     best = np.inf
     for _ in range(args.best_of):
