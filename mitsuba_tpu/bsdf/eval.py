@@ -174,6 +174,24 @@ def _plastic_pdf(sp, wi, wo):
     )
 
 
+def _rt_eval(sp, cos_i):
+    """Rough-transmittance table lookup: cubic in cos_i, fitted at
+    scene-pack time (bsdf/rtrans.py; reference rtrans.h:44-186)."""
+    c = sp["rt"]
+    x = jnp.clip(cos_i, 0.0, 1.0)
+    t = ((c[..., 0] * x + c[..., 1]) * x + c[..., 2]) * x + c[..., 3]
+    return jnp.clip(t, 0.0, 1.0)
+
+
+def _roughplastic_probs(sp, cos_i):
+    """Lobe-selection probability from the rough specular reflectance
+    1-T12 (reference roughplastic.cpp:sample probSpecular)."""
+    si = 1.0 - _rt_eval(sp, cos_i)
+    sw = sp["spec_w"]
+    prob = (si * sw) / jnp.maximum(si * sw + (1.0 - si) * (1.0 - sw), 1e-8)
+    return si, prob
+
+
 def _roughplastic_eval(sp, wi, wo):
     ci, co = mm.cos_theta(wi), mm.cos_theta(wo)
     mask = (ci > 0) & (co > 0)
@@ -182,13 +200,22 @@ def _roughplastic_eval(sp, wi, wo):
     g = mf.smith_g(sp["dist"], sp["alpha_u"], sp["alpha_v"], wi, wo, h)
     fh, _, _ = mm.fresnel_dielectric(mm.dot(wi, h), sp["eta"])
     spec = sp["cB"] * (fh * d * g / jnp.maximum(4.0 * ci, 1e-8))[..., None]
-    # diffuse with smooth-Fresnel transmittance factors (the reference
-    # uses precomputed rough transmittance tables, rtrans.h — planned)
-    fi, _, _ = mm.fresnel_dielectric(ci, sp["eta"])
-    fo, _, _ = mm.fresnel_dielectric(co, sp["eta"])
-    diff = _plastic_diffuse_factor(sp, fi, fo) * (
-        INV_PI * jnp.maximum(co, 0.0)
-    )[..., None]
+    # diffuse through the rough interface: T12·T21 rough transmittances
+    # and internal diffuse reflectance from the fitted tables
+    # (reference roughplastic.cpp:eval, rtrans.h evalDiffuse)
+    t12 = _rt_eval(sp, ci)
+    t21 = _rt_eval(sp, co)
+    diffc = sp["cA"]
+    fdr = sp["rt_fdr"][..., None]
+    denom = jnp.where(
+        sp["nonlinear"][..., None] > 0.5, 1.0 - diffc * fdr, 1.0 - fdr
+    )
+    inv_eta2 = 1.0 / (sp["eta"] * sp["eta"])
+    diff = (
+        diffc
+        / jnp.maximum(denom, 1e-4)
+        * (INV_PI * jnp.maximum(co, 0.0) * t12 * t21 * inv_eta2)[..., None]
+    )
     return _mask3(mask, spec + diff)
 
 
@@ -196,7 +223,7 @@ def _roughplastic_pdf(sp, wi, wo):
     ci, co = mm.cos_theta(wi), mm.cos_theta(wo)
     mask = (ci > 0) & (co > 0)
     h = mm.normalize(wi + wo)
-    _, prob = _plastic_probs(sp, ci)
+    _, prob = _roughplastic_probs(sp, ci)
     pm = mf.pdf_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], h)
     spec_pdf = pm / jnp.maximum(4.0 * jnp.abs(mm.dot(wo, h)), 1e-8)
     diff_pdf = warp.square_to_cosine_hemisphere_pdf(wo)
@@ -601,7 +628,10 @@ def bsdf_sample(sp, wi, u2, ulobe, present):
             eta_t = jnp.where(refl, 1.0, eta_rel)
             put(tm, wo_t, w_t, pdf_t, False, eta_t)
         elif t in (PLASTIC, ROUGHPLASTIC):
-            fi, prob = _plastic_probs(sp, ci)
+            if t == PLASTIC:
+                fi, prob = _plastic_probs(sp, ci)
+            else:
+                fi, prob = _roughplastic_probs(sp, ci)
             spec_sel = ulobe <= prob
             if t == PLASTIC:
                 wo_spec = mm.reflect_local(wi)

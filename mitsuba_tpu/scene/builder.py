@@ -23,6 +23,7 @@ from mitsuba_tpu.bsdf.plugins import (
     BSDFRecord,
     DIFFUSE,
     MIXTURE,
+    ROUGHPLASTIC,
 )
 from mitsuba_tpu.core.distribution import Distribution2D
 from mitsuba_tpu.emitter.plugins import (
@@ -479,6 +480,31 @@ def pack_scene(scene) -> ScenePack:
         mt["mat_tex_opacity"][i] = add_texture(rec.tex_opacity)
         mt["mat_tex_bump"][i] = add_texture(rec.tex_bump)
         mt["mat_bump_nm"][i] = float(rec.bump_is_normalmap)
+
+    # rough-transmittance tables for roughplastic (reference
+    # include/mitsuba/render/rtrans.h:44-186): cubic-in-cos(theta) fit of
+    # the external transmittance + internal diffuse reflectance, fitted
+    # per unique (dist, alpha, eta) at pack time (bsdf/rtrans.py)
+    mt["mat_rt"] = np.tile(
+        np.array([0.0, 0.0, 0.0, 1.0], np.float32), (n_mat, 1)
+    )
+    mt["mat_rt_fdr"] = mt["mat_fdr_int"].copy()
+    if (mt["mat_type"] == ROUGHPLASTIC).any():
+        from mitsuba_tpu.bsdf.rtrans import fit_rtrans_poly
+
+        rt_cache = {}
+        for i in np.nonzero(mt["mat_type"] == ROUGHPLASTIC)[0]:
+            key = (
+                int(mt["mat_dist"][i]),
+                round(max(float(mt["mat_alpha_u"][i]), 1e-3), 4),
+                round(float(mt["mat_eta"][i]), 4),
+            )
+            if key not in rt_cache:
+                c_ext, _ = fit_rtrans_poly(*key)
+                _, tdiff_int = fit_rtrans_poly(key[0], key[1], 1.0 / key[2])
+                rt_cache[key] = (c_ext, 1.0 - tdiff_int)
+            mt["mat_rt"][i] = rt_cache[key][0]
+            mt["mat_rt_fdr"][i] = rt_cache[key][1]
 
     has_bumpmaps = any(
         rec.tex_bump is not None

@@ -93,12 +93,12 @@ def eval_texture(pack, tid, uv, default_rgb):
 
 def _gather_params(pack, m, uv):
     (typ, cA, cB, cC, cD, a_u, a_v, eta, expo, dist, nonlin, twos,
-     fdr, spw, texA) = take_fused(
+     fdr, spw, texA, rt, rt_fdr) = take_fused(
         m, pack.mat_type, pack.mat_cA, pack.mat_cB, pack.mat_cC,
         pack.mat_cD, pack.mat_alpha_u, pack.mat_alpha_v, pack.mat_eta,
         pack.mat_exponent, pack.mat_dist, pack.mat_nonlinear,
         pack.mat_twosided, pack.mat_fdr_int, pack.mat_spec_w,
-        pack.mat_texA,
+        pack.mat_texA, pack.mat_rt, pack.mat_rt_fdr,
     )
     if pack.has_textures:
         cA = eval_texture(pack, texA, uv, cA)
@@ -117,6 +117,8 @@ def _gather_params(pack, m, uv):
         "twosided": twos,
         "fdr_int": fdr,
         "spec_w": spw,
+        "rt": rt,
+        "rt_fdr": rt_fdr,
     }
 
 

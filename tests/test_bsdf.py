@@ -27,6 +27,17 @@ def make_sp(n, type_name, **props):
     def tile(x):
         return jnp.broadcast_to(jnp.asarray(x, jnp.float32), (n, 3)) if np.ndim(x) else jnp.full((n,), float(x), jnp.float32)
 
+    rt = np.array([0.0, 0.0, 0.0, 1.0], np.float32)
+    rt_fdr = rec.fdr_int
+    if rec.type == bp.ROUGHPLASTIC:
+        from mitsuba_tpu.bsdf.rtrans import fit_rtrans_poly
+
+        rt, _ = fit_rtrans_poly(rec.dist, max(rec.alpha_u, 1e-3), rec.eta)
+        _, tdiff = fit_rtrans_poly(
+            rec.dist, max(rec.alpha_u, 1e-3), 1.0 / rec.eta
+        )
+        rt_fdr = 1.0 - tdiff
+
     return {
         "type": jnp.full((n,), rec.type, jnp.int32),
         "cA": tile(rec.cA),
@@ -42,6 +53,8 @@ def make_sp(n, type_name, **props):
         "twosided": tile(float(rec.twosided)),
         "fdr_int": tile(rec.fdr_int),
         "spec_w": tile(rec.spec_sampling_weight),
+        "rt": jnp.broadcast_to(jnp.asarray(rt), (n, 4)),
+        "rt_fdr": jnp.full((n,), float(rt_fdr), jnp.float32),
     }, (rec.type,)
 
 
