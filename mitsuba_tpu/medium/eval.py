@@ -381,27 +381,75 @@ def transmittance(pack, med, o, d, dist, lane, sidx, slot, seed):
 
 # --- phase functions ---------------------------------------------------------
 
+def _phase_eval_one(kind, g, wo_dot_wi):
+    """Single-component phase value/pdf (iso / HG / Rayleigh)."""
+    hg = warp.square_to_phase_hg_pdf(wo_dot_wi, g)
+    iso = jnp.full_like(wo_dot_wi, INV_FOURPI)
+    # Rayleigh: 3/(16 pi) (1 + cos^2)  (reference src/phase/rayleigh.cpp)
+    ray = 3.0 / (16.0 * jnp.pi) * (1.0 + wo_dot_wi * wo_dot_wi)
+    out = jnp.where((kind == HG) & (jnp.abs(g) > 1e-4), hg, iso)
+    return jnp.where(kind == RAYLEIGH, ray, out)
+
+
 def phase_eval(pack, med, wo_dot_wi):
-    """Phase value AND pdf (they coincide for normalized phases).
+    """Phase value AND pdf (they coincide for normalized phases; a
+    two-component mixturephase blends by its weights).
 
     wo_dot_wi = cos of the angle between the incoming propagation
     direction and the outgoing direction (reference hg.cpp eval uses
     dot(wi, wo) with wi pointing along propagation)."""
     m = jnp.maximum(med, 0)
-    g = pack.med_g[m]
-    hg = warp.square_to_phase_hg_pdf(wo_dot_wi, g)
-    iso = jnp.full_like(wo_dot_wi, INV_FOURPI)
-    return jnp.where(jnp.abs(g) > 1e-4, hg, iso)
+    pa = _phase_eval_one(pack.med_phase[m], pack.med_g[m], wo_dot_wi)
+    kind_b = pack.med_phase_b[m]
+    pb = _phase_eval_one(kind_b, pack.med_g_b[m], wo_dot_wi)
+    wa = pack.med_phase_wa[m]
+    return jnp.where(kind_b >= 0, wa * pa + (1.0 - wa) * pb, pa)
+
+
+def _rayleigh_sample_cos(u):
+    """Invert the Rayleigh CDF: mu^3 + 3 mu = 8u - 4 (Cardano, single
+    real root; reference rayleigh.cpp:sample)."""
+    q_half = 2.0 - 4.0 * u  # = q/2 with q = -(8u-4)
+    a = -q_half + jnp.sqrt(q_half * q_half + 1.0)
+    cb = jnp.cbrt(a)
+    return jnp.clip(cb - 1.0 / cb, -1.0, 1.0)
+
+
+def _phase_local_dir(kind, g, u2):
+    """Local direction (+z = forward) for a single phase component."""
+    local = warp.square_to_phase_hg(u2, g)  # handles iso via g=0
+    ct_r = _rayleigh_sample_cos(u2[..., 0])
+    st_r = jnp.sqrt(jnp.maximum(1.0 - ct_r * ct_r, 0.0))
+    phi = 2.0 * jnp.pi * u2[..., 1]
+    local_r = jnp.stack(
+        [st_r * jnp.cos(phi), st_r * jnp.sin(phi), ct_r], axis=-1
+    )
+    return jnp.where((kind == RAYLEIGH)[..., None], local_r, local)
 
 
 def phase_sample(pack, med, d_in, u2):
     """Sample an outgoing direction; returns (d_out, pdf).  Weight is 1
-    (perfect importance sampling for iso/HG)."""
+    for single components (perfect importance sampling); mixtures pick a
+    component stochastically with the first uniform (remapped), so the
+    returned pdf is the blended density of the drawn direction."""
     m = jnp.maximum(med, 0)
+    kind = pack.med_phase[m]
     g = pack.med_g[m]
+    kind_b = pack.med_phase_b[m]
+    wa = jnp.where(kind_b >= 0, pack.med_phase_wa[m], 1.0)
+    # stochastic component selection: remap u0 to preserve stratification
+    pick_a = u2[..., 0] < wa
+    u0 = jnp.where(
+        pick_a,
+        u2[..., 0] / jnp.maximum(wa, 1e-8),
+        (u2[..., 0] - wa) / jnp.maximum(1.0 - wa, 1e-8),
+    )
+    u2r = jnp.stack([jnp.clip(u0, 0.0, mm.ONE_MINUS_EPS), u2[..., 1]], -1)
+    kind_sel = jnp.where(pick_a, kind, jnp.maximum(kind_b, 0))
+    g_sel = jnp.where(pick_a, g, pack.med_g_b[m])
     # frame around the propagation direction (+z = forward scattering)
     fr = mm.Frame.from_normal(d_in)
-    local = warp.square_to_phase_hg(u2, g)
+    local = _phase_local_dir(kind_sel, g_sel, u2r)
     d_out = fr.to_world(local)
     pdf = phase_eval(pack, med, mm.dot(d_out, d_in))
     return d_out, pdf

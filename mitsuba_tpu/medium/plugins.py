@@ -32,6 +32,11 @@ HETEROGENEOUS = 1
 class PhaseRecord:
     kind: int = ISOTROPIC
     g: float = 0.0
+    # two-component mixture (reference src/phase/mixturephase.cpp);
+    # kind_b < 0 = single-component phase
+    kind_b: int = -1
+    g_b: float = 0.0
+    w_a: float = 1.0
 
 
 class _PhaseBase:
@@ -79,7 +84,35 @@ class MicroflakePhase(_PhaseBase):
 
 @register("phase", "mixturephase")
 class MixturePhase(_PhaseBase):
+    """Weighted blend of nested phases (reference
+    src/phase/mixturephase.cpp).  Collapses to the two largest-weight
+    components (same policy as the BSDF mixture)."""
+
     kind = ISOTROPIC
+
+    def _finish(self, props):
+        kids = [
+            child.record
+            for _, child in props.children
+            if isinstance(getattr(child, "record", None), PhaseRecord)
+        ]
+        w = [float(x) for x in props.get_string("weights", "").split()]
+        if not kids:
+            return
+        if len(w) != len(kids):
+            w = [1.0 / len(kids)] * len(kids)
+        if sum(w) > 1.0 + 1e-4:
+            raise ValueError("mixturephase: weights sum to more than one")
+        order = sorted(range(len(kids)), key=lambda i: -w[i])
+        a = kids[order[0]]
+        self.record.kind = a.kind
+        self.record.g = a.g
+        if len(order) > 1:
+            b = kids[order[1]]
+            tot = w[order[0]] + w[order[1]]
+            self.record.kind_b = b.kind
+            self.record.g_b = b.g
+            self.record.w_a = w[order[0]] / max(tot, 1e-8)
 
 
 @dataclass

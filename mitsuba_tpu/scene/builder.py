@@ -611,6 +611,10 @@ def pack_scene(scene) -> ScenePack:
     med_sigma_s = np.zeros((n_med, 3), np.float32)
     med_sigma_a = np.zeros((n_med, 3), np.float32)
     med_g = np.zeros(n_med, np.float32)
+    med_phase = np.zeros(n_med, np.int32)
+    med_phase_b = np.full(n_med, -1, np.int32)
+    med_g_b = np.zeros(n_med, np.float32)
+    med_phase_wa = np.ones(n_med, np.float32)
     med_kind = np.zeros(n_med, np.int32)
     med_sampling_w = np.zeros(n_med, np.float32)
     # heterogeneous grids: corner-packed densities + supergrid majorants
@@ -629,6 +633,10 @@ def pack_scene(scene) -> ScenePack:
         from mitsuba_tpu.medium.plugins import PhaseRecord, HG
 
         med_g[i] = m.phase.g if m.phase.kind == HG else 0.0
+        med_phase[i] = m.phase.kind
+        med_phase_b[i] = m.phase.kind_b
+        med_g_b[i] = m.phase.g_b
+        med_phase_wa[i] = m.phase.w_a
         if m.kind == HETEROGENEOUS:
             if het_med_id < 0:
                 het_med_id = i  # kept for meta back-compat
@@ -709,6 +717,10 @@ def pack_scene(scene) -> ScenePack:
         "med_sigma_s": med_sigma_s,
         "med_sigma_a": med_sigma_a,
         "med_g": med_g,
+        "med_phase": med_phase,
+        "med_phase_b": med_phase_b,
+        "med_g_b": med_g_b,
+        "med_phase_wa": med_phase_wa,
         "med_kind": med_kind,
         "med_sampling_w": med_sampling_w,
         "med_het_slot": het_slot_of_med,

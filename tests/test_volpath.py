@@ -182,3 +182,69 @@ def test_medium_nee_small_light():
     # bug it overshoots by ~14%
     center_mean = float(img[8:16, 8:16].mean())
     assert 0.12 < center_mean < 0.20, center_mean
+
+
+def test_phase_chi2_rayleigh_and_mixture():
+    """phase_sample histogram must match phase_eval for the Rayleigh
+    phase and a hg+rayleigh mixturephase (reference rayleigh.cpp,
+    mixturephase.cpp)."""
+    import jax.numpy as jnp
+    from types import SimpleNamespace
+    from mitsuba_tpu.medium.eval import phase_eval, phase_sample
+    from mitsuba_tpu.medium.plugins import HG, ISOTROPIC, RAYLEIGH
+    from tests.chi2 import chi2_test
+
+    d_in = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (1, 3)
+    )
+
+    cases = [
+        ("rayleigh", dict(med_phase=[RAYLEIGH], med_g=[0.0],
+                          med_phase_b=[-1], med_g_b=[0.0],
+                          med_phase_wa=[1.0])),
+        ("mix_hg_ray", dict(med_phase=[HG], med_g=[0.6],
+                            med_phase_b=[RAYLEIGH], med_g_b=[0.0],
+                            med_phase_wa=[0.65])),
+        ("mix_hg_iso", dict(med_phase=[HG], med_g=[-0.4],
+                            med_phase_b=[ISOTROPIC], med_g_b=[0.0],
+                            med_phase_wa=[0.3])),
+    ]
+    for name, fields in cases:
+        pack = SimpleNamespace(**{
+            k: jnp.asarray(v, jnp.float32 if "g" in k or "wa" in k
+                           else jnp.int32)
+            for k, v in fields.items()
+        })
+        med = jnp.zeros((400_000,), jnp.int32)
+
+        def sample_fn(u2, pack=pack, med=med):
+            din = jnp.broadcast_to(d_in, (u2.shape[0], 3))
+            d_out, _ = phase_sample(pack, med[: u2.shape[0]], din, u2)
+            return d_out
+
+        def pdf_fn(d, pack=pack):
+            m = jnp.zeros((d.shape[0],), jnp.int32)
+            din = jnp.broadcast_to(d_in, (d.shape[0], 3))
+            import mitsuba_tpu.core.math as mm
+            return phase_eval(pack, m, mm.dot(d, din))
+
+        passed, p, msg = chi2_test(sample_fn, pdf_fn, n_samples=400_000)
+        assert passed, f"{name}: {msg}"
+
+
+def test_scattering_furnace_rayleigh():
+    """Albedo-1 Rayleigh fog in a unit furnace stays at 1 (end-to-end
+    energy conservation of the new phase)."""
+    scene = _fog_scene(
+        """
+        <medium name="interior" type="homogeneous">
+          <rgb name="sigmaA" value="0, 0, 0"/>
+          <rgb name="sigmaS" value="2, 2, 2"/>
+          <phase type="rayleigh"/>
+        </medium>
+    """,
+        spp=196,
+    )
+    img = render(scene)
+    m = float(img.mean())
+    assert abs(m - 1.0) < 0.03, m
