@@ -39,6 +39,7 @@ STREAM_MEDIUM_DIST = 2  # heterogeneous delta tracking (sample_distance)
 STREAM_MEDIUM_TRANS = 3  # shadow-ray ratio tracking (transmittance)
 STREAM_LIGHT = 4  # light-subpath walks (ptracer / bdpt light paths)
 STREAM_MLT = 5  # pssmlt/mlt chain mutations & control decisions
+STREAM_SSS = 6  # subsurface irradiance-point sampling (dipole preprocess)
 
 
 def stream_seed(seed, stream):

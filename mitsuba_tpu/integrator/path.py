@@ -127,6 +127,17 @@ def path_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
 
         active = found
 
+        # ---- subsurface (dipole) exitant radiance ----
+        # (reference path.cpp:153-154 its.LoSub at every surface hit)
+        if pack.meta.get("has_sss", False):
+            from mitsuba_tpu.integrator.sss import sss_lo
+
+            sid = take_rows(pack.mat_sss, jnp.maximum(its.mat, 0))
+            cos_o = mm.dot(its.ns, its.wi_world)
+            is_sss = found & (sid >= 0) & (cos_o > 0)
+            lo_sss = sss_lo(pack, its.p, cos_o, sid)
+            L = L + jnp.where(is_sss[..., None], thr * lo_sss, 0.0)
+
         # ---- local frame + shading params ----
         frame = shading_frame(pack, its)
         wi_l = frame.to_local(its.wi_world)
@@ -324,6 +335,17 @@ def path_trace_regen(
             )
 
         active = found
+
+        # subsurface dipole hit radiance (see path_trace)
+        if pack.meta.get("has_sss", False):
+            from mitsuba_tpu.integrator.sss import sss_lo
+
+            sid = take_rows(pack.mat_sss, jnp.maximum(its.mat, 0))
+            cos_o = mm.dot(its.ns, its.wi_world)
+            is_sss = found & (sid >= 0) & (cos_o > 0)
+            lo_sss = sss_lo(pack, its.p, cos_o, sid)
+            L = L + jnp.where(is_sss[..., None], thr * lo_sss, 0.0)
+
         frame = shading_frame(pack, its)
         wi_l = frame.to_local(its.wi_world)
         sp = shading_params(pack, its.mat, its.uv)

@@ -1,0 +1,152 @@
+"""Dipole subsurface scattering: irradiance pass + diffusion query.
+
+Rebuild of the reference's dipole pipeline
+(src/subsurface/dipole.cpp, src/librender/irrproc.cpp):
+
+* `prepare_sss` — the preprocess: estimates irradiance E at every
+  packed surface point with an NEE direct pass plus a cosine-weighted
+  recursive pass through the existing path tracer (the reference runs
+  IrradianceSamplingProcess with irrSamples rays/point and optional
+  indirect gathering).
+* `sss_lo` — the shading-time query: Lo(xo, wo) = Ft(eta, cos_o)/pi *
+  sum_i dMo(|xo - xi|) E_i A_i with the isotropic dipole kernel
+  dMo = 1/(4pi) [ C1 e^{-s d_r}/d_r^2 + C2 e^{-s d_v}/d_v^2 ]
+  (dipole.cpp IsotropicDipoleQuery:40-58, Lo:336-349).  The octree is
+  replaced by a dense masked reduction over the (<=4096-entry) point
+  set, scanned in chunks so XLA keeps the footprint in VMEM.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mitsuba_tpu.core import math as mm
+from mitsuba_tpu.core import rng
+from mitsuba_tpu.core.gather import take_fused, take_rows
+from mitsuba_tpu.emitter import eval as em
+
+INV_PI = 1.0 / jnp.pi
+INV_FOURPI = 0.25 / jnp.pi
+_CHUNK = 128  # points per scan step of the dense dipole sum
+
+
+def compute_sss_irradiance(pack, integ, seed=0):
+    """E [P,3] at every packed subsurface sample point."""
+    from mitsuba_tpu.accel.intersect import occluded
+    from mitsuba_tpu.integrator.path import path_trace
+
+    pts = pack.sss_p  # [P,3]
+    nrm = pack.sss_n
+    p_cnt = pts.shape[0]
+    k = int(pack.meta.get("sss_irr_samples", 16))
+    sseed = rng.stream_seed(seed, rng.STREAM_SSS)
+
+    lane = jnp.repeat(jnp.arange(p_cnt, dtype=jnp.uint32), k)  # [P*K]
+    sidx = jnp.tile(jnp.arange(k, dtype=jnp.uint32), p_cnt)
+    p_l = jnp.repeat(pts, k, axis=0)
+    n_l = jnp.repeat(nrm, k, axis=0)
+
+    e_direct = jnp.zeros((p_cnt * k, 3), jnp.float32)
+    if pack.meta["n_emitters"] > 0:
+        u3 = rng.rand4(lane, sidx, 0, sseed)[..., :3]
+        ds = em.sample_direct(pack, p_l, u3)
+        cos_i = mm.dot(n_l, ds.d)
+        o_sh = p_l + n_l * 1e-4
+        shadow_t = jnp.where(
+            ds.dist >= em.ENV_DIST, 1e7, ds.dist * (1.0 - 1e-3)
+        )
+        occ = occluded(pack, o_sh, ds.d, shadow_t)
+        e_direct = jnp.where(
+            ((cos_i > 0) & ~occ)[..., None],
+            ds.value * jnp.maximum(cos_i, 0.0)[..., None],
+            0.0,
+        )
+
+    e_total = e_direct
+    if pack.meta.get("sss_indirect", True):
+        # indirect irradiance: cosine-hemisphere rays handed to the
+        # path tracer with hidden depth-0 emitters (those are the
+        # direct term above); E_ind = pi * mean(Li) under cosine
+        # sampling (reference irrproc.cpp:73-90)
+        from mitsuba_tpu.core import warp
+
+        u2 = rng.rand4(lane, sidx, 1, sseed)[..., :2]
+        local = warp.square_to_cosine_hemisphere(u2)
+        fr = mm.Frame.from_normal(n_l)
+        d = fr.to_world(local)
+        o = p_l + n_l * 1e-4
+        from dataclasses import replace as _dc_replace
+
+        integ_ind = _dc_replace(integ, hide_emitters=True, max_depth=4)
+        li = path_trace(
+            pack, integ_ind, o, d, lane, sidx, None, seed=sseed ^ 0x1D
+        )
+        e_total = e_total + jnp.pi * li
+
+    return e_total.reshape(p_cnt, k, 3).mean(axis=1)
+
+
+def prepare_sss(pack, integ, seed=0):
+    """Run the irradiance pass and return a pack whose sss_E is live."""
+    fn = jax.jit(lambda pk, sd: compute_sss_irradiance(pk, integ, sd))
+    e_pts = fn(pack, seed)
+    arrays = dict(pack.arrays)
+    arrays["sss_E"] = e_pts
+    return type(pack)(arrays, dict(pack.meta))
+
+
+def sss_lo(pack, p, cos_o, sid):
+    """Exitant subsurface radiance at p [R,3] with outgoing cosine
+    cos_o [R] for lanes whose material maps to dipole object sid [R]
+    (callers mask sid < 0 lanes)."""
+    s = jnp.maximum(sid, 0)
+    zr, zv, s_tr, eta = take_fused(
+        s, pack.sss_zr, pack.sss_zv, pack.sss_str, pack.sss_eta
+    )  # [R,3]x3, [R]
+
+    r_lanes = p.shape[0]
+    p_cnt = pack.sss_p.shape[0]
+    n_chunks = (p_cnt + _CHUNK - 1) // _CHUNK
+    pad = n_chunks * _CHUNK - p_cnt
+    pts = jnp.pad(pack.sss_p, ((0, pad), (0, 0)))
+    e_pts = jnp.pad(pack.sss_E, ((0, pad), (0, 0)))
+    area = jnp.pad(pack.sss_area, (0, pad))
+    obj = jnp.pad(pack.sss_obj, (0, pad), constant_values=-2)
+
+    pts_c = pts.reshape(n_chunks, _CHUNK, 3)
+    e_c = e_pts.reshape(n_chunks, _CHUNK, 3)
+    area_c = area.reshape(n_chunks, _CHUNK)
+    obj_c = obj.reshape(n_chunks, _CHUNK)
+
+    def step(acc, chunk):
+        cp, ce, ca, co = chunk
+        # [R, C] squared distances
+        d2 = jnp.sum(
+            (p[:, None, :] - cp[None, :, :]) ** 2, axis=-1
+        )
+        mask = (co[None, :] == s[:, None]).astype(jnp.float32)
+        # dipole kernel per channel: dr/dv [R, C, 3]
+        d2e = d2[..., None]
+        dr = jnp.sqrt(d2e + (zr * zr)[:, None, :])
+        dv = jnp.sqrt(d2e + (zv * zv)[:, None, :])
+        st = s_tr[:, None, :]
+        c1 = zr[:, None, :] * (st + 1.0 / dr)
+        c2 = zv[:, None, :] * (st + 1.0 / dv)
+        dmo = INV_FOURPI * (
+            c1 * jnp.exp(-st * dr) / (dr * dr)
+            + c2 * jnp.exp(-st * dv) / (dv * dv)
+        )
+        contrib = dmo * ce[None, :, :] * (ca[None, :] * mask)[..., None]
+        return acc + contrib.sum(axis=1), None
+
+    mo, _ = jax.lax.scan(
+        step,
+        jnp.zeros((r_lanes, 3), jnp.float32),
+        (pts_c, e_c, area_c, obj_c),
+    )
+
+    # boundary transmittance (dipole.cpp:Lo — skipped for eta == 1)
+    fr, _, _ = mm.fresnel_dielectric(jnp.maximum(cos_o, 0.0), eta)
+    ft = jnp.where(jnp.abs(eta - 1.0) < 1e-5, 1.0, 1.0 - fr)
+    return mo * (INV_PI * ft)[..., None]

@@ -218,6 +218,13 @@ def render(
     sampler_rec = sensor_rec.sampler
     integ = scene.integrator
 
+    if pack.meta.get("has_sss", False):
+        # dipole preprocess: fill the irradiance point cache
+        # (reference dipole.cpp:preprocess via renderjob.cpp)
+        from mitsuba_tpu.integrator.sss import prepare_sss
+
+        pack = prepare_sss(pack, integ, seed)
+
     if integ.kind in (
         "pssmlt", "mlt", "erpt", "ptracer", "bdpt",
         "sppm", "ppm", "photonmapper",

@@ -197,8 +197,42 @@ def pack_scene(scene) -> ScenePack:
     tmed_in, tmed_ex = [], []
     spheres = []
 
+    # subsurface (dipole) objects: sampled point sets + the material
+    # rows that reference them (reference dipole.cpp:preprocess)
+    sss_objs = []  # (record, pts, nrm, area_per_pt)
+    sss_mat_rows = []  # (mat_row, sss_id)
+
     for inst in scene.shapes:
-        mat_id = add_material(inst.bsdf)
+        if getattr(inst, "subsurface", None) is not None:
+            import copy
+
+            from mitsuba_tpu.scene.subsurface import sample_surface_points
+
+            # clone the BSDF record so this shape gets its own material
+            # row (mat_sss is per row); no BSDF -> all-absorbing diffuse
+            # (reference shape.cpp:49-56 configure())
+            if inst.bsdf is not None:
+                bsdf_rec = copy.copy(inst.bsdf)
+            else:
+                bsdf_rec = BSDFRecord(
+                    type=DIFFUSE, cA=np.zeros(3, np.float32)
+                )
+            mat_id = add_material(bsdf_rec)
+            pts, nrm, a_pt, capped = sample_surface_points(
+                inst.meshes, inst.spheres, inst.subsurface
+            )
+            if capped:
+                from mitsuba_tpu.core.logging import logger
+
+                logger.warn(
+                    "subsurface: point density capped at 4096 samples "
+                    f"for shape '{inst.id}' (raise sampleMultiplier "
+                    "accuracy ceiling)"
+                )
+            sss_mat_rows.append((mat_id, len(sss_objs)))
+            sss_objs.append((inst.subsurface, pts, nrm, a_pt))
+        else:
+            mat_id = add_material(inst.bsdf)
         emit_id = add_emitter(inst.emitter)
         med_in = add_medium(inst.interior_medium)
         med_ex = add_medium(inst.exterior_medium)
@@ -506,6 +540,58 @@ def pack_scene(scene) -> ScenePack:
             mt["mat_rt"][i] = rt_cache[key][0]
             mt["mat_rt_fdr"][i] = rt_cache[key][1]
 
+    # subsurface dipole tables (reference dipole.cpp:configure + the
+    # IrradianceSample point set; sss_E is filled by the renderer's
+    # irradiance pass, integrator/sss.py)
+    mt["mat_sss"] = np.full(n_mat, -1, np.int32)
+    for row, sid in sss_mat_rows:
+        mt["mat_sss"][row] = sid
+    if sss_objs:
+        sss_p = np.concatenate([o[1] for o in sss_objs]).astype(np.float32)
+        sss_n = np.concatenate([o[2] for o in sss_objs]).astype(np.float32)
+        sss_area = np.concatenate(
+            [np.full(len(o[1]), o[3], np.float32) for o in sss_objs]
+        )
+        sss_obj = np.concatenate(
+            [np.full(len(o[1]), k, np.int32) for k, o in enumerate(sss_objs)]
+        )
+        zr_l, zv_l, str_l, eta_l = [], [], [], []
+        for rec_s, _, _, _ in sss_objs:
+            zr, zv, s_tr, _ = rec_s.dipole_coefficients()
+            zr_l.append(zr)
+            zv_l.append(zv)
+            str_l.append(s_tr)
+            eta_l.append(rec_s.eta)
+        sss_tabs = {
+            "sss_p": sss_p,
+            "sss_n": sss_n,
+            "sss_area": sss_area,
+            "sss_obj": sss_obj,
+            "sss_zr": np.stack(zr_l),
+            "sss_zv": np.stack(zv_l),
+            "sss_str": np.stack(str_l),
+            "sss_eta": np.asarray(eta_l, np.float32),
+            "sss_E": np.zeros_like(sss_p),
+        }
+        sss_meta = {
+            "has_sss": True,
+            "sss_irr_samples": max(o[0].irr_samples for o in sss_objs),
+            "sss_indirect": any(o[0].indirect for o in sss_objs),
+        }
+    else:
+        sss_tabs = {
+            "sss_p": np.zeros((1, 3), np.float32),
+            "sss_n": np.tile(np.array([0, 0, 1], np.float32), (1, 1)),
+            "sss_area": np.zeros(1, np.float32),
+            "sss_obj": np.zeros(1, np.int32),
+            "sss_zr": np.ones((1, 3), np.float32),
+            "sss_zv": np.ones((1, 3), np.float32),
+            "sss_str": np.ones((1, 3), np.float32),
+            "sss_eta": np.ones(1, np.float32),
+            "sss_E": np.zeros((1, 3), np.float32),
+        }
+        sss_meta = {"has_sss": False}
+
     has_bumpmaps = any(
         rec.tex_bump is not None
         for rec in materials
@@ -762,6 +848,7 @@ def pack_scene(scene) -> ScenePack:
         "env_marginal_cdf": env_dist.marginal_cdf,
         "env_conditional_cdf": env_dist.conditional_cdf,
         "env_density": env_dist.density,
+        **sss_tabs,
     }
     arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
 
@@ -796,5 +883,6 @@ def pack_scene(scene) -> ScenePack:
         "n_het": n_het,
         "het_super_b": SUPER_B,
         "camera_medium": -1,
+        **sss_meta,
     }
     return ScenePack(arrays, meta)

@@ -47,6 +47,7 @@ class ShapeInstance:
     emitter = None
     interior_medium = None
     exterior_medium = None
+    subsurface = None  # SubsurfaceRecord (dipole)
     id: str = ""
 
 

@@ -316,6 +316,7 @@ class SceneLoader:
                 out.emitter = src.emitter
                 out.interior_medium = src.interior_medium
                 out.exterior_medium = src.exterior_medium
+                out.subsurface = src.subsurface
                 for mesh in src.meshes:
                     out.meshes.append(_apply_transform(mesh, t, False))
                 for sph in src.spheres:
@@ -343,10 +344,14 @@ class SceneLoader:
             from mitsuba_tpu.emitter.plugins import EmitterRecord
             from mitsuba_tpu.medium.plugins import MediumRecord
 
+            from mitsuba_tpu.scene.subsurface import SubsurfaceRecord
+
             if isinstance(rec, BSDFRecord):
                 inst.bsdf = rec
             elif isinstance(rec, EmitterRecord):
                 inst.emitter = rec
+            elif isinstance(rec, SubsurfaceRecord):
+                inst.subsurface = rec
             elif isinstance(rec, MediumRecord):
                 if name == "interior" or not name:
                     inst.interior_medium = rec

@@ -121,6 +121,7 @@ def test_stream_partition_distinct():
         rng.STREAM_MEDIUM_TRANS,
         rng.STREAM_LIGHT,
         rng.STREAM_MLT,
+        rng.STREAM_SSS,
     ]
     assert len(set(streams)) == len(streams)
     for seed in (0, 1, 12345, 0xFFFFFF):

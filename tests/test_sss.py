@@ -1,0 +1,110 @@
+"""Dipole subsurface scattering (reference src/subsurface/dipole.cpp).
+
+* kernel test: for a uniformly-irradiated plane the dipole query has
+  the closed form Mo = E (e^{-s_tr z_r} + e^{-s_tr z_v}) / 2
+  (integrate IsotropicDipoleQuery's dMo over the plane).
+* end-to-end: a translucent sphere lit from one side renders finite,
+  nonzero light on the shadowed side (forward scattering through the
+  volume), and scenes without subsurface are bit-identical to before.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mitsuba_tpu.renderer import render
+from mitsuba_tpu.scene.xml_loader import load_scene_string
+
+
+def test_dipole_kernel_matches_planar_closed_form():
+    from types import SimpleNamespace
+    from mitsuba_tpu.integrator.sss import sss_lo
+    from mitsuba_tpu.scene.subsurface import SubsurfaceRecord
+
+    rec = SubsurfaceRecord(
+        sigma_s=np.array([1.0, 2.0, 4.0], np.float32),
+        sigma_a=np.array([0.05, 0.1, 0.3], np.float32),
+        eta=1.0,
+    )
+    zr, zv, s_tr, _ = rec.dipole_coefficients()
+
+    # dense planar point grid, uniform E = 1
+    half, step = 30.0, 0.125
+    xs = np.arange(-half, half, step)
+    gx, gy = np.meshgrid(xs, xs)
+    pts = np.stack(
+        [gx.ravel(), gy.ravel(), np.zeros(gx.size)], -1
+    ).astype(np.float32)
+    n = len(pts)
+    pack = SimpleNamespace(
+        sss_p=jnp.asarray(pts),
+        sss_E=jnp.ones((n, 3), jnp.float32),
+        sss_area=jnp.full((n,), step * step, jnp.float32),
+        sss_obj=jnp.zeros((n,), jnp.int32),
+        sss_zr=jnp.asarray(zr)[None],
+        sss_zv=jnp.asarray(zv)[None],
+        sss_str=jnp.asarray(s_tr)[None],
+        sss_eta=jnp.ones((1,), jnp.float32),
+    )
+    q = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+    lo = np.asarray(
+        sss_lo(pack, q, jnp.ones((1,)), jnp.zeros((1,), jnp.int32))
+    )[0]
+    want = (np.exp(-s_tr * zr) + np.exp(-s_tr * zv)) / 2.0 / np.pi
+    assert np.abs(lo - want).max() < 0.02 * want.max(), (lo, want)
+
+
+def _sss_scene(subsurface_xml, spp=32):
+    return load_scene_string(
+        f"""
+    <scene version="0.5.0">
+      <integrator type="path"><integer name="maxDepth" value="6"/></integrator>
+      <sensor type="perspective">
+        <float name="fov" value="34"/>
+        <transform name="toWorld">
+          <lookat origin="0,0,-5" target="0,0,0" up="0,1,0"/>
+        </transform>
+        <sampler type="independent">
+          <integer name="sampleCount" value="{spp}"/>
+        </sampler>
+        <film type="hdrfilm">
+          <integer name="width" value="48"/>
+          <integer name="height" value="48"/>
+          <rfilter type="box"/>
+        </film>
+      </sensor>
+      <shape type="sphere">
+        <float name="radius" value="1"/>
+        {subsurface_xml}
+      </shape>
+      <shape type="sphere">
+        <point name="center" x="-4" y="0" z="0"/>
+        <float name="radius" value="0.5"/>
+        <emitter type="area"><rgb name="radiance" value="60"/></emitter>
+      </shape>
+    </scene>"""
+    )
+
+
+def test_dipole_end_to_end():
+    scene = _sss_scene(
+        """
+        <subsurface type="dipole">
+          <string name="material" value="skimmilk"/>
+          <float name="scale" value="1.0"/>
+          <integer name="irrSamples" value="32"/>
+        </subsurface>
+    """
+    )
+    img = render(scene, spp=32)
+    assert np.isfinite(img).all()
+    # the sphere (center of frame) must glow
+    assert float(img[20:28, 20:28].mean()) > 1e-3
+    # a black-diffuse sphere of the same geometry stays black
+    scene0 = _sss_scene(
+        '<bsdf type="diffuse"><rgb name="reflectance" value="0,0,0"/></bsdf>'
+    )
+    img0 = render(scene0, spp=32)
+    assert float(img0[20:28, 20:28].mean()) < 1e-5
+    assert float(img[20:28, 20:28].mean()) > 50 * float(
+        img0[20:28, 20:28].mean() + 1e-9
+    )
