@@ -38,7 +38,11 @@ from mitsuba_tpu.core.gather import take_rows
 from mitsuba_tpu.core import rng, warp
 from mitsuba_tpu.emitter.plugins import AREA
 from mitsuba_tpu.integrator import path as _path
-from mitsuba_tpu.scene.texture_eval import shading_frame, shading_params
+from mitsuba_tpu.scene.texture_eval import (
+    mip_footprint,
+    shading_frame,
+    shading_params,
+)
 
 _SLOTS = 4  # RNG slots per walk step
 _SLOT_BSDF = 2
@@ -100,7 +104,7 @@ def _walk(pack, o0, d0, beta0, pdf_w0, lane, sidx, seed, n_steps, present,
 
         frame = shading_frame(pack, its)
         wi_l = frame.to_local(its.wi_world)
-        sp = shading_params(pack, its.mat, its.uv)
+        sp = shading_params(pack, its.mat, its.uv, mip_footprint(pack, its))
 
         pdf_fwd = jnp.where(
             prev_delta_transition,

@@ -23,7 +23,11 @@ from mitsuba_tpu.core import math as mm
 from mitsuba_tpu.core.gather import take_rows
 from mitsuba_tpu.core import rng
 from mitsuba_tpu.emitter import eval as em
-from mitsuba_tpu.scene.texture_eval import shading_frame, shading_params
+from mitsuba_tpu.scene.texture_eval import (
+    mip_footprint,
+    shading_frame,
+    shading_params,
+)
 
 SHADOW_EPS = 1e-3
 MAX_BOUNCES_CAP = 64  # hard cap when maxDepth = -1 (infinite)
@@ -141,7 +145,7 @@ def path_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
         # ---- local frame + shading params ----
         frame = shading_frame(pack, its)
         wi_l = frame.to_local(its.wi_world)
-        sp = shading_params(pack, its.mat, its.uv)
+        sp = shading_params(pack, its.mat, its.uv, mip_footprint(pack, its))
 
         # strict normals: reject rays that hit shading/geo-inconsistent
         # configurations (reference path.cpp:165-172)
@@ -348,7 +352,7 @@ def path_trace_regen(
 
         frame = shading_frame(pack, its)
         wi_l = frame.to_local(its.wi_world)
-        sp = shading_params(pack, its.mat, its.uv)
+        sp = shading_params(pack, its.mat, its.uv, mip_footprint(pack, its))
         if integ.strict_normals:
             wi_g = mm.dot(its.wi_world, its.ng)
             active = active & (wi_g * mm.cos_theta(wi_l) > 0)
@@ -479,7 +483,7 @@ def field_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
             [its.uv, jnp.zeros(its.uv.shape[:-1] + (1,))], axis=-1
         )
     elif name == "albedo":
-        sp = shading_params(pack, its.mat, its.uv)
+        sp = shading_params(pack, its.mat, its.uv, mip_footprint(pack, its))
         v = sp["cA"]
     elif name == "primIndex":
         v = jnp.repeat(its.prim[..., None].astype(jnp.float32), 3, -1)

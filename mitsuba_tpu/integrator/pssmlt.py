@@ -36,7 +36,11 @@ from mitsuba_tpu.core import rng
 from mitsuba_tpu.core.spectrum import luminance
 from mitsuba_tpu.emitter import eval as em
 from mitsuba_tpu.integrator import path as _path
-from mitsuba_tpu.scene.texture_eval import shading_frame, shading_params
+from mitsuba_tpu.scene.texture_eval import (
+    mip_footprint,
+    shading_frame,
+    shading_params,
+)
 from mitsuba_tpu.sensor.plugins import generate_rays
 
 # primary-sample layout per path:
@@ -124,7 +128,7 @@ def path_from_primary(pack, integ, cam, w, h, U):
         active = found
         frame = shading_frame(pack, its)
         wi_l = frame.to_local(its.wi_world)
-        sp = shading_params(pack, its.mat, its.uv)
+        sp = shading_params(pack, its.mat, its.uv, mip_footprint(pack, its))
 
         if pack.meta["n_emitters"] > 0:
             u_n = u_at(depth, 0, 3)

@@ -29,7 +29,11 @@ from mitsuba_tpu.core import rng
 from mitsuba_tpu.emitter import eval as em
 from mitsuba_tpu.integrator import path as _path
 from mitsuba_tpu.medium import eval as med_eval
-from mitsuba_tpu.scene.texture_eval import shading_frame, shading_params
+from mitsuba_tpu.scene.texture_eval import (
+    mip_footprint,
+    shading_frame,
+    shading_params,
+)
 
 SHADOW_EPS = 1e-3
 MAX_EVENTS_FACTOR = 3  # events can exceed maxDepth (null crossings)
@@ -187,7 +191,7 @@ def volpath_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
         # ============ SURFACE EVENT ============
         frame = shading_frame(pack, its)
         wi_l = frame.to_local(its.wi_world)
-        sp = shading_params(pack, its.mat, its.uv)
+        sp = shading_params(pack, its.mat, its.uv, mip_footprint(pack, its))
 
         # ============ SHARED NEE ============
         # one emitter sample + ONE attenuated shadow trace serves both

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -65,9 +67,40 @@ class ScenePack:
         raise AttributeError(name)
 
 
+MAX_MIP_LEVELS = 12  # 2048x2048 down to 1x1
+
+
+def _downsample2(img):
+    """2x2 box average (odd edges repeat; reference mipmap.h resample)."""
+    h, w, c = img.shape
+    if h > 1 and h % 2:
+        img = np.concatenate([img, img[-1:]], axis=0)
+        h += 1
+    if w > 1 and w % 2:
+        img = np.concatenate([img, img[:, -1:]], axis=1)
+        w += 1
+    nh, nw = max(h // 2, 1), max(w // 2, 1)
+    if h > 1:
+        img = img.reshape(nh, 2, w, c).mean(axis=1)
+    if w > 1:
+        img = img.reshape(nh, nw, 2, c).mean(axis=2)
+    return img
+
+
+def _mip_chain(img):
+    levels = [np.asarray(img, np.float32)]
+    while (
+        max(levels[-1].shape[:2]) > 1 and len(levels) < MAX_MIP_LEVELS
+    ):
+        levels.append(_downsample2(levels[-1]))
+    return levels
+
+
 def _pack_textures(textures: list[TextureDesc]):
-    """Shelf-pack all bitmap textures into one atlas; procedural textures
-    keep only params.  Returns (arrays dict, atlas)."""
+    """Shelf-pack all bitmap textures AND their mip pyramids into one
+    atlas; procedural textures keep only params (reference mipmap.h
+    MIPMap pyramid; EWA reduces to trilinear here because the wavefront
+    tracks an isotropic ray-cone footprint).  Returns arrays dict."""
     n = max(len(textures), 1)
     tex_type = np.zeros(n, np.int32)
     tex_c0 = np.zeros((n, 3), np.float32)
@@ -76,7 +109,9 @@ def _pack_textures(textures: list[TextureDesc]):
     tex_uv = np.tile(
         np.array([1.0, 1.0, 0.0, 0.0], np.float32), (n, 1)
     )  # uscale, vscale, uoffset, voffset
-    tex_rect = np.zeros((n, 4), np.int32)  # x, y, w, h
+    tex_rect = np.zeros((n, 4), np.int32)  # x, y, w, h (level 0)
+    tex_mip_rect = np.zeros((n, MAX_MIP_LEVELS, 4), np.int32)
+    tex_n_lev = np.ones(n, np.int32)
     tex_lw = np.full(n, 0.01, np.float32)
     tex_nearest = np.zeros(n, np.int32)
 
@@ -85,27 +120,38 @@ def _pack_textures(textures: list[TextureDesc]):
     ]
     atlas = np.zeros((1, 1, 3), np.float32)
     if bitmaps:
+        items = []  # (tex idx, level, image)
+        for i, t in bitmaps:
+            for lvl, im in enumerate(_mip_chain(t.image)):
+                items.append((i, lvl, im))
         # shelf packing, sorted by height
-        bitmaps.sort(key=lambda it: -it[1].image.shape[0])
-        max_w = max(max(t.image.shape[1] for _, t in bitmaps), 1)
+        items.sort(key=lambda it: -it[2].shape[0])
+        max_w = max(max(im.shape[1] for _, _, im in items), 1)
         atlas_w = max(1 << int(np.ceil(np.log2(max_w))), 64)
         x = y = shelf_h = 0
         places = {}
-        for i, t in bitmaps:
-            h, w = t.image.shape[:2]
+        for i, lvl, im in items:
+            h, w = im.shape[:2]
             if x + w > atlas_w:
                 y += shelf_h
                 x = 0
                 shelf_h = 0
-            places[i] = (x, y, w, h)
+            places[(i, lvl)] = (x, y, w, h)
             shelf_h = max(shelf_h, h)
             x += w
         atlas_h = y + shelf_h
         atlas = np.zeros((atlas_h, atlas_w, 3), np.float32)
+        for i, lvl, im in items:
+            px, py, w, h = places[(i, lvl)]
+            atlas[py : py + h, px : px + w] = im
+            tex_mip_rect[i, lvl] = [px, py, w, h]
+            if lvl == 0:
+                tex_rect[i] = [px, py, w, h]
+            tex_n_lev[i] = max(tex_n_lev[i], lvl + 1)
+        # clamp out-of-range levels to the coarsest valid one
         for i, t in bitmaps:
-            px, py, w, h = places[i]
-            atlas[py : py + h, px : px + w] = t.image
-            tex_rect[i] = [px, py, w, h]
+            for lvl in range(tex_n_lev[i], MAX_MIP_LEVELS):
+                tex_mip_rect[i, lvl] = tex_mip_rect[i, tex_n_lev[i] - 1]
 
     for i, t in enumerate(textures):
         tex_type[i] = t.kind
@@ -123,10 +169,26 @@ def _pack_textures(textures: list[TextureDesc]):
         "tex_scale": tex_scale,
         "tex_uv": tex_uv,
         "tex_rect": tex_rect,
+        "tex_mip_rect": tex_mip_rect,
+        "tex_n_lev": tex_n_lev,
         "tex_lw": tex_lw,
         "tex_nearest": tex_nearest,
         "tex_atlas": atlas,
     }
+
+
+def _cam_pix_angle(scene):
+    """Per-pixel ray-cone angle of the scene camera (radians); the
+    texture-LOD footprint driver (reference mipmap.h eval(..., d0, d1)
+    gets ray differentials; the wavefront carries an isotropic cone)."""
+    try:
+        cam = scene.sensor.record
+        import math as _math
+
+        tan_half = _math.tan(_math.radians(cam.xfov_deg) / 2.0)
+        return float(2.0 * tan_half / max(cam.film.width, 1))
+    except (AttributeError, TypeError):
+        return 0.0
 
 
 def _expand_mixtures(rec: BSDFRecord) -> list[BSDFRecord]:
@@ -873,6 +935,9 @@ def pack_scene(scene) -> ScenePack:
         "has_delta_emitters": any(r.is_delta() for r in emitters),
         "n_area_tris": int(at_cursor),
         "has_textures": len(textures) > 0,
+        "has_mips": any(t.kind == TEX_BITMAP for t in textures)
+        and os.environ.get("MTS_TPU_NO_MIPS", "0") != "1",
+        "cam_pix_angle": _cam_pix_angle(scene),
         "has_mixtures": bool(mix_rows),
         "has_bumpmaps": has_bumpmaps,
         "has_media": len(media) > 0,

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from mitsuba_tpu.core.gather import take_fused
+from mitsuba_tpu.core.gather import take_fused, take_rows
 from mitsuba_tpu.scene.textures import (
     TEX_BITMAP,
     TEX_CHECKERBOARD,
@@ -19,37 +19,8 @@ from mitsuba_tpu.scene.textures import (
 )
 
 
-def eval_texture(pack, tid, uv, default_rgb):
-    """tid: [R] int32 texture ids (-1 -> default_rgb [R,3]); uv: [R,2]."""
-    has = tid >= 0
-    t = jnp.maximum(tid, 0)
-    kind, c0, c1, scale, uvt, lw, rect, nearest_sel = take_fused(
-        t, pack.tex_type, pack.tex_c0, pack.tex_c1, pack.tex_scale,
-        pack.tex_uv, pack.tex_lw, pack.tex_rect, pack.tex_nearest,
-    )  # uvt = uscale, vscale, uoffset, voffset
-    u = uv[..., 0] * uvt[..., 0] + uvt[..., 2]
-    v = uv[..., 1] * uvt[..., 1] + uvt[..., 3]
-
-    out = c0  # TEX_CONSTANT
-
-    # checkerboard (reference src/textures/checkerboard.cpp:eval —
-    # integer parity of floor(u)+floor(v) over a 2x2 tile)
-    xi = jnp.floor(u * 2.0).astype(jnp.int32)
-    yi = jnp.floor(v * 2.0).astype(jnp.int32)
-    checker = jnp.where((((xi + yi) % 2) == 0)[..., None], c0, c1)
-    out = jnp.where((kind == TEX_CHECKERBOARD)[..., None], checker, out)
-
-    # grid lines (reference src/textures/gridtexture.cpp)
-    fu = u - jnp.floor(u)
-    fv = v - jnp.floor(v)
-    on_line = (
-        (fu < lw) | (fu > 1.0 - lw) | (fv < lw) | (fv > 1.0 - lw)
-    )
-    grid = jnp.where(on_line[..., None], c1, c0)
-    out = jnp.where((kind == TEX_GRID)[..., None], grid, out)
-
-    # bitmap: bilinear atlas gather with repeat wrap
-    # rect = x, y, w, h
+def _bitmap_fetch(pack, rect, u, v, nearest_sel):
+    """Bilinear (or nearest) gather from one atlas rect per lane."""
     w = jnp.maximum(rect[..., 2], 1)
     h = jnp.maximum(rect[..., 3], 1)
     # image row 0 = v=1 (top); mitsuba bitmap texture: uv (0,0) = top-left
@@ -84,14 +55,89 @@ def eval_texture(pack, tid, uv, default_rgb):
     nearest = fetch(
         jnp.round(fx).astype(jnp.int32), jnp.round(fy).astype(jnp.int32)
     )
-    bitmap = jnp.where((nearest_sel > 0)[..., None], nearest, bilin)
+    return jnp.where((nearest_sel > 0)[..., None], nearest, bilin)
+
+
+def eval_texture(pack, tid, uv, default_rgb, fp=None):
+    """tid: [R] int32 texture ids (-1 -> default_rgb [R,3]); uv: [R,2].
+
+    fp (optional [R]): isotropic uv-space footprint diameter of the
+    shading sample — selects the mip level pair for trilinear
+    filtering (reference mipmap.h:56-162 evalTrilinear; the EWA path
+    reduces to this under the wavefront's isotropic ray cone)."""
+    has = tid >= 0
+    t = jnp.maximum(tid, 0)
+    kind, c0, c1, scale, uvt, lw, rect, nearest_sel = take_fused(
+        t, pack.tex_type, pack.tex_c0, pack.tex_c1, pack.tex_scale,
+        pack.tex_uv, pack.tex_lw, pack.tex_rect, pack.tex_nearest,
+    )  # uvt = uscale, vscale, uoffset, voffset
+    u = uv[..., 0] * uvt[..., 0] + uvt[..., 2]
+    v = uv[..., 1] * uvt[..., 1] + uvt[..., 3]
+
+    out = c0  # TEX_CONSTANT
+
+    # checkerboard (reference src/textures/checkerboard.cpp:eval —
+    # integer parity of floor(u)+floor(v) over a 2x2 tile)
+    xi = jnp.floor(u * 2.0).astype(jnp.int32)
+    yi = jnp.floor(v * 2.0).astype(jnp.int32)
+    checker = jnp.where((((xi + yi) % 2) == 0)[..., None], c0, c1)
+    out = jnp.where((kind == TEX_CHECKERBOARD)[..., None], checker, out)
+
+    # grid lines (reference src/textures/gridtexture.cpp)
+    fu = u - jnp.floor(u)
+    fv = v - jnp.floor(v)
+    on_line = (
+        (fu < lw) | (fu > 1.0 - lw) | (fv < lw) | (fv > 1.0 - lw)
+    )
+    grid = jnp.where(on_line[..., None], c1, c0)
+    out = jnp.where((kind == TEX_GRID)[..., None], grid, out)
+
+    # bitmap: bilinear atlas gather, trilinear across the mip pyramid
+    # when a footprint is provided
+    if fp is not None and pack.meta.get("has_mips", False):
+        (n_lev,) = take_fused(t, pack.tex_n_lev)
+        w0 = jnp.maximum(rect[..., 2], 1).astype(jnp.float32)
+        h0 = jnp.maximum(rect[..., 3], 1).astype(jnp.float32)
+        # footprint in level-0 texels (uv tiling scales the density)
+        fp_tex = jnp.maximum(
+            jnp.abs(fp * uvt[..., 0]) * w0,
+            jnp.abs(fp * uvt[..., 1]) * h0,
+        )
+        lod = jnp.log2(jnp.clip(fp_tex, 1.0, 1e9))
+        lod = jnp.minimum(lod, (n_lev - 1).astype(jnp.float32))
+        l0 = jnp.floor(lod).astype(jnp.int32)
+        frac = (lod - l0.astype(jnp.float32))[..., None]
+        l1 = jnp.minimum(l0 + 1, n_lev - 1)
+        n_mips = pack.tex_mip_rect.shape[1]
+        mip_flat = pack.tex_mip_rect.reshape(-1, 4)
+        rect_a = take_rows(mip_flat, t * n_mips + l0)
+        rect_b = take_rows(mip_flat, t * n_mips + l1)
+        bitmap = (
+            _bitmap_fetch(pack, rect_a, u, v, nearest_sel) * (1.0 - frac)
+            + _bitmap_fetch(pack, rect_b, u, v, nearest_sel) * frac
+        )
+    else:
+        bitmap = _bitmap_fetch(pack, rect, u, v, nearest_sel)
     out = jnp.where((kind == TEX_BITMAP)[..., None], bitmap, out)
 
     out = out * scale
     return jnp.where(has[..., None], out, default_rgb)
 
 
-def _gather_params(pack, m, uv):
+def mip_footprint(pack, its):
+    """Isotropic uv-space footprint of a camera-cone shading sample, or
+    None when the scene has no mip pyramids.  The cone angle is the
+    camera pixel angle (ray differentials at the first hit; secondary
+    bounces reuse the same cone — slightly over-sharp mirrors, never
+    over-blurred)."""
+    ang = pack.meta.get("cam_pix_angle", 0.0)
+    if not pack.meta.get("has_mips", False) or ang <= 0.0:
+        return None
+    dpdu_len = jnp.linalg.norm(its.dpdu, axis=-1)
+    return its.t * ang / jnp.maximum(dpdu_len, 1e-8)
+
+
+def _gather_params(pack, m, uv, fp=None):
     (typ, cA, cB, cC, cD, a_u, a_v, eta, expo, dist, nonlin, twos,
      fdr, spw, texA, rt, rt_fdr) = take_fused(
         m, pack.mat_type, pack.mat_cA, pack.mat_cB, pack.mat_cC,
@@ -101,7 +147,7 @@ def _gather_params(pack, m, uv):
         pack.mat_texA, pack.mat_rt, pack.mat_rt_fdr,
     )
     if pack.has_textures:
-        cA = eval_texture(pack, texA, uv, cA)
+        cA = eval_texture(pack, texA, uv, cA, fp)
     return {
         "type": typ,
         "cA": cA,
@@ -122,20 +168,22 @@ def _gather_params(pack, m, uv):
     }
 
 
-def shading_params(pack, mat_id, uv):
+def shading_params(pack, mat_id, uv, fp=None):
     """Gather + texture-resolve per-lane shading params for bsdf/eval.py.
 
-    For scenes with mixture/blend BSDFs the dict carries a second
-    parameter set (`mix`) for the B component; bsdf/eval.py blends."""
+    fp: optional uv footprint for trilinear mip filtering
+    (mip_footprint).  For scenes with mixture/blend BSDFs the dict
+    carries a second parameter set (`mix`) for the B component;
+    bsdf/eval.py blends."""
     m = jnp.maximum(mat_id, 0)
-    sp = _gather_params(pack, m, uv)
+    sp = _gather_params(pack, m, uv, fp)
     if pack.meta.get("has_mixtures", False):
         mix_b, mix_wa, mix_wb = take_fused(
             m, pack.mat_mix_b, pack.mat_mix_wa, pack.mat_mix_wb
         )
         mb = jnp.where(mix_b >= 0, mix_b, m)
         sp["mix"] = {
-            "spB": _gather_params(pack, mb, uv),
+            "spB": _gather_params(pack, mb, uv, fp),
             "wa": jnp.where(mix_b >= 0, mix_wa, 1.0),
             "wb": jnp.where(mix_b >= 0, mix_wb, 0.0),
         }
