@@ -25,7 +25,7 @@ import functools
 import numpy as np
 import jax.numpy as jnp
 
-N_DIMS = 64
+N_DIMS = 160
 N_BITS = 32
 
 # Joe-Kuo table head: (degree s, coeff a, [m_1..m_s]) for dims 2..9
@@ -198,3 +198,88 @@ def sobol_01(index, dims, scramble=None):
     return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
         1.0 / 16777216.0
     )
+
+
+def sobol_bits_dyn(index, dim_idx):
+    """Sobol' integer samples with TRACED dimension indices.
+
+    index: uint32 [...]; dim_idx: int array [..., n] (values clipped to
+    [0, N_DIMS)).  Used by the integrators to route per-bounce decision
+    slots through the sequence (dimension = f(depth) is loop-carried)."""
+    V = device_matrices()  # [D, 32]
+    cols = V[jnp.clip(dim_idx, 0, N_DIMS - 1)]  # [..., n, 32]
+    index = jnp.asarray(index, jnp.uint32)
+    out_shape = jnp.broadcast_shapes(
+        index.shape + (1,), jnp.shape(dim_idx)
+    )
+    out = jnp.zeros(out_shape, jnp.uint32)
+    for k in range(N_BITS):
+        bit = (index >> k) & jnp.uint32(1)
+        out = out ^ (bit[..., None] * cols[..., k])
+    return out
+
+
+def sobol_01_dyn(index, dim_idx, scramble=None):
+    bits = sobol_bits_dyn(index, dim_idx)
+    if scramble is not None:
+        bits = bits ^ scramble
+    return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
+        1.0 / 16777216.0
+    )
+
+
+# --- Faure-permuted Halton (reference src/libcore/qmc.cpp faure.cpp) ---
+
+_FAURE_PRIMES = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37)
+
+
+@functools.lru_cache(maxsize=1)
+def faure_permutations():
+    """Digit permutations sigma_b for the first len(_FAURE_PRIMES)
+    prime bases (Faure 1992 recursive construction; the reference
+    precomputes these in faure.cpp).  Returns [n_primes, max_b] int32
+    (rows padded with the identity tail)."""
+
+    @functools.lru_cache(maxsize=None)
+    def sigma(b):
+        if b == 2:
+            return (0, 1)
+        if b % 2 == 0:
+            h = sigma(b // 2)
+            return tuple(2 * x for x in h) + tuple(2 * x + 1 for x in h)
+        h = sigma(b - 1)
+        c = (b - 1) // 2
+        h2 = [x + 1 if x >= c else x for x in h]
+        return tuple(h2[:c]) + (c,) + tuple(h2[c:])
+
+    max_b = max(_FAURE_PRIMES)
+    out = np.tile(np.arange(max_b, dtype=np.int32), (len(_FAURE_PRIMES), 1))
+    for i, p in enumerate(_FAURE_PRIMES):
+        out[i, :p] = sigma(p)
+    return out
+
+
+@functools.lru_cache(maxsize=1)
+def _device_faure():
+    return jnp.asarray(faure_permutations())
+
+
+def halton_faure(index, prime_slot, rot=None):
+    """Faure-permuted radical inverse in base _FAURE_PRIMES[prime_slot]
+    (static slot).  index: uint32 [...]; rot: optional Cranley-Patterson
+    rotation in [0,1).  (reference qmc.h scrambledRadicalInverse +
+    faure.cpp permutations)."""
+    p = _FAURE_PRIMES[prime_slot]
+    perm = _device_faure()[prime_slot]  # [max_b]
+    n_digits = int(np.ceil(32.0 / np.log2(p)))
+    v = jnp.asarray(index, jnp.uint32)
+    x = jnp.zeros(v.shape, jnp.float32)
+    f = jnp.float32(1.0 / p)
+    for _ in range(n_digits):
+        digit = (v % p).astype(jnp.int32)
+        x = x + perm[digit].astype(jnp.float32) * f
+        v = v // p
+        f = f / p
+    if rot is not None:
+        x = jnp.mod(x + rot, 1.0)
+    return x

@@ -69,9 +69,11 @@ def path_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
     rr_depth = max(integ.rr_depth, 1)
 
     def u4(depth, slot):
-        return rng.rand4(
-            lane, sample_idx, depth * _SLOTS_PER_BOUNCE + slot, seed
-        )
+        dslot = depth * _SLOTS_PER_BOUNCE + slot
+        base = rng.rand4(lane, sample_idx, dslot, seed)
+        from mitsuba_tpu.sampler.plugins import ld_decision4
+
+        return ld_decision4(sampler, lane, sample_idx, dslot, base, seed)
 
     state = dict(
         L=jnp.zeros((r, 3), jnp.float32),
@@ -254,9 +256,11 @@ def path_trace_regen(
     max_iters = spp * max_depth + max_depth + 4
 
     def u4(sample_idx, depth, slot):
-        return rng.rand4(
-            lane, sample_idx, depth * _SLOTS_PER_BOUNCE + slot, seed
-        )
+        dslot = depth * _SLOTS_PER_BOUNCE + slot
+        base = rng.rand4(lane, sample_idx, dslot, seed)
+        from mitsuba_tpu.sampler.plugins import ld_decision4
+
+        return ld_decision4(sampler, lane, sample_idx, dslot, base, seed)
 
     state = dict(
         L_acc=jnp.zeros((r, 3), jnp.float32),

@@ -78,13 +78,23 @@ class SamplerRecord:
                 jnp.asarray(sample_idx, jnp.uint32), scr[..., 0], scr[..., 1]
             )
         if self.kind in (HALTON, HAMMERSLEY):
+            # Faure-permuted radical inverses with a per-pixel
+            # Cranley-Patterson rotation (reference halton.cpp +
+            # faure.cpp permutations; base-2 Faure is the identity)
+            from mitsuba_tpu.core import sobol as _sobol
+
             i = jnp.asarray(sample_idx, jnp.uint32)
-            x = rng.radical_inverse_base2(
-                i ^ rng.pcg4d(
-                    jnp.stack([jnp.asarray(lane, jnp.uint32)] * 4, -1)
-                )[..., 0]
-            )
-            y = _radical_inverse_base3(i, lane, self.seed)
+            rot = rng.rand2(lane, 0, 991, self._seed())
+            if self.kind == HAMMERSLEY and spp > 0:
+                # dim 0 of Hammersley enumerates i/N
+                x = jnp.mod(
+                    (i % jnp.uint32(spp)).astype(jnp.float32) / spp
+                    + rot[..., 0],
+                    1.0,
+                )
+            else:
+                x = _sobol.halton_faure(i, 0, rot[..., 0])
+            y = _sobol.halton_faure(i, 1, rot[..., 1])
             return jnp.stack([x, y], axis=-1)
         return rng.rand2(lane, sample_idx, 0, self._seed())
 
@@ -95,9 +105,22 @@ class SamplerRecord:
 
     def lens_sample(self, lane, sample_idx):
         """2D aperture/time sample: Sobol' dims 2-3 for LD samplers
-        (reference sobol.cpp consumes dims in request order), hash
+        (reference sobol.cpp consumes dims in request order),
+        Faure-permuted Halton bases 5/7 for halton/hammersley, hash
         otherwise."""
-        if self.kind in (LDSAMPLER, SOBOL, HALTON, HAMMERSLEY):
+        if self.kind in (HALTON, HAMMERSLEY):
+            from mitsuba_tpu.core import sobol as _sobol
+
+            i = jnp.asarray(sample_idx, jnp.uint32)
+            rot = rng.rand2(lane, 0, 992, self._seed())
+            return jnp.stack(
+                [
+                    _sobol.halton_faure(i, 2, rot[..., 0]),
+                    _sobol.halton_faure(i, 3, rot[..., 1]),
+                ],
+                axis=-1,
+            )
+        if self.kind in (LDSAMPLER, SOBOL):
             from mitsuba_tpu.core import sobol as _sobol
 
             scr = rng.pcg4d(
@@ -128,18 +151,42 @@ class SamplerRecord:
         return rng.rand4(lane, sample_idx, slot, self._seed())
 
 
-def _radical_inverse_base3(i, lane, seed):
-    """Base-3 radical inverse with per-pixel Cranley-Patterson rotation."""
-    i = jnp.asarray(i, jnp.uint32)
-    x = jnp.zeros(i.shape, jnp.float32)
-    f = jnp.float32(1.0 / 3.0)
-    v = i
-    for _ in range(20):
-        x = x + (v % 3).astype(jnp.float32) * f
-        v = v // 3
-        f = f / 3.0
-    rot = rng.rand1(lane, 0, 991, rng.stream_seed(seed, rng.STREAM_CAMERA))
-    return jnp.mod(x + rot, 1.0)
+def ld_decision4(sampler, lane, sample_idx, dslot, fallback, seed):
+    """Route an integrator decision draw through the Sobol' sequence.
+
+    LD samplers (sobol/ldsampler) map decision slot `dslot` to Sobol'
+    dimensions 4 + 4*dslot .. +3 with a per-(pixel, slot) XOR scramble
+    ("padded Sobol"); slots beyond the direction-matrix table keep the
+    counter-hash `fallback` — the exact analogue of the reference
+    samplers handing out uniform floats once their pre-generated arrays
+    run out (sampler.cpp next1D/next2D).  dslot may be a traced scalar
+    (plain wavefront) or per-lane array (regenerating wavefront)."""
+    if sampler is None or sampler.kind not in (LDSAMPLER, SOBOL):
+        return fallback
+    from mitsuba_tpu.core import sobol as _sobol
+
+    lane_u = jnp.asarray(lane, jnp.uint32)
+    dslot_u = jnp.asarray(dslot, jnp.uint32)
+    dim0 = 4 + 4 * jnp.asarray(dslot, jnp.int32)
+    dims = dim0[..., None] + jnp.arange(4, dtype=jnp.int32)
+    scr = rng.pcg4d(
+        jnp.stack(
+            [
+                lane_u,
+                jnp.broadcast_to(dslot_u, lane_u.shape),
+                jnp.full_like(lane_u, 0x50B0),
+                jnp.full_like(lane_u, sampler.seed ^ seed),
+            ],
+            axis=-1,
+        )
+    )
+    ld = _sobol.sobol_01_dyn(
+        jnp.asarray(sample_idx, jnp.uint32), dims, scr
+    )
+    use = dim0 + 3 < _sobol.N_DIMS
+    return jnp.where(
+        jnp.broadcast_to(use, lane_u.shape)[..., None], ld, fallback
+    )
 
 
 class _SamplerBase:

@@ -122,3 +122,91 @@ def test_sobol_matches_sobol2d_head():
     a = np.asarray(sobol.sobol_01(idx, (0, 1)))
     b = np.asarray(rng.sobol_2d(idx))
     assert np.allclose(a, b), np.abs(a - b).max()
+
+
+def test_faure_permutations_known_values():
+    """sigma_5 = (0,3,2,1,4), sigma_7 = (0,2,5,3,1,4,6) (Faure 1992,
+    reference faure.cpp); every row is a permutation."""
+    import numpy as np
+    from mitsuba_tpu.core import sobol
+
+    perms = sobol.faure_permutations()
+    primes = sobol._FAURE_PRIMES
+    assert tuple(perms[primes.index(2), :2]) == (0, 1)
+    assert tuple(perms[primes.index(3), :3]) == (0, 1, 2)
+    assert tuple(perms[primes.index(5), :5]) == (0, 3, 2, 1, 4)
+    assert tuple(perms[primes.index(7), :7]) == (0, 2, 5, 3, 1, 4, 6)
+    for i, p in enumerate(primes):
+        assert sorted(perms[i, :p].tolist()) == list(range(p))
+
+
+def test_halton_faure_stratified():
+    """The first p^k Faure-Halton points land one per 1/p^k cell."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mitsuba_tpu.core import sobol
+
+    for slot, p, k in ((1, 3, 4), (2, 5, 3)):
+        n = p**k
+        u = np.asarray(
+            sobol.halton_faure(jnp.arange(n, dtype=jnp.uint32), slot)
+        )
+        # points sit at stratum lower edges; +0.01 cells absorbs the
+        # f32 rounding of the radical-inverse sum (12.999999 -> 13)
+        cells = np.floor(u * n + 0.01).astype(int)
+        assert len(set(cells.tolist())) == n, (p, k)
+
+
+def test_ld_decision4_routes_and_falls_back():
+    """sobol-routed decision draws are stratified per (lane, slot);
+    slots past the matrix table return the hash fallback unchanged."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mitsuba_tpu.core import rng, sobol
+    from mitsuba_tpu.sampler.plugins import (
+        SamplerRecord, SOBOL, ld_decision4,
+    )
+
+    s = SamplerRecord(kind=SOBOL)
+    n_s = 64
+    lane = jnp.zeros((n_s,), jnp.uint32)
+    sidx = jnp.arange(n_s, dtype=jnp.uint32)
+    fb = rng.rand4(lane, sidx, 3, 0)
+    u = np.asarray(ld_decision4(s, lane, sidx, 3, fb, 0))
+    # stratified: 64 samples of one scrambled-Sobol dim cover all 1/64
+    # cells (XOR scrambling preserves elementary intervals)
+    for c in range(4):
+        cells = (u[:, c] * n_s).astype(int)
+        assert len(set(cells.tolist())) == n_s, c
+    # beyond the table: fallback passes through bit-exactly
+    big = (sobol.N_DIMS // 4) + 5
+    u2 = np.asarray(ld_decision4(s, lane, sidx, big, fb, 0))
+    np.testing.assert_array_equal(u2, np.asarray(fb))
+    # per-lane traced dslot (regen shape) compiles and stays in [0,1)
+    dslot = jnp.arange(n_s, dtype=jnp.int32) % 7
+    u3 = np.asarray(ld_decision4(s, lane, sidx, dslot, fb, 0))
+    assert (u3 >= 0).all() and (u3 < 1).all()
+
+
+def test_sobol_sampler_reduces_render_variance():
+    """cbox at low spp: sobol must beat independent in RMSE against a
+    high-spp ground truth (VERDICT r1 'Done' criterion)."""
+    import numpy as np
+    import mitsuba_tpu
+
+    def rmse(a, b):
+        return float(np.sqrt(np.mean((a - b) ** 2)))
+
+    def run(sampler, spp):
+        scene = mitsuba_tpu.load_scene("scenes/cbox.xml")
+        scene.sensor.record.film.width = 32
+        scene.sensor.record.film.height = 32
+        scene.sensor.record.sampler.kind = sampler
+        return mitsuba_tpu.render(scene, spp=spp)
+
+    from mitsuba_tpu.sampler.plugins import INDEPENDENT, SOBOL
+
+    ref = run(INDEPENDENT, 512)
+    r_ind = rmse(run(INDEPENDENT, 16), ref)
+    r_sob = rmse(run(SOBOL, 16), ref)
+    assert r_sob < 0.9 * r_ind, (r_sob, r_ind)
