@@ -1,0 +1,266 @@
+"""Irradiance caching (reference src/integrators/misc/irrcache.cpp +
+include/mitsuba/render/irrcache.h:44).
+
+The reference builds an adaptive octree cache: an "overture" pass over
+the image inserts hemispherically-sampled irradiance records at first
+diffuse hits, and the render pass interpolates them with Ward's weights
+w_i = 1 / (|x-x_i|/R_i + sqrt(1 - n.n_i)), falling back to a fresh
+record when the weight sum is too low.  Adaptive insertion is
+inherently sequential, so the TPU rebuild keeps the two phases but
+makes the record set STATIC:
+
+* overture: first diffuse hits of a stride-S pixel subgrid become the
+  records; irradiance is estimated with K cosine-weighted rays handed
+  to the path tracer (indirect only — direct light stays NEE-sampled
+  at render time, as in the reference's ESubsurface-style split), and
+  R_i is the harmonic-mean gather-ray distance (irrcache.h validity
+  radius).
+* render: one camera wavefront; diffuse lanes take
+  emitted + NEE direct + albedo/pi * E_interp, where E_interp is the
+  Ward-weighted blend over the record set (chunked dense reduction —
+  the octree is unnecessary at record counts the VPU can scan).
+  Non-diffuse lanes fall back to the nested integrator's full path
+  trace, exactly the reference's pass-through for glossy/specular.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace as _dc_replace
+
+import jax
+import jax.numpy as jnp
+
+from mitsuba_tpu.accel.intersect import fill_interaction, intersect, occluded
+from mitsuba_tpu.bsdf.eval import bsdf_eval
+from mitsuba_tpu.bsdf.plugins import DIFFUSE
+from mitsuba_tpu.core import math as mm
+from mitsuba_tpu.core import rng, warp
+from mitsuba_tpu.emitter import eval as em
+from mitsuba_tpu.integrator.path import path_trace, _offset_ray
+from mitsuba_tpu.scene.texture_eval import (
+    mip_footprint,
+    shading_frame,
+    shading_params,
+)
+
+_CHUNK = 128
+_STRIDE = 4  # overture pixel subgrid stride
+_GATHER_K = 32  # hemisphere rays per record
+
+
+def _overture(pack, integ, cam_rays, seed):
+    """Build the record set from a subgrid of camera rays.
+
+    Returns (pos [M,3], nrm [M,3], e_ind [M,3], r_i [M], valid [M])."""
+    o, d = cam_rays
+    hit = intersect(pack, o, d)
+    its = fill_interaction(pack, o, d, hit)
+    sp = shading_params(pack, its.mat, its.uv)
+    diffuse = its.valid & (sp["type"] == DIFFUSE)
+
+    m = o.shape[0]
+    sseed = rng.stream_seed(seed, rng.STREAM_SSS) ^ 0x1CC
+    lane = jnp.repeat(jnp.arange(m, dtype=jnp.uint32), _GATHER_K)
+    sidx = jnp.tile(jnp.arange(_GATHER_K, dtype=jnp.uint32), m)
+    p_l = jnp.repeat(its.p, _GATHER_K, axis=0)
+    n_l = jnp.repeat(its.ns, _GATHER_K, axis=0)
+
+    u2 = rng.rand4(lane, sidx, 0, sseed)[..., :2]
+    fr = mm.Frame.from_normal(n_l)
+    dirs = fr.to_world(warp.square_to_cosine_hemisphere(u2))
+    o_g = p_l + n_l * 1e-4
+    integ_ind = _dc_replace(integ, hide_emitters=True, max_depth=6)
+    li = path_trace(
+        pack, integ_ind, o_g, dirs, lane, sidx, None, seed=sseed
+    )
+    # E_indirect = pi * mean(Li) under cosine sampling
+    e_ind = jnp.pi * li.reshape(m, _GATHER_K, 3).mean(axis=1)
+
+    # validity radius: harmonic mean of gather-ray hit distances
+    # (irrcache.h:44 record radius)
+    g_hit = intersect(pack, o_g, dirs)
+    g_t = jnp.where(g_hit.t < 1e6, g_hit.t, 1e6)
+    r_i = _GATHER_K / jnp.sum(
+        1.0 / jnp.maximum(g_t, 1e-4).reshape(m, _GATHER_K), axis=1
+    )
+    return its.p, its.ns, e_ind, r_i, diffuse
+
+
+def _interp(pos, nrm, e_ind, r_i, valid, p, n):
+    """Ward-weighted irradiance blend over the record set."""
+    m = pos.shape[0]
+    n_chunks = (m + _CHUNK - 1) // _CHUNK
+    pad = n_chunks * _CHUNK - m
+    pos_c = jnp.pad(pos, ((0, pad), (0, 0))).reshape(n_chunks, _CHUNK, 3)
+    nrm_c = jnp.pad(nrm, ((0, pad), (0, 0))).reshape(n_chunks, _CHUNK, 3)
+    e_c = jnp.pad(e_ind, ((0, pad), (0, 0))).reshape(n_chunks, _CHUNK, 3)
+    r_c = jnp.pad(r_i, (0, pad), constant_values=1.0).reshape(
+        n_chunks, _CHUNK
+    )
+    v_c = jnp.pad(valid, (0, pad)).reshape(n_chunks, _CHUNK)
+
+    r_lanes = p.shape[0]
+
+    def step(acc, chunk):
+        cp, cn, ce, cr, cv = chunk
+        dist = jnp.sqrt(
+            jnp.sum((p[:, None, :] - cp[None, :, :]) ** 2, axis=-1)
+        )
+        ndot = jnp.clip(
+            jnp.sum(n[:, None, :] * cn[None, :, :], axis=-1), -1.0, 1.0
+        )
+        # Ward's error heuristic (irrcache.h computeWeight); records
+        # facing away contribute nothing
+        w = 1.0 / (
+            dist / jnp.maximum(cr[None, :], 1e-4)
+            + jnp.sqrt(jnp.maximum(1.0 - ndot, 0.0))
+            + 1e-3
+        )
+        w = jnp.where((cv[None, :]) & (ndot > 0.1), w, 0.0)
+        acc_e, acc_w = acc
+        return (
+            acc_e + jnp.sum(w[..., None] * ce[None, :, :], axis=1),
+            acc_w + w.sum(axis=1),
+        ), None
+
+    (num, den), _ = jax.lax.scan(
+        step,
+        (
+            jnp.zeros((r_lanes, 3), jnp.float32),
+            jnp.zeros((r_lanes,), jnp.float32),
+        ),
+        (pos_c, nrm_c, e_c, r_c, v_c),
+    )
+    return num / jnp.maximum(den, 1e-6)[..., None], den
+
+
+def irrcache_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0,
+                   cache=None):
+    """Render-phase trace: diffuse lanes use the cache, others fall
+    back to the nested path integrator."""
+    sub = integ.sub_integrator
+    if sub is None:
+        from mitsuba_tpu.integrator.plugins import IntegratorRecord
+
+        sub = IntegratorRecord(kind="path")
+    if cache is None:
+        # caller did not provide a record set — pure pass-through
+        return path_trace(pack, sub, o, d, lane, sample_idx, sampler, seed)
+    pos, nrm, e_ind, r_i, valid = cache
+
+    hit = intersect(pack, o, d)
+    its = fill_interaction(pack, o, d, hit)
+    frame = shading_frame(pack, its)
+    wi_l = frame.to_local(its.wi_world)
+    sp = shading_params(pack, its.mat, its.uv, mip_footprint(pack, its))
+    diffuse = its.valid & (sp["type"] == DIFFUSE)
+
+    L = jnp.zeros(o.shape[:1] + (3,), jnp.float32)
+    # emitted + env for camera rays
+    if pack.has_env:
+        L = L + jnp.where(
+            (~its.valid)[..., None], em.eval_env(pack, d), 0.0
+        )
+    if pack.has_area:
+        cos_l = mm.dot(its.ns, its.wi_world)
+        emissive = its.valid & (its.emit >= 0) & (cos_l > 0)
+        from mitsuba_tpu.core.gather import take_rows
+
+        le = take_rows(pack.em_rgb, jnp.maximum(its.emit, 0))
+        L = L + jnp.where(emissive[..., None], le, 0.0)
+
+    # direct light: one NEE sample (MIS not needed — the cache path has
+    # no BSDF sampling of emitters)
+    if pack.meta["n_emitters"] > 0:
+        # own derived stream so the draw can't alias the fallback
+        # path's depth-0 NEE slot (core/rng.py partition discipline)
+        u_n = rng.rand4(
+            lane, sample_idx, 1,
+            rng.stream_seed(seed, rng.STREAM_SSS) ^ 0xD1,
+        )
+        ds = em.sample_direct(pack, its.p, u_n[..., :3])
+        wo_l = frame.to_local(ds.d)
+        f = bsdf_eval(sp, wi_l, wo_l, pack.present_types)
+        o_sh = _offset_ray(its.p, its.ng, ds.d)
+        shadow_t = jnp.where(ds.dist >= em.ENV_DIST, 1e7, ds.dist * 0.999)
+        occ = occluded(pack, o_sh, ds.d, shadow_t)
+        L = L + jnp.where(
+            (diffuse & ~occ)[..., None], ds.value * f, 0.0
+        )
+
+    # indirect: interpolated irradiance * albedo/pi
+    e_interp, w_sum = _interp(pos, nrm, e_ind, r_i, valid, its.p, its.ns)
+    L = L + jnp.where(
+        diffuse[..., None],
+        sp["cA"] * (1.0 / jnp.pi) * e_interp,
+        0.0,
+    )
+
+    # non-diffuse lanes: full nested path trace
+    fallback = path_trace(
+        pack, sub, o, d, lane, sample_idx, sampler, seed
+    )
+    return jnp.where((diffuse | ~its.valid)[..., None], L, fallback)
+
+
+def build_cache(pack, integ, make_subgrid_rays, seed=0):
+    """Run the overture on a pixel subgrid; returns the record tuple."""
+    sub = integ.sub_integrator
+    if sub is None:
+        from mitsuba_tpu.integrator.plugins import IntegratorRecord
+
+        sub = IntegratorRecord(kind="path")
+    o, d = make_subgrid_rays(_STRIDE)
+    fn = jax.jit(lambda pk, oo, dd, sd: _overture(pk, sub, (oo, dd), sd))
+    return fn(pack, o, d, seed)
+
+
+def render_irrcache(scene, spp=None, seed=0, pack=None):
+    """Standalone orchestration (renderer.py dispatch): overture on a
+    stride-4 pixel subgrid, then spp accumulation passes with the
+    cached-irradiance trace."""
+    import numpy as np
+
+    from mitsuba_tpu.scene.builder import pack_scene
+    from mitsuba_tpu.sensor.plugins import generate_rays
+
+    if pack is None:
+        pack = pack_scene(scene)
+    sensor = scene.sensor.record
+    film = sensor.film
+    sampler = sensor.sampler
+    w, h = film.width, film.height
+    spp = spp or sampler.sample_count
+    cam = sensor.pack(w, h)
+    integ = scene.integrator
+
+    def make_subgrid_rays(stride):
+        xs = (jnp.arange(w // stride) * stride + 0.5) / w
+        ys = (jnp.arange(h // stride) * stride + 0.5) / h
+        gx, gy = jnp.meshgrid(xs, ys)
+        pos01 = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)
+        zeros = jnp.zeros_like(pos01)
+        return generate_rays(cam, pos01, zeros)
+
+    cache = build_cache(pack, integ, make_subgrid_rays, seed)
+    cache = jax.tree.map(jax.block_until_ready, cache)
+
+    n_px = w * h
+    lane = jnp.arange(n_px, dtype=jnp.uint32)
+
+    @jax.jit
+    def one_pass(sidx0):
+        sidx = jnp.full((n_px,), sidx0, jnp.uint32)
+        u2 = sampler.pixel_sample(lane, sidx, spp)
+        x = (lane % w).astype(jnp.float32) + u2[..., 0]
+        y = (lane // w).astype(jnp.float32) + u2[..., 1]
+        pos01 = jnp.stack([x / w, y / h], axis=-1)
+        o, d = generate_rays(cam, pos01, jnp.zeros_like(u2))
+        return irrcache_trace(
+            pack, integ, o, d, lane, sidx, sampler, seed, cache
+        )
+
+    acc = np.zeros((n_px, 3), np.float32)
+    for s in range(spp):
+        acc += np.asarray(one_pass(jnp.uint32(s)))
+    return (acc / spp).reshape(h, w, 3)

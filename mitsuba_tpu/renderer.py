@@ -227,7 +227,7 @@ def render(
 
     if integ.kind in (
         "pssmlt", "mlt", "erpt", "ptracer", "bdpt",
-        "sppm", "ppm", "photonmapper",
+        "sppm", "ppm", "photonmapper", "irrcache",
     ):
         # integrators with their own orchestration
         if integ.kind == "bdpt":
@@ -238,6 +238,10 @@ def render(
             from mitsuba_tpu.integrator.sppm import render_sppm
 
             img = render_sppm(scene, spp=spp, seed=seed, pack=pack)
+        elif integ.kind == "irrcache":
+            from mitsuba_tpu.integrator.irrcache import render_irrcache
+
+            img = render_irrcache(scene, spp=spp, seed=seed, pack=pack)
         elif integ.kind == "ptracer":
             from mitsuba_tpu.integrator.ptracer import render_ptracer
 
