@@ -39,7 +39,7 @@ def main():
 
     w = h = 512
     film_rec.width, film_rec.height = w, h
-    spp_chunk = int(os.environ.get("BENCH_SPP_CHUNK", 16))
+    spp_chunk = int(os.environ.get("BENCH_SPP_CHUNK", 64))
 
     rp = jax.jit(
         make_render_pass(
@@ -55,14 +55,17 @@ def main():
     rays.block_until_ready()
     compile_time = time.time() - t0
 
-    # timed passes
+    # timed passes — the ray counter accumulates ON DEVICE: a float()
+    # per pass would force a synchronous host round-trip through the
+    # remote-TPU tunnel (~0.25 s each) and measure link latency, not
+    # renderer throughput
     n_passes = int(os.environ.get("BENCH_PASSES", 4))
-    total_rays = 0.0
+    total = jnp.float32(0.0)
     t0 = time.time()
     for i in range(n_passes):
         film, rays = rp(film, jnp.uint32((i + 1) * spp_chunk), jnp.uint32(0))
-        total_rays += float(rays)
-    film[0, 0].block_until_ready()
+        total = total + rays
+    total_rays = float(total)  # single sync closes the timing window
     elapsed = time.time() - t0
 
     rays_per_sec = total_rays / elapsed

@@ -167,8 +167,11 @@ def direction_matrices() -> np.ndarray:
     return V.astype(np.uint32)
 
 
-@functools.lru_cache(maxsize=1)
 def device_matrices():
+    # NOT lru-cached as a jnp array: the first call may happen inside a
+    # jit trace, and caching would leak that trace's DynamicJaxprTracer
+    # into every later computation (UnexpectedTracerError).  The numpy
+    # table IS cached; wrapping it per call is a free trace-time const.
     return jnp.asarray(direction_matrices())
 
 
@@ -259,8 +262,8 @@ def faure_permutations():
     return out
 
 
-@functools.lru_cache(maxsize=1)
 def _device_faure():
+    # see device_matrices: no jnp-level cache inside traces
     return jnp.asarray(faure_permutations())
 
 

@@ -14,6 +14,8 @@ field/AOV — all are one-bounce specializations of the same kernel.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -255,13 +257,6 @@ def path_trace_regen(
     # generous upper bound; the `cond` below exits long before this
     max_iters = spp * max_depth + max_depth + 4
 
-    def u4(sample_idx, depth, slot):
-        dslot = depth * _SLOTS_PER_BOUNCE + slot
-        base = rng.rand4(lane, sample_idx, dslot, seed)
-        from mitsuba_tpu.sampler.plugins import ld_decision4
-
-        return ld_decision4(sampler, lane, sample_idx, dslot, base, seed)
-
     state = dict(
         L_acc=jnp.zeros((r, 3), jnp.float32),
         L=jnp.zeros((r, 3), jnp.float32),
@@ -282,7 +277,24 @@ def path_trace_regen(
         has_work = s["active"] | (s["sample_i"] < spp)
         return jnp.any(has_work) & (s["it"] < max_iters)
 
-    def body(s):
+    # The bounce body is built by a factory so the TAIL-COMPACTION
+    # phase below can re-instantiate it over a gathered lane subset.
+    def mk_body(lane_v, ray_fn, sidx_off_v):
+        def u4(sample_idx, depth, slot):
+            dslot = depth * _SLOTS_PER_BOUNCE + slot
+            base = rng.rand4(lane_v, sample_idx, dslot, seed)
+            from mitsuba_tpu.sampler.plugins import ld_decision4
+
+            return ld_decision4(
+                sampler, lane_v, sample_idx, dslot, base, seed
+            )
+
+        return _mk_regen_body(u4, ray_fn, sidx_off_v)
+
+    def _mk_regen_body(u4, ray_fn, sidx_off_v):
+        return lambda s: body_impl(s, u4, ray_fn, sidx_off_v)
+
+    def body_impl(s, u4, ray_fn, sidx_off_v):
         active = s["active"]
         L_acc, L, thr = s["L_acc"], s["L"], s["thr"]
         sample_i = s["sample_i"]
@@ -291,7 +303,7 @@ def path_trace_regen(
         regen = ~active & (sample_i < spp)
         L_acc = L_acc + jnp.where(regen[..., None], L, 0.0)
         L = jnp.where(regen[..., None], 0.0, L)
-        o_new, d_new = make_ray(sample_i)
+        o_new, d_new = ray_fn(sample_i)
         o = jnp.where(regen[..., None], o_new, s["o"])
         d = jnp.where(regen[..., None], d_new, s["d"])
         thr = jnp.where(regen[..., None], 1.0, thr)
@@ -303,9 +315,9 @@ def path_trace_regen(
         active = active | regen
         # GLOBAL sample index — must include the pass/device offset or
         # successive passes would reuse the same decision randomness
-        sidx = jnp.asarray(sidx_offset, jnp.uint32) + jnp.maximum(
-            sample_i - 1, 0
-        ).astype(jnp.uint32)
+        sidx = sidx_off_v + jnp.maximum(sample_i - 1, 0).astype(
+            jnp.uint32
+        )
 
         n_rays = s["n_rays"] + jnp.sum(active.astype(jnp.float32))
 
@@ -432,10 +444,83 @@ def path_trace_regen(
             n_rays=n_rays,
         )
 
-    out = jax.lax.while_loop(cond, body, state)
-    # flush the final (already terminated) paths
-    L_acc = out["L_acc"] + out["L"]
-    return L_acc, out["sample_i"], out["n_rays"]
+    body = mk_body(
+        lane,
+        lambda si: make_ray(si),
+        jnp.broadcast_to(jnp.asarray(sidx_offset, jnp.uint32), (r,)),
+    )
+
+    # ---- tail compaction ----
+    # Same-pixel regeneration makes a lane's total work the sum of ITS
+    # pixel's path lengths, so deep-path pixels straggle: measured cbox
+    # occupancy is ~32% because most iterations run for a shrinking
+    # minority of lanes.  Remedy: once the fraction of lanes with work
+    # drops below 1/TAIL_DIV, gather the survivors into an r/TAIL_DIV
+    # batch and finish them there — identical per-lane state and RNG
+    # keys, so the output is bit-identical; iterations just stop paying
+    # for finished lanes.  (The reference never has this problem —
+    # its block queue retires threads; this is the wavefront analogue.)
+    tail_div = int(os.environ.get("MTS_TPU_TAIL_DIV", "8"))
+    tail_min = int(os.environ.get("MTS_TPU_TAIL_MIN", "4096"))
+    levels = []
+    c = r
+    while tail_div > 1 and c % tail_div == 0 and c // tail_div >= tail_min:
+        c = c // tail_div
+        levels.append(c)
+        if len(levels) >= 2:
+            break
+
+    def frac_cond(thresh):
+        def cond_t(s):
+            has_work = s["active"] | (s["sample_i"] < spp)
+            return (
+                jnp.any(has_work)
+                & (s["it"] < max_iters)
+                & (jnp.mean(has_work.astype(jnp.float32)) > thresh)
+            )
+
+        return cond_t
+
+    if not levels:
+        out = jax.lax.while_loop(cond, body, state)
+        path_trace_regen.last_iters = out["it"]
+        L_acc = out["L_acc"] + out["L"]
+        return L_acc, out["sample_i"], out["n_rays"]
+
+    sidx_off_full = jnp.broadcast_to(
+        jnp.asarray(sidx_offset, jnp.uint32), (r,)
+    )
+    out = jax.lax.while_loop(frac_cond(levels[0] / r), body, state)
+    L_acc_full = out["L_acc"] + out["L"]
+    sample_full = out["sample_i"]
+    sel_chain = None  # composed selection into the FULL lane array
+    for li, c in enumerate(levels):
+        has_work = out["active"] | (out["sample_i"] < spp)
+        sel = jnp.argsort(~has_work)[:c]  # stable: workers first
+        sel_full = sel if sel_chain is None else sel_chain[sel]
+        out = {
+            k: (
+                v[sel]
+                if hasattr(v, "ndim") and v.ndim >= 1
+                else v
+            )
+            for k, v in out.items()
+        }
+        body_c = mk_body(
+            lane[sel_full],
+            lambda si, s=sel_full: make_ray(si, s),
+            sidx_off_full[sel_full],
+        )
+        last = li == len(levels) - 1
+        nxt = (levels[li + 1] / c) if not last else 0.0
+        out = jax.lax.while_loop(
+            cond if last else frac_cond(nxt), body_c, out
+        )
+        L_acc_full = L_acc_full.at[sel_full].set(out["L_acc"] + out["L"])
+        sample_full = sample_full.at[sel_full].set(out["sample_i"])
+        sel_chain = sel_full
+    path_trace_regen.last_iters = out["it"]
+    return L_acc_full, sample_full, out["n_rays"]
 
 
 def direct_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):

@@ -86,16 +86,17 @@ def make_sharded_render_pass(
         layer0 = sidx_layer[0].astype(jnp.uint32)
         spp_here = int(min(spp_local, spp_chunk))  # static bound
 
-        def make_ray(sample_i):
+        def make_ray(sample_i, sel=None):
+            ln = lane if sel is None else lane[sel]
             sidx = sample_base + layer0 + sample_i.astype(jnp.uint32)
             u2 = sampler_rec.pixel_sample(
-                lane, sidx, sampler_rec.sample_count
+                ln, sidx, sampler_rec.sample_count
             )
             jitter = filter_importance_sample(rfilter, u2)
-            x = (lane % w).astype(jnp.float32) + jitter[..., 0]
-            y = (lane // w).astype(jnp.float32) + jitter[..., 1]
+            x = (ln % w).astype(jnp.float32) + jitter[..., 0]
+            y = (ln // w).astype(jnp.float32) + jitter[..., 1]
             pos01 = jnp.stack([x / w, y / h], axis=-1)
-            u_lens = sampler_rec.lens_sample(lane, sidx)
+            u_lens = sampler_rec.lens_sample(ln, sidx)
             return generate_rays(cam, pos01, u_lens)
 
         # layers beyond the requested spp contribute nothing

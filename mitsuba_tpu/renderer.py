@@ -105,17 +105,19 @@ def make_render_pass(
             layer = lane_all // n_px
             sidx_off = sample_base + layer * spp_per_lane
 
-            def make_ray(sample_i):
-                sidx = sidx_off + sample_i.astype(jnp.uint32)
+            def make_ray(sample_i, sel=None):
+                ln = lane if sel is None else lane[sel]
+                so = sidx_off if sel is None else sidx_off[sel]
+                sidx = so + sample_i.astype(jnp.uint32)
                 u2 = sampler_rec.pixel_sample(
-                    lane, sidx, sampler_rec.sample_count
+                    ln, sidx, sampler_rec.sample_count
                 )
                 jitter = filter_importance_sample(rfilter, u2)
-                x = (lane % w).astype(jnp.float32) + jitter[..., 0]
-                y = (lane // w).astype(jnp.float32) + jitter[..., 1]
+                x = (ln % w).astype(jnp.float32) + jitter[..., 0]
+                y = (ln // w).astype(jnp.float32) + jitter[..., 1]
                 pos01 = jnp.stack([x / w, y / h], axis=-1)
                 u_lens = (
-                    sampler_rec.lens_sample(lane, sidx)
+                    sampler_rec.lens_sample(ln, sidx)
                     if cam["use_lens"] else jnp.zeros_like(u2)
                 )
                 return generate_rays(cam, pos01, u_lens)

@@ -210,3 +210,25 @@ def test_sobol_sampler_reduces_render_variance():
     r_ind = rmse(run(INDEPENDENT, 16), ref)
     r_sob = rmse(run(SOBOL, 16), ref)
     assert r_sob < 0.9 * r_ind, (r_sob, r_ind)
+
+
+def test_sobol_tables_usable_after_jit_first_touch():
+    """Regression: the direction-matrix device wrapper must not cache a
+    tracer when its FIRST call happens inside a jit trace
+    (UnexpectedTracerError leak seen in full-suite ordering)."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from mitsuba_tpu.core import sobol
+
+    @jax.jit
+    def inside(i):
+        return sobol.sobol_01(i, (4, 5)) + sobol.halton_faure(i, 2)[..., None]
+
+    idx = jnp.arange(8, dtype=jnp.uint32)
+    np.asarray(inside(idx))
+    # outside-of-trace call must produce concrete values, not tracers
+    out = sobol.sobol_01(idx, (4, 5))
+    assert np.asarray(out).shape == (8, 2)
+    out2 = sobol.sobol_bits_dyn(idx, jnp.asarray([4, 5]))
+    assert np.asarray(out2).shape == (8, 2)
