@@ -30,6 +30,7 @@ from mitsuba_tpu.core import math as mm
 from mitsuba_tpu.core import warp
 from mitsuba_tpu.bsdf import microfacet as mf
 from mitsuba_tpu.bsdf.plugins import (
+    COATING,
     CONDUCTOR,
     DIELECTRIC,
     DIFFTRANS,
@@ -419,6 +420,165 @@ def _flip_twosided(sp, wi, *rest):
     return flip_vec, out
 
 
+# ---------------------------------------------------------------------------
+# smooth dielectric coating over a nested BSDF
+# (reference src/bsdfs/coating.cpp; the nested BSDF's params arrive as
+# sp["mix"]["spB"] — scene/builder.py routes the child row there)
+# ---------------------------------------------------------------------------
+
+def _coating_refract_in(wi, eta):
+    """Snell-refract into the layer, same hemisphere sign
+    (coating.cpp refractIn: tangentials scale by 1/eta)."""
+    cos_i = mm.cos_theta(wi)
+    inv_eta = (1.0 / eta)[..., None]
+    sin2_t = (1.0 / (eta * eta)) * (1.0 - cos_i * cos_i)
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    return jnp.concatenate(
+        [
+            wi[..., :2] * inv_eta,
+            (mm.sign(cos_i) * cos_t)[..., None],
+        ],
+        axis=-1,
+    )
+
+
+def _coating_refract_out(wo_r, eta):
+    """Layer -> outside; returns (wo, tir_mask)."""
+    cos_i = mm.cos_theta(wo_r)
+    sin2_t = (eta * eta) * (1.0 - cos_i * cos_i)
+    tir = sin2_t >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    wo = jnp.concatenate(
+        [
+            wo_r[..., :2] * eta[..., None],
+            (mm.sign(cos_i) * cos_t)[..., None],
+        ],
+        axis=-1,
+    )
+    return mm.normalize(wo), tir
+
+
+def _coating_probs(sp, cos_i):
+    f_i, _, _ = mm.fresnel_dielectric(jnp.abs(cos_i), sp["eta"])
+    sw = sp["spec_w"]
+    prob = (f_i * sw) / jnp.maximum(
+        f_i * sw + (1.0 - f_i) * (1.0 - sw), 1e-8
+    )
+    return f_i, prob
+
+
+def _coating_eval_nf(sp, spB, wi, wo, present):
+    """Coated eval in the (already twosided-flipped) local frame."""
+    eta = sp["eta"]
+    ci, co = mm.cos_theta(wi), mm.cos_theta(wo)
+    f_i, _, _ = mm.fresnel_dielectric(jnp.abs(ci), eta)
+    f_o, _, _ = mm.fresnel_dielectric(jnp.abs(co), eta)
+    wi_r = _coating_refract_in(wi, eta)
+    wo_r = _coating_refract_in(wo, eta)
+    f_n = _eval_single(spB, wi_r, wo_r, present)
+    val = f_n * ((1.0 - f_i) * (1.0 - f_o))[..., None]
+    # Beer absorption through the layer (sigmaA*thickness in cD)
+    ct_ir = jnp.maximum(jnp.abs(mm.cos_theta(wi_r)), 1e-4)
+    ct_or = jnp.maximum(jnp.abs(mm.cos_theta(wo_r)), 1e-4)
+    val = val * jnp.exp(
+        -sp["cD"] * (1.0 / ct_ir + 1.0 / ct_or)[..., None]
+    )
+    # solid-angle compression (coating.cpp eval tail)
+    val = val * (
+        (1.0 / (eta * eta)) * jnp.abs(co) / ct_or
+    )[..., None]
+    return val
+
+
+def _coating_pdf_nf(sp, spB, wi, wo, present):
+    eta = sp["eta"]
+    ci, co = mm.cos_theta(wi), mm.cos_theta(wo)
+    _, prob = _coating_probs(sp, ci)
+    wi_r = _coating_refract_in(wi, eta)
+    wo_r = _coating_refract_in(wo, eta)
+    p_n = _pdf_single(spB, wi_r, wo_r, present)
+    ct_or = jnp.maximum(jnp.abs(mm.cos_theta(wo_r)), 1e-4)
+    jac = (1.0 / (eta * eta)) * jnp.abs(co) / ct_or
+    return (1.0 - prob) * p_n * jac
+
+
+def _coating_eval(sp, spB, wi, wo, present):
+    _, (wi, wo) = _flip_twosided(sp, wi, wo)
+    return _coating_eval_nf(sp, spB, wi, wo, present)
+
+
+def _coating_pdf(sp, spB, wi, wo, present):
+    _, (wi, wo) = _flip_twosided(sp, wi, wo)
+    return _coating_pdf_nf(sp, spB, wi, wo, present)
+
+
+def _coating_sample(sp, spB, wi, u2, ulobe, present):
+    """Sample the coated BSDF (coating.cpp:sample): Fresnel-weighted
+    choice between the delta reflection and the refracted nested
+    sample, with TIR rejection on the way out."""
+    flip_vec, (wi,) = _flip_twosided(sp, wi)
+    eta = sp["eta"]
+    ci = mm.cos_theta(wi)
+    f_i, prob = _coating_probs(sp, ci)
+    spec_sel = ulobe <= prob
+
+    # delta reflection off the coating
+    wo_spec = mm.reflect_local(wi)
+    w_spec = sp["cB"] * (f_i / jnp.maximum(prob, 1e-8))[..., None]
+
+    # nested sample with the refracted incident direction
+    wi_r = _coating_refract_in(wi, eta)
+    ul2 = jnp.clip(
+        (ulobe - prob) / jnp.maximum(1.0 - prob, 1e-8),
+        0.0,
+        mm.ONE_MINUS_EPS,
+    )
+    bs_n = bsdf_sample(spB, wi_r, u2, ul2, present)
+    wo_out, tir = _coating_refract_out(bs_n.wo, eta)
+    child_ok = (jnp.max(bs_n.weight, axis=-1) > 0) & ~tir
+
+    # smooth child lobes: re-weight with the full coated f/pdf
+    f_c = _coating_eval_nf(sp, spB, wi, wo_out, present)
+    p_c = _coating_pdf_nf(sp, spB, wi, wo_out, present)
+    w_smooth = jnp.where(
+        (child_ok & (p_c > 1e-10))[..., None],
+        f_c / jnp.maximum(p_c, 1e-10)[..., None],
+        0.0,
+    )
+    # delta child (e.g. coated mirror): carry the child weight with the
+    # boundary/absorption factors (selection probability cancels)
+    f_o, _, _ = mm.fresnel_dielectric(
+        jnp.abs(mm.cos_theta(wo_out)), eta
+    )
+    ct_ir = jnp.maximum(jnp.abs(mm.cos_theta(wi_r)), 1e-4)
+    ct_or = jnp.maximum(jnp.abs(mm.cos_theta(bs_n.wo)), 1e-4)
+    absorb = jnp.exp(-sp["cD"] * (1.0 / ct_ir + 1.0 / ct_or)[..., None])
+    w_delta = (
+        bs_n.weight
+        * ((1.0 - f_i) * (1.0 - f_o))[..., None]
+        * absorb
+        / jnp.maximum(1.0 - prob, 1e-8)[..., None]
+    )
+    w_delta = jnp.where(child_ok[..., None], w_delta, 0.0)
+
+    wo = jnp.where(spec_sel[..., None], wo_spec, wo_out)
+    weight = jnp.where(
+        spec_sel[..., None],
+        w_spec,
+        jnp.where(bs_n.delta[..., None], w_delta, w_smooth),
+    )
+    pdf = jnp.where(
+        spec_sel,
+        prob,
+        jnp.where(bs_n.delta, (1.0 - prob) * bs_n.pdf, p_c),
+    )
+    delta = jnp.where(spec_sel, True, bs_n.delta)
+    wo = wo * flip_vec
+    # relative-IOR tracking follows the nested lobe (coated dielectric)
+    eta_out = jnp.where(spec_sel, 1.0, bs_n.eta)
+    return BSDFSample(wo, weight, pdf, delta, eta_out)
+
+
 def _eval_single(sp, wi, wo, present):
     _, (wi, wo) = _flip_twosided(sp, wi, wo)
     out = jnp.zeros(wi.shape[:-1] + (3,), jnp.float32)
@@ -443,14 +603,17 @@ def _pdf_single(sp, wi, wo, present):
 
 def bsdf_eval(sp, wi, wo, present):
     """f(wi,wo) * |cos_o| for the per-lane material; smooth lobes only.
-    Mixtures blend both components (reference mixturebsdf.cpp eval)."""
+    Mixtures blend both components (reference mixturebsdf.cpp eval);
+    coating rows evaluate the layered model over their spB child."""
     if "mix" in sp:
         mix = sp["mix"]
         fa = _eval_single(sp, wi, wo, present)
         fb = _eval_single(mix["spB"], wi, wo, present)
-        return (
-            mix["wa"][..., None] * fa + mix["wb"][..., None] * fb
-        )
+        out = mix["wa"][..., None] * fa + mix["wb"][..., None] * fb
+        if COATING in present:
+            fc = _coating_eval(sp, mix["spB"], wi, wo, present)
+            out = jnp.where((sp["type"] == COATING)[..., None], fc, out)
+        return out
     return _eval_single(sp, wi, wo, present)
 
 
@@ -461,7 +624,11 @@ def bsdf_pdf(sp, wi, wo, present):
         mix = sp["mix"]
         pa = _pdf_single(sp, wi, wo, present)
         pb = _pdf_single(mix["spB"], wi, wo, present)
-        return mix["wa"] * pa + mix["wb"] * pb
+        out = mix["wa"] * pa + mix["wb"] * pb
+        if COATING in present:
+            pc = _coating_pdf(sp, mix["spB"], wi, wo, present)
+            out = jnp.where(sp["type"] == COATING, pc, out)
+        return out
     return _pdf_single(sp, wi, wo, present)
 
 
@@ -521,7 +688,18 @@ def bsdf_sample(sp, wi, u2, ulobe, present):
         weight = jnp.where(bs.delta[..., None], bs.weight, w_smooth)
         weight = jnp.where(absorb[..., None], 0.0, weight)
         pdf = jnp.where(bs.delta, bs.pdf, p_mix)
-        return BSDFSample(bs.wo, weight, pdf, bs.delta, bs.eta)
+        bs = BSDFSample(bs.wo, weight, pdf, bs.delta, bs.eta)
+        if COATING in present:
+            bc = _coating_sample(sp, spB, wi, u2, ulobe, present)
+            is_c = sp["type"] == COATING
+            bs = BSDFSample(
+                jnp.where(is_c[..., None], bc.wo, bs.wo),
+                jnp.where(is_c[..., None], bc.weight, bs.weight),
+                jnp.where(is_c, bc.pdf, bs.pdf),
+                jnp.where(is_c, bc.delta, bs.delta),
+                jnp.where(is_c, bc.eta, bs.eta),
+            )
+        return bs
 
     flip_vec, (wi,) = _flip_twosided(sp, wi)
 

@@ -38,6 +38,7 @@ WARD = 10
 DIFFTRANS = 11
 NULL_BSDF = 12
 MIXTURE = 13
+COATING = 14
 
 TYPE_NAMES = {
     DIFFUSE: "diffuse",
@@ -54,6 +55,7 @@ TYPE_NAMES = {
     DIFFTRANS: "difftrans",
     NULL_BSDF: "null",
     MIXTURE: "mixture",
+    COATING: "coating",
 }
 
 _DISTS = {"beckmann": BECKMANN, "ggx": GGX, "phong": PHONG, "as": BECKMANN}
@@ -448,31 +450,30 @@ class BlendBSDF(_BSDFBase):
 
 @register("bsdf", "coating")
 class Coating(_BSDFBase):
-    """reference: src/bsdfs/coating.cpp — smooth dielectric layer.
-
-    Round 1 approximation: folds into PLASTIC when the nested BSDF is
-    diffuse-like, otherwise keeps the nested BSDF with Fresnel-weighted
-    specular added (exact layered eval planned)."""
+    """reference: src/bsdfs/coating.cpp — smooth dielectric layer over
+    an arbitrary nested BSDF: Snell-refracted nested directions,
+    (1-R12)(1-R21) boundary transmittances, Beer absorption through the
+    layer, and the invEta^2 solid-angle compression (eval.py
+    _coating_*).  One nesting level (like the 2-leaf mixture)."""
 
     def _build(self, props):
         nested = _nested_bsdfs(props)
         if not nested:
             raise ValueError("coating: requires a nested BSDF")
-        base = nested[0]
-        import copy
-
-        if base.type in (DIFFUSE, ROUGHDIFFUSE):
-            rec = BSDFRecord(type=PLASTIC)
-            rec.eta = _ior_pair(props)
-            rec.cA = base.cA
-            rec.texA = base.texA
-            rec.nonlinear = True
-            rec.fdr_int = _fdr_exact(1.0 / rec.eta)
-            rec.fdr_ext = _fdr_exact(rec.eta)
-            d_avg = float(rec.cA.mean())
-            rec.spec_sampling_weight = 1.0 / max(1.0 + d_avg, 1e-8)
-            return rec
-        return copy.deepcopy(base)
+        rec = BSDFRecord(type=COATING)
+        rec.eta = _ior_pair(props)
+        rec.cB = props.get_spectrum(
+            "specularReflectance", np.ones(3)
+        ).astype(np.float32)
+        thickness = props.get_float("thickness", 1.0)
+        sigma_a = props.get_spectrum("sigmaA", np.zeros(3))
+        rec.cD = (np.asarray(sigma_a) * thickness).astype(np.float32)
+        rec.children = [nested[0]]
+        # specular sampling weight = sAvg/(sAvg+dAvg)
+        # (coating.cpp:configure)
+        d_avg = float(np.asarray(nested[0].cA).mean())
+        rec.spec_sampling_weight = 1.0 / max(1.0 + d_avg, 1e-8)
+        return rec
 
 
 @register("bsdf", "hk")

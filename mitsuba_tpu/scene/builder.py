@@ -534,6 +534,15 @@ def pack_scene(scene) -> ScenePack:
         b_id = add_material(b_rec)
         mix_rows.append((i, a_rec, w_a, b_id, w_b))
 
+    # coating rows: the nested BSDF rides in the mix-B slot so
+    # texture_eval gathers its params as spB (bsdf/eval.py _coating_*)
+    from mitsuba_tpu.bsdf.plugins import COATING as _COATING
+
+    coat_rows = []
+    for i, rec in enumerate(list(materials)):
+        if rec.type == _COATING and rec.children:
+            coat_rows.append((i, add_material(rec.children[0])))
+
     n_mat = max(len(materials), 1)  # add_material may have grown the list
     for key in list(mt):
         base_shape = mt[key].shape
@@ -546,6 +555,10 @@ def pack_scene(scene) -> ScenePack:
     mt["mat_mix_wa"] = np.ones(n_mat, np.float32)
     mt["mat_mix_wb"] = np.zeros(n_mat, np.float32)
     mix_lookup = {i: (a, wa, b, wb) for i, a, wa, b, wb in mix_rows}
+    for i, b_id in coat_rows:
+        mt["mat_mix_b"][i] = b_id
+        mt["mat_mix_wa"][i] = 1.0
+        mt["mat_mix_wb"][i] = 0.0
 
     present_types = set()
     for i, rec in enumerate(materials):
@@ -938,7 +951,7 @@ def pack_scene(scene) -> ScenePack:
         "has_mips": any(t.kind == TEX_BITMAP for t in textures)
         and os.environ.get("MTS_TPU_NO_MIPS", "0") != "1",
         "cam_pix_angle": _cam_pix_angle(scene),
-        "has_mixtures": bool(mix_rows),
+        "has_mixtures": bool(mix_rows or coat_rows),
         "has_bumpmaps": has_bumpmaps,
         "has_media": len(media) > 0,
         "n_media": len(media),
