@@ -86,3 +86,4 @@ def _ensure_loaded():
     import mitsuba_tpu.medium.plugins  # noqa: F401
     import mitsuba_tpu.scene.textures  # noqa: F401
     import mitsuba_tpu.scene.subsurface  # noqa: F401
+    import mitsuba_tpu.scene.hair  # noqa: F401
