@@ -64,6 +64,20 @@ def write_image(path, img):
         write_rgbe(path, img)
     elif ext == ".npy":
         np.save(path, img)
+    elif ext == ".m":
+        # MATLAB ascii matrix (reference src/films/mfilm.cpp): one
+        # variable per channel, rows separated by ';'
+        img = np.asarray(img, np.float64)
+        if img.ndim == 2:
+            img = img[..., None]
+        with open(path, "w") as f:
+            for c in range(img.shape[-1]):
+                name = "data" if img.shape[-1] == 1 else f"data_{c}"
+                rows = ";\n".join(
+                    " ".join(f"{v:.8g}" for v in row)
+                    for row in img[..., c]
+                )
+                f.write(f"{name} = [{rows}];\n")
     elif ext in (".jpg", ".jpeg", ".tga", ".bmp", ".webp"):
         from PIL import Image
 
