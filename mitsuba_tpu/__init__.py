@@ -19,6 +19,31 @@ Public API mirrors the reference's Python bindings surface
 __version__ = "0.1.0"
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache — first-compile latency through
+    the remote-TPU tunnel is minutes, so cache executables across
+    processes (disable with MTS_TPU_NO_COMPILE_CACHE=1)."""
+    import os
+
+    if os.environ.get("MTS_TPU_NO_COMPILE_CACHE", "0") == "1":
+        return
+    try:
+        import jax
+
+        path = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.expanduser("~/.cache/mitsuba_tpu_xla"),
+        )
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:  # pragma: no cover — cache is best-effort
+        pass
+
+
+_enable_compile_cache()
+
+
 def __getattr__(name):
     # Lazy top-level API so `import mitsuba_tpu.core.math` works without
     # pulling in the full renderer (and to keep import time low).

@@ -41,6 +41,9 @@ class IntegratorRecord:
     mutations_per_pixel: int = 100
     chain_length: int = 100
     sub_integrator: "IntegratorRecord | None" = None
+    # adaptive
+    max_error: float = 0.05
+    max_sample_factor: float = 8.0
 
 
 class _IntBase:
@@ -207,10 +210,17 @@ class _MetaIntegrator(_IntBase):
 
 @register("integrator", "adaptive")
 class AdaptiveIntegrator(_MetaIntegrator):
-    """reference: src/integrators/misc/adaptive.cpp — meta-integrator;
-    currently forwards to the nested integrator."""
+    """reference: src/integrators/misc/adaptive.cpp — error-driven
+    refinement over the nested integrator (integrator/adaptive.py)."""
 
     kind = "adaptive"
+
+    def _finish(self, props):
+        super()._finish(props)
+        self.record.max_error = props.get_float("maxError", 0.05)
+        self.record.max_sample_factor = props.get_float(
+            "maxSampleFactor", 8.0
+        )
 
 
 @register("integrator", "irrcache")

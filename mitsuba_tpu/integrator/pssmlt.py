@@ -206,10 +206,26 @@ def _kelemen_mutate(U, u_mut, u_sign):
 
 
 def _splat(film, pos, value, w, h):
-    """Single-pixel scatter-add splat (MLT splats land anywhere)."""
-    x = jnp.clip(pos[:, 0].astype(jnp.int32), 0, w - 1)
-    y = jnp.clip(pos[:, 1].astype(jnp.int32), 0, h - 1)
-    return film.at[y, x].add(value)
+    """Bilinear (tent-filtered) scatter-add splat — MLT splats land
+    anywhere, so the dense-film trick doesn't apply; the reference
+    pushes them through the film's reconstruction filter
+    (mlt.cpp/film splat), approximated here by the 2x2 tent."""
+    fx = pos[:, 0] - 0.5
+    fy = pos[:, 1] - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    ax = (fx - x0)[:, None]
+    ay = (fy - y0)[:, None]
+    for dx, dy, wgt in (
+        (0, 0, (1 - ax) * (1 - ay)),
+        (1, 0, ax * (1 - ay)),
+        (0, 1, (1 - ax) * ay),
+        (1, 1, ax * ay),
+    ):
+        x = jnp.clip(x0 + dx, 0, w - 1)
+        y = jnp.clip(y0 + dy, 0, h - 1)
+        film = film.at[y, x].add(value * wgt)
+    return film
 
 
 def bootstrap_chains(trace, D, n_chains, n_boot_batches, seed, seed_mlt):

@@ -229,7 +229,7 @@ def render(
 
     if integ.kind in (
         "pssmlt", "mlt", "erpt", "ptracer", "bdpt",
-        "sppm", "ppm", "photonmapper", "irrcache",
+        "sppm", "ppm", "photonmapper", "irrcache", "adaptive",
     ):
         # integrators with their own orchestration
         if integ.kind == "bdpt":
@@ -244,6 +244,10 @@ def render(
             from mitsuba_tpu.integrator.irrcache import render_irrcache
 
             img = render_irrcache(scene, spp=spp, seed=seed, pack=pack)
+        elif integ.kind == "adaptive":
+            from mitsuba_tpu.integrator.adaptive import render_adaptive
+
+            img = render_adaptive(scene, spp=spp, seed=seed, pack=pack)
         elif integ.kind == "ptracer":
             from mitsuba_tpu.integrator.ptracer import render_ptracer
 
