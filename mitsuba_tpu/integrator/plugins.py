@@ -41,6 +41,7 @@ class IntegratorRecord:
     mutations_per_pixel: int = 100
     chain_length: int = 100
     sub_integrator: "IntegratorRecord | None" = None
+    sub_integrators: "list | None" = None  # multichannel children
     # adaptive
     max_error: float = 0.05
     max_sample_factor: float = 8.0
@@ -202,10 +203,14 @@ class VPLIntegrator(_IntBase):
 
 class _MetaIntegrator(_IntBase):
     def _finish(self, props):
-        for name, child in props.children:
-            rec = getattr(child, "record", None)
-            if isinstance(rec, IntegratorRecord):
-                self.record.sub_integrator = rec
+        subs = [
+            child.record
+            for _, child in props.children
+            if isinstance(getattr(child, "record", None), IntegratorRecord)
+        ]
+        if subs:
+            self.record.sub_integrator = subs[0]
+        self.record.sub_integrators = subs
 
 
 @register("integrator", "adaptive")

@@ -227,6 +227,30 @@ def render(
 
         pack = prepare_sss(pack, integ, seed)
 
+    if integ.kind == "multichannel" and (integ.sub_integrators or []):
+        # reference src/integrators/misc/multichannel.cpp renders all
+        # children in lock-step into one multi-channel image; here the
+        # children render sequentially (same pack, same seeds) and the
+        # channels stack — [H, W, 3*n].  The CLI writes each 3-channel
+        # group as a suffixed file (no multi-layer EXR writer yet).
+        import copy as _copy
+
+        imgs = []
+        for sub in integ.sub_integrators:
+            s2 = _copy.copy(scene)
+            s2.integrator = sub
+            imgs.append(
+                np.asarray(render(s2, spp=spp, seed=seed, pack=pack))
+            )
+        out = np.concatenate(imgs, axis=-1)
+        if return_film:
+            film = jnp.concatenate(
+                [jnp.asarray(imgs[0]),
+                 jnp.ones(imgs[0].shape[:2] + (1,))], axis=-1
+            )
+            return out, film
+        return out
+
     if integ.kind in (
         "pssmlt", "mlt", "erpt", "ptracer", "bdpt",
         "sppm", "ppm", "photonmapper", "irrcache", "adaptive",

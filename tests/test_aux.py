@@ -85,3 +85,40 @@ def test_mtsimport_roundtrip(tmp_path):
     scene.sensor.record.film.width = scene.sensor.record.film.height = 8
     img = mitsuba_tpu.render(scene, spp=2)
     assert np.isfinite(img).all()
+
+
+def test_multichannel_stacks_children():
+    """multichannel renders every nested integrator and stacks channels
+    (reference src/integrators/misc/multichannel.cpp)."""
+    import numpy as np
+    import mitsuba_tpu
+    from mitsuba_tpu.scene.xml_loader import load_scene_string
+
+    scene = load_scene_string(
+        """
+    <scene version="0.5.0">
+      <integrator type="multichannel">
+        <integrator type="direct"/>
+        <integrator type="field"><string name="field" value="distance"/></integrator>
+      </integrator>
+      <sensor type="perspective">
+        <transform name="toWorld">
+          <lookat origin="0,0,-4" target="0,0,0" up="0,1,0"/>
+        </transform>
+        <sampler type="independent"><integer name="sampleCount" value="4"/></sampler>
+        <film type="hdrfilm">
+          <integer name="width" value="16"/><integer name="height" value="16"/>
+          <rfilter type="box"/>
+        </film>
+      </sensor>
+      <shape type="sphere"><float name="radius" value="1"/>
+        <bsdf type="diffuse"/></shape>
+      <emitter type="constant"><rgb name="radiance" value="1"/></emitter>
+    </scene>"""
+    )
+    img = mitsuba_tpu.render(scene, spp=4)
+    assert img.shape == (16, 16, 6)
+    assert np.isfinite(img).all()
+    # channel group 1 is the distance AOV: center pixel ~3 (sphere at 1
+    # unit radius, camera 4 away)
+    assert 2.0 < img[8, 8, 3] < 4.0
