@@ -189,3 +189,47 @@ def test_piz_wavelet_roundtrip():
         enc = wav2_encode(orig.copy(), nx, 1, ny, nx)
         dec = _wav2_decode(enc.copy(), nx, 1, ny, nx, (1 << 13) - 1)
         assert (dec == orig).all(), (nx, ny)
+
+
+def test_mfilm_matlab_ascii():
+    """mfilm's matlab variant (reference src/films/mfilm.cpp)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from mitsuba_tpu.io.images import write_image
+
+    img = np.arange(12, dtype=np.float32).reshape(2, 2, 3) / 12.0
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "out.m")
+        write_image(p, img)
+        text = open(p).read()
+        assert "data_0 = [" in text and "data_2 = [" in text
+        # round-trip channel 0 through a plain parse
+        block = text.split("data_0 = [")[1].split("];")[0]
+        rows = [
+            [float(v) for v in r.split()]
+            for r in block.split(";\n")
+        ]
+        assert np.allclose(np.asarray(rows), img[..., 0], atol=1e-6)
+
+
+def test_jpeg_roundtrip():
+    """JPEG write+read via PIL (reference bitmap.cpp readJPEG)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from mitsuba_tpu.io.images import read_image, write_image
+
+    img = np.zeros((16, 16, 3), np.float32)
+    img[:8] = [1.0, 0.5, 0.25]
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "t.jpg")
+        write_image(p, img)
+        back, is_ldr = read_image(p)
+        assert is_ldr
+        assert back.shape == (16, 16, 3)
+        assert abs(float(back[:8].mean()) - img[:8].mean()) < 0.05
