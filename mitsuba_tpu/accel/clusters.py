@@ -1,0 +1,112 @@
+"""Treelet clusters: the scene layout behind the Pallas traversal kernel.
+
+The reference traverses a SAH kd-tree with a per-ray stack
+(reference: include/mitsuba/render/sahkdtree3.h:178-249).  Per-lane
+pointer chasing is the one thing the TPU cannot do (every divergent
+node fetch is a gather ~1000 flops); instead we cut the SAH BVH into
+"clusters" — subtrees of <= Tc contiguous triangles — and traverse at
+cluster granularity: a chunk of coherence-sorted rays visits only the
+clusters its bounding cone touches, testing each cluster's triangles
+as a dense [Tc, CHUNK] VPU tile (the vectorized analogue of the
+reference's coherent packet traversal, skdtree.h:183-190).
+
+Host-side output (all numpy, packed into the ScenePack):
+* cl_tri   [9, C*Tc] f32 — per-cluster padded triangle tiles
+  (v0, e1, e2 rows; padding triangles at 1e30 never hit)
+* cl_box   [8, Cp]  f32 — cluster AABB lo(3)/hi(3) (+2 zero rows for
+  sublane alignment); padded clusters get inverted boxes
+* cl_sph   [4, Cp]  f32 — bounding sphere (cx, cy, cz, r); padding r<0
+* cl_pad2prim [C*Tc] int32 — padded slot -> triangle id (dummy slots
+  point at the builder's far-away padding triangle)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+# triangles per cluster tile; sublane-tiled VPU work is [Tc, CHUNK]
+CLUSTER_TC = int(os.environ.get("MTS_CLUSTER_TC", 128))
+# VMEM budget for the resident triangle tiles (bytes)
+CLUSTER_VMEM_MAX = int(os.environ.get("MTS_CLUSTER_VMEM", 6 * 1024 * 1024))
+
+
+def cut_clusters(bvh, tc: int = CLUSTER_TC):
+    """Cut the threaded-DFS BVH into subtrees of <= tc prims.
+
+    Prim ranges are contiguous because both builders allocate `order`
+    at leaf-creation time during a DFS (accel/bvh.py,
+    native/bvh_builder.cpp) — so subtree prims form one [first, count)
+    run.  Returns (first [C], count [C], lo [C,3], hi [C,3])."""
+    n = len(bvh.skip)
+    skip = np.asarray(bvh.skip, np.int64)
+    count = np.asarray(bvh.count, np.int64)
+    # exclusive prefix of leaf prim counts by node index: pre[i] = prims
+    # allocated before node i in DFS = first prim of i's subtree
+    pre = np.zeros(n + 1, np.int64)
+    np.cumsum(count, out=pre[1:])
+
+    firsts, counts, los, his = [], [], [], []
+    i = 0
+    while i < n:
+        sub = pre[skip[i]] - pre[i]
+        if sub <= tc or count[i] > 0:
+            if sub > 0:
+                firsts.append(pre[i])
+                counts.append(sub)
+                los.append(bvh.lo[i])
+                his.append(bvh.hi[i])
+            i = int(skip[i])
+        else:
+            i += 1
+    return (
+        np.asarray(firsts, np.int64),
+        np.asarray(counts, np.int64),
+        np.asarray(los, np.float32).reshape(-1, 3),
+        np.asarray(his, np.float32).reshape(-1, 3),
+    )
+
+
+def pack_clusters(bvh, tri_v0, tri_e1, tri_e2, n_tris, tc: int = CLUSTER_TC):
+    """Build the device arrays for the cluster kernel, or None when the
+    scene exceeds the VMEM residency budget (fall back to XLA BVH)."""
+    first, cnt, lo, hi = cut_clusters(bvh, tc)
+    c = len(first)
+    if c == 0:
+        return None
+    if 9 * c * tc * 4 > CLUSTER_VMEM_MAX:
+        return None
+    cp = max(((c + 7) // 8) * 8, 8)
+
+    # triangle tiles [9, C*Tc]; dummy slots -> far triangle
+    slot = np.arange(tc, dtype=np.int64)
+    tri_idx = first[:, None] + slot[None, :]  # [C, Tc]
+    valid = slot[None, :] < cnt[:, None]
+    # the builder pads tri arrays by LEAF_SIZE with a 1e30 triangle at
+    # index n_tris — route dummies there
+    tri_idx = np.where(valid, tri_idx, n_tris).reshape(-1)
+    v0 = np.asarray(tri_v0, np.float32)[tri_idx]
+    e1 = np.asarray(tri_e1, np.float32)[tri_idx]
+    e2 = np.asarray(tri_e2, np.float32)[tri_idx]
+    cl_tri = np.concatenate([v0.T, e1.T, e2.T], axis=0).astype(np.float32)
+
+    cl_box = np.zeros((8, cp), np.float32)
+    cl_box[0:3, :] = 1e30  # inverted default box: never hit
+    cl_box[3:6, :] = -1e30
+    cl_box[0:3, :c] = lo.T
+    cl_box[3:6, :c] = hi.T
+
+    cl_sph = np.zeros((4, cp), np.float32)
+    cl_sph[3, :] = -1e30
+    center = (lo + hi) * 0.5
+    rad = 0.5 * np.linalg.norm(hi - lo, axis=1)
+    cl_sph[0:3, :c] = center.T
+    cl_sph[3, :c] = rad
+
+    return {
+        "cl_tri": cl_tri,
+        "cl_box": cl_box,
+        "cl_sph": cl_sph,
+        "cl_pad2prim": tri_idx.astype(np.int32),
+    }, {"n_clusters": c, "cluster_tc": tc}

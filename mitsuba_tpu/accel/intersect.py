@@ -338,6 +338,12 @@ def _use_pallas():
     return jax.default_backend() == "tpu"
 
 
+def _use_clusters(pack):
+    """Big-mesh scenes with a VMEM-resident cluster pack use the Pallas
+    packet-traversal kernel (accel/pallas_bvh.py) on TPU."""
+    return pack.meta.get("n_clusters", 0) > 0 and _use_pallas()
+
+
 # sorted-chunked traversal: lockstep while_loops pay the WORST lane's
 # node-visit count, so incoherent batches are sorted by direction
 # octant + quantized direction + origin morton and traversed in chunks —
@@ -422,7 +428,13 @@ def intersect(pack, o, d, t_max=jnp.inf, sort=False) -> Hit:
     inside a bounce loop (nested sequential loops compile terribly)."""
     if pack.n_tris > 0:
         if pack.use_bvh:
-            if sort:
+            if _use_clusters(pack):
+                from mitsuba_tpu.accel import pallas_bvh as pb
+
+                best_t, prim, u, v = pb.cluster_closest(
+                    pack, o, d, t_max, sort=sort
+                )
+            elif sort:
                 best_t, prim, u, v = _sorted_chunked(
                     pack, o, d, t_max, _bvh_traverse, 4
                 )
@@ -474,7 +486,11 @@ def occluded(pack, o, d, t_max, sort=False) -> jnp.ndarray:
     """
     if pack.n_tris > 0:
         if pack.use_bvh:
-            if sort:
+            if _use_clusters(pack):
+                from mitsuba_tpu.accel import pallas_bvh as pb
+
+                occ = pb.cluster_any(pack, o, d, t_max, sort=sort)
+            elif sort:
                 occ = _sorted_chunked(
                     pack, o, d, t_max, _bvh_traverse_any, 1
                 )

@@ -46,6 +46,7 @@ class DirectSample(NamedTuple):
     value: jnp.ndarray  # [R, 3] Le / pdf
     delta: jnp.ndarray  # [R] bool
     n: jnp.ndarray  # [R, 3] light-side normal (area lights)
+    kind: jnp.ndarray  # [R] int32 emitter kind (AREA/POINT/... plugins.py)
 
 
 def _searchsorted_segment(cdf, u, lo, hi, iters=None):
@@ -345,7 +346,9 @@ def sample_direct(pack, p_ref, u3):
             kind == ENVMAP, d_e, jnp.full((r,), ENV_DIST), pdf_e, val_e, False
         )
 
-    return DirectSample(d=d, dist=dist, pdf=pdf, value=value, delta=delta, n=n_l)
+    return DirectSample(
+        d=d, dist=dist, pdf=pdf, value=value, delta=delta, n=n_l, kind=kind
+    )
 
 
 def pdf_direct_area(pack, emit_id, dist, cos_l):

@@ -86,7 +86,8 @@ def splat(film, pos, value, rfilter: RFilterRecord, valid=None):
     if valid is not None:
         value = jnp.where(valid[..., None], value, 0.0)
 
-    x, y = pos[..., 0], pos[..., 1]
+    x = jnp.nan_to_num(pos[..., 0], nan=-1e6, posinf=1e6, neginf=-1e6)
+    y = jnp.nan_to_num(pos[..., 1], nan=-1e6, posinf=1e6, neginf=-1e6)
     # leftmost pixel whose center might be inside the kernel support
     x0 = jnp.floor(x - radius + 0.5).astype(jnp.int32)
     y0 = jnp.floor(y - radius + 0.5).astype(jnp.int32)
@@ -152,6 +153,52 @@ def splat_grid(film, jitter, value, rfilter: RFilterRecord, valid=None):
             xd = slice(max(-dx, 0), w + min(-dx, 0))
             out = out.at[ys, xs].add(contrib[yd, xd])
     return out
+
+
+def splat_add(img, pos, value, rfilter: RFilterRecord, valid=None):
+    """Additive reconstruction-filtered splat WITHOUT a weight channel:
+    light-image / particle-style splats whose normalization is the
+    sample count, not the filter weight (reference bdpt_wr.cpp +
+    imageblock.h put-splat mode).  Each splat is normalized over its
+    footprint so it deposits exactly `value` in total energy.
+
+    img: [H, W, 3]; pos: [R, 2] continuous pixel coords; value: [R, 3].
+    """
+    h, w = img.shape[0], img.shape[1]
+    radius = rfilter.radius
+    fw = int(math.ceil(2.0 * radius))
+    value = jnp.nan_to_num(value, nan=0.0, posinf=0.0, neginf=0.0)
+    if valid is not None:
+        value = jnp.where(valid[..., None], value, 0.0)
+
+    # NaN positions (masked-out lanes) must not alias to pixel 0:
+    # NaN->int32 is platform-defined (0 on XLA:CPU)
+    x = jnp.nan_to_num(pos[..., 0], nan=-1e6, posinf=1e6, neginf=-1e6)
+    y = jnp.nan_to_num(pos[..., 1], nan=-1e6, posinf=1e6, neginf=-1e6)
+    x0 = jnp.floor(x - radius + 0.5).astype(jnp.int32)
+    y0 = jnp.floor(y - radius + 0.5).astype(jnp.int32)
+
+    # pass 1: footprint weight total (per-splat normalization)
+    wsum = jnp.zeros_like(x)
+    taps = []
+    for dy in range(fw):
+        py = y0 + dy
+        wy = filter_eval_1d(rfilter, py.astype(jnp.float32) + 0.5 - y)
+        for dx in range(fw):
+            px = x0 + dx
+            wx = filter_eval_1d(rfilter, px.astype(jnp.float32) + 0.5 - x)
+            wgt = jnp.maximum(wx * wy, 0.0)
+            taps.append((px, py, wgt))
+            wsum = wsum + wgt
+    inv = 1.0 / jnp.maximum(wsum, 1e-12)
+
+    flat = img.reshape(-1, 3)
+    for px, py, wgt in taps:
+        inside = (px >= 0) & (px < w) & (py >= 0) & (py < h)
+        idx = jnp.where(inside, py * w + px, 0)
+        amount = jnp.where(inside, wgt * inv, 0.0)[..., None]
+        flat = flat.at[idx].add(value * amount)
+    return flat.reshape(h, w, 3)
 
 
 def develop(film):

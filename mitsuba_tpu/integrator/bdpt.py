@@ -7,19 +7,24 @@ pathsampler.cpp MIS): instead of per-path vertex pools, both subpaths
 are UNROLLED walks over the whole lane batch — vertex k of every lane
 lives in one SoA tensor set — and the (s,t) connection strategies are
 enumerated statically, each one a vectorized connection + one shadow
-trace over all lanes.  The light image (t=1 strategies) splats through
-the same pinhole-importance kernel as the particle tracer.
+trace over all lanes.  As in the reference (bdpt_proc.cpp:215-241),
+the s=1 strategy RE-SAMPLES the emitter with sampleEmitterDirect
+rather than connecting to the stored light vertex — this is what makes
+delta emitters (point/spot/directional) work bidirectionally.  The
+light image (t=1 strategies) splats through the film's reconstruction
+filter (bdpt_wr.cpp).
 
 MIS weights follow Veach's formulation via the standard forward/reverse
 area-pdf ratio walk (the `ri` recurrence), with the per-strategy
 junction-pdf overrides (what the reference computes with cached
 vertex pdfs in both directions, vertex.h "pdf[EImportance/ERadiance]").
 
-Scope (v1): surfaces only (no media), AREA emitters only — scenes with
-other emitter kinds fall back to the path backend in renderer.render.
-Subpath lengths are capped at MTS_BDPT_MAX_EDGES (default 8) edges;
-path-space beyond the cap is truncated (documented, not silent: the
-renderer warns when maxDepth exceeds the cap).
+Scope (v2): surfaces only (no media yet); emitter kinds AREA, POINT,
+SPOT, DIRECTIONAL (env/constant are the planned follow-up).  Scenes
+outside this envelope fall back to the path backend WITH A LOUD
+WARNING.  Subpath lengths are capped at MTS_BDPT_MAX_EDGES (default 8)
+edges; path-space beyond the cap is truncated (documented, not silent:
+the renderer warns when maxDepth exceeds the cap).
 """
 
 from __future__ import annotations
@@ -34,9 +39,15 @@ import jax.numpy as jnp
 from mitsuba_tpu.accel.intersect import fill_interaction, intersect, occluded
 from mitsuba_tpu.bsdf.eval import bsdf_eval, bsdf_pdf, bsdf_sample
 from mitsuba_tpu.core import math as mm
-from mitsuba_tpu.core.gather import take_rows
+from mitsuba_tpu.core.gather import take_fused, take_rows
 from mitsuba_tpu.core import rng, warp
-from mitsuba_tpu.emitter.plugins import AREA
+from mitsuba_tpu.emitter.eval import sample_direct
+from mitsuba_tpu.emitter.plugins import (
+    AREA,
+    DIRECTIONAL,
+    POINT,
+    SPOT,
+)
 from mitsuba_tpu.integrator import path as _path
 from mitsuba_tpu.scene.texture_eval import (
     mip_footprint,
@@ -46,6 +57,10 @@ from mitsuba_tpu.scene.texture_eval import (
 
 _SLOTS = 4  # RNG slots per walk step
 _SLOT_BSDF = 2
+_SLOT_NEE = 3
+
+INV_FOURPI = 0.25 / math.pi
+BDPT_KINDS = (AREA, POINT, SPOT, DIRECTIONAL)
 
 
 def _remap0(x):
@@ -62,10 +77,11 @@ def _to_area(pdf_w, p_from, p_to, ns_to):
 
 
 def supports_bdpt(pack):
-    """v1 restriction: only area emitters, no media."""
+    """v2 envelope: no media; emitter kinds in BDPT_KINDS."""
+    kinds = pack.meta.get("emitter_kinds", ())
     return (
         pack.meta["n_emitters"] > 0
-        and pack.meta.get("all_area_emitters", False)
+        and all(k in BDPT_KINDS for k in kinds)
         and not pack.meta.get("has_media", False)
     )
 
@@ -75,7 +91,7 @@ def supports_bdpt(pack):
 # -----------------------------------------------------------------------------
 
 def _walk(pack, o0, d0, beta0, pdf_w0, lane, sidx, seed, n_steps, present,
-          delta0):
+          delta0, planar0=None):
     """Unrolled random walk of up to n_steps surface vertices.
 
     o0/d0: start ray; beta0: throughput arriving along it; pdf_w0:
@@ -86,7 +102,7 @@ def _walk(pack, o0, d0, beta0, pdf_w0, lane, sidx, seed, n_steps, present,
       pdf_rev (area, from successor; 0 where unknown/delta), delta
       (transition sampled at this vertex was a Dirac lobe), emit.
     delta0: whether the generating distribution of d0 is delta in
-    direction (unused for camera/light v1 but kept for parity).
+    direction (directional/collimated light starts).
     """
     r = o0.shape[0]
     verts = []
@@ -111,6 +127,15 @@ def _walk(pack, o0, d0, beta0, pdf_w0, lane, sidx, seed, n_steps, present,
             0.0,
             _to_area(pdf_w, prev_p, its.p, its.ns),
         )
+        if k == 0 and planar0 is not None:
+            # delta-direction emitters (directional): the disk position
+            # choice IS the choice of this vertex — planar area density
+            # projected onto the surface (pbrt's infinite-light density)
+            pdf_fwd = jnp.where(
+                planar0 > 0,
+                planar0 * jnp.abs(mm.dot(its.ns, d)),
+                pdf_fwd,
+            )
 
         u_b = rng.rand4(lane, sidx, k * _SLOTS + _SLOT_BSDF, seed)
         bs = bsdf_sample(sp, wi_l, u_b[..., :2], u_b[..., 2], present)
@@ -160,63 +185,183 @@ def _walk(pack, o0, d0, beta0, pdf_w0, lane, sidx, seed, n_steps, present,
     return verts
 
 
-def _sample_area_light_vertex(pack, lane, sidx, seed):
-    """Light subpath vertex 0 on an area emitter + first direction.
+def _spot_falloff(cos_f, cc, cb):
+    """Linear falloff between beamWidth and cutoff (spot.cpp)."""
+    fall = jnp.clip((cos_f - cc) / jnp.maximum(cb - cc, 1e-6), 0.0, 1.0)
+    fall = jnp.where(cos_f >= cb, 1.0, fall)
+    return jnp.where(cos_f <= cc, 0.0, fall)
 
-    Returns (v0 dict, o1, d1, beta1, pdf_w1).  v0.beta = Le /
-    (pdf_pos * pmf); the emitted-direction factor cos/pdf_dir = pi for
-    cosine sampling (AbstractEmitter::samplePosition/sampleDirection).
+
+def _sample_light_vertex(pack, lane, sidx, seed):
+    """Light subpath vertex 0 + first emission ray for ALL supported
+    emitter kinds (= AbstractEmitter::samplePosition/sampleDirection,
+    emitter.h:124-278, per-kind masked like emitter/eval.sample_direct).
+
+    Returns (v0 dict, o1, d1, beta1, pdf_w1, delta1).  v0 carries:
+      beta = Le_or_I / (pmf * pdf_pos); pdf_fwd = pmf * pdf_pos (mass
+      for delta positions); hittable = s'=0 strategy exists; ns = a
+      well-defined unit normal for area-measure conversions.
     """
     from mitsuba_tpu.emitter.eval import _searchsorted_segment
 
     r = lane.shape[0]
     u = rng.rand4(lane, sidx, 0, seed)
     u2 = rng.rand4(lane, sidx, 1, seed)
+    kinds = pack.meta.get("emitter_kinds", ())
 
-    e = jnp.clip(
-        jnp.searchsorted(pack.emitter_cdf, u[..., 0], side="right") - 1,
-        0,
-        pack.emitter_pmf.shape[0] - 1,
-    )
-    pmf = pack.emitter_pmf[e]
+    if pack.meta["n_emitters"] == 1:
+        e = jnp.zeros((r,), jnp.int32)
+    else:
+        e = jnp.clip(
+            jnp.searchsorted(pack.emitter_cdf, u[..., 0], side="right") - 1,
+            0,
+            pack.emitter_pmf.shape[0] - 1,
+        )
+    pmf, kind, rgb = take_fused(e, pack.emitter_pmf, pack.em_kind, pack.em_rgb)
 
-    tri_slot = _searchsorted_segment(
-        pack.area_tri_cdf, u[..., 1], pack.em_tri_lo[e], pack.em_tri_hi[e]
-    )
-    tri = pack.area_tri_idx[tri_slot]
-    bary = warp.square_to_uniform_triangle(u[..., 2:4])
-    p0 = (
-        pack.tri_v0[tri]
-        + bary[..., 0:1] * pack.tri_e1[tri]
-        + bary[..., 1:2] * pack.tri_e2[tri]
-    )
-    n0 = mm.normalize(mm.cross(pack.tri_e1[tri], pack.tri_e2[tri]))
+    p0 = jnp.zeros((r, 3), jnp.float32)
+    n0 = jnp.tile(jnp.array([[0.0, 0.0, 1.0]], jnp.float32), (r, 1))
+    beta0 = jnp.zeros((r, 3), jnp.float32)
+    pdf_pos = jnp.ones((r,), jnp.float32)
+    d1 = jnp.tile(jnp.array([[0.0, 0.0, 1.0]], jnp.float32), (r, 1))
+    pdf_w1 = jnp.ones((r,), jnp.float32)
+    beta1 = jnp.zeros((r, 3), jnp.float32)
+    delta1 = jnp.zeros((r,), bool)
+    hittable = jnp.zeros((r,), bool)
 
-    area = pack.em_area[e]
-    pdf_pos = pmf / jnp.maximum(area, 1e-12)  # area measure incl. PMF
-    le = take_rows(pack.em_rgb, e)
-    beta0 = le / jnp.maximum(pdf_pos, 1e-12)[..., None]
+    def put(mask, **kw):
+        nonlocal p0, n0, beta0, pdf_pos, d1, pdf_w1, beta1, delta1, hittable
+        vecs = dict(p0=p0, n0=n0, beta0=beta0, d1=d1, beta1=beta1)
+        scals = dict(pdf_pos=pdf_pos, pdf_w1=pdf_w1, delta1=delta1,
+                     hittable=hittable)
+        for k_, v_ in kw.items():
+            if k_ in vecs:
+                vecs[k_] = jnp.where(mask[..., None], v_, vecs[k_])
+            else:
+                scals[k_] = jnp.where(mask, v_, scals[k_])
+        p0, n0, beta0, d1, beta1 = (
+            vecs["p0"], vecs["n0"], vecs["beta0"], vecs["d1"], vecs["beta1"]
+        )
+        pdf_pos, pdf_w1, delta1, hittable = (
+            scals["pdf_pos"], scals["pdf_w1"], scals["delta1"],
+            scals["hittable"],
+        )
 
-    frame = mm.Frame.from_normal(n0)
-    d_local = warp.square_to_cosine_hemisphere(u2[..., 0:2])
-    d1 = frame.to_world(d_local)
-    pdf_w1 = jnp.maximum(mm.cos_theta(d_local), 1e-12) / jnp.pi
-    # beta arriving at vertex 1 = Le * cos / (pdf_pos * pdf_dir) and the
-    # cosine cancels against the cosine-hemisphere pdf up to pi
-    beta1 = beta0 * jnp.pi
+    # ---- area: triangle via per-emitter area CDF, cosine direction ----
+    if AREA in kinds or not kinds:
+        em_lo, em_hi, area = take_fused(
+            e, pack.em_tri_lo, pack.em_tri_hi, pack.em_area
+        )
+        tri_slot = _searchsorted_segment(
+            pack.area_tri_cdf, u[..., 1], em_lo, em_hi
+        )
+        tri = pack.area_tri_idx[tri_slot]
+        bary = warp.square_to_uniform_triangle(u[..., 2:4])
+        p_a = (
+            pack.tri_v0[tri]
+            + bary[..., 0:1] * pack.tri_e1[tri]
+            + bary[..., 1:2] * pack.tri_e2[tri]
+        )
+        n_a = mm.normalize(mm.cross(pack.tri_e1[tri], pack.tri_e2[tri]))
+        pp_a = pmf / jnp.maximum(area, 1e-12)
+        b0_a = rgb / jnp.maximum(pp_a, 1e-12)[..., None]
+        frame = mm.Frame.from_normal(n_a)
+        d_l = warp.square_to_cosine_hemisphere(u2[..., 0:2])
+        d_a = frame.to_world(d_l)
+        pw_a = jnp.maximum(mm.cos_theta(d_l), 1e-12) / jnp.pi
+        # cos/pdf_dir = pi for cosine sampling
+        put(kind == AREA, p0=p_a, n0=n_a, beta0=b0_a, pdf_pos=pp_a,
+            d1=d_a, pdf_w1=pw_a, beta1=b0_a * jnp.pi,
+            hittable=jnp.ones((r,), bool))
+
+    if POINT in kinds or SPOT in kinds:
+        em_pos, em_dir, cc, cb = take_fused(
+            e, pack.em_pos, pack.em_dir, pack.em_cos_cutoff, pack.em_cos_beam
+        )
+        b0_p = rgb / jnp.maximum(pmf, 1e-12)[..., None]
+        # ---- point: uniform sphere emission ----
+        if POINT in kinds:
+            d_p = warp.square_to_uniform_sphere(u2[..., 0:2])
+            put(kind == POINT, p0=em_pos, n0=d_p, beta0=b0_p, pdf_pos=pmf,
+                d1=d_p, pdf_w1=jnp.full((r,), INV_FOURPI),
+                beta1=b0_p / INV_FOURPI)
+        # ---- spot: uniform cone up to the cutoff, linear falloff ----
+        if SPOT in kinds:
+            fr_s = mm.Frame.from_normal(em_dir)
+            d_sl = warp.square_to_uniform_cone(u2[..., 0:2], cc)
+            d_s = fr_s.to_world(d_sl)
+            pw_s = warp.square_to_uniform_cone_pdf(cc)
+            fall = _spot_falloff(mm.cos_theta(d_sl), cc, cb)
+            put(kind == SPOT, p0=em_pos, n0=em_dir, beta0=b0_p,
+                pdf_pos=pmf, d1=d_s, pdf_w1=pw_s,
+                beta1=b0_p * (fall / jnp.maximum(pw_s, 1e-12))[..., None])
+
+    # ---- directional: disk position at the scene bound.  The delta
+    # direction is NOT flagged as a Dirac transition: the disk position
+    # choice determines the first hit, so vertex 1 carries the PLANAR
+    # density 1/(pi R^2) projected onto the surface (the reference
+    # reaches the same accounting through getDirectMeasure/EDiscrete
+    # overrides in Path::miWeight, path.cpp:305-329) ----
+    planar0 = jnp.zeros((r,), jnp.float32)
+    if DIRECTIONAL in kinds:
+        em_dir = take_fused(e, pack.em_dir)[0]
+        c = jnp.asarray(pack.meta["scene_center"], jnp.float32)
+        rad = pack.meta["scene_radius"]
+        fr_d = mm.Frame.from_normal(em_dir)
+        disk = warp.square_to_uniform_disk_concentric(u2[..., 0:2]) * rad
+        off = fr_d.to_world(
+            jnp.concatenate([disk, jnp.zeros((r, 1), jnp.float32)], axis=-1)
+        )
+        p_d = c[None, :] - em_dir * (1.5 * rad) + off
+        pp_planar = 1.0 / (math.pi * rad * rad)
+        pp_d = pmf * pp_planar
+        put(kind == DIRECTIONAL, p0=p_d, n0=em_dir,
+            beta0=rgb / jnp.maximum(pp_d, 1e-12)[..., None],
+            pdf_pos=pmf, d1=em_dir,
+            pdf_w1=jnp.ones((r,)),
+            beta1=rgb / jnp.maximum(pp_d, 1e-12)[..., None])
+        planar0 = jnp.where(kind == DIRECTIONAL, pp_planar, 0.0)
 
     v0 = dict(
         valid=jnp.ones((r,), bool),
         p=p0,
         ns=n0,
         emit=e,
+        kind=kind,
         beta=beta0,
         pdf_fwd=pdf_pos,
         pdf_rev=jnp.zeros((r,), jnp.float32),
-        delta=jnp.zeros((r,), bool),
+        delta=delta1,
+        hittable=hittable,
     )
-    o1 = p0 + n0 * 1e-4
-    return v0, o1, d1, beta1, pdf_w1
+    o1 = p0 + d1 * 1e-4 + jnp.where(
+        (kind == AREA)[..., None], n0 * 1e-4, 0.0
+    )
+    return v0, o1, d1, beta1, pdf_w1, delta1, planar0
+
+
+def _emission_dir_pdf_w(pack, kind, e, n_l, d_out, kinds):
+    """Solid-angle pdf of the emitter's DIRECTION sampling along d_out
+    (for the competing emission-sampling strategies in MIS).  Delta
+    directions return 0 (their strategies are gated by delta flags)."""
+    pdf = jnp.zeros(kind.shape, jnp.float32)
+    if AREA in kinds or not kinds:
+        pdf = jnp.where(
+            kind == AREA,
+            jnp.maximum(mm.dot(n_l, d_out), 0.0) / jnp.pi,
+            pdf,
+        )
+    if POINT in kinds:
+        pdf = jnp.where(kind == POINT, INV_FOURPI, pdf)
+    if SPOT in kinds:
+        em_dir, cc = take_fused(e, pack.em_dir, pack.em_cos_cutoff)
+        inside = mm.dot(em_dir, d_out) >= cc
+        pdf = jnp.where(
+            kind == SPOT,
+            jnp.where(inside, warp.square_to_uniform_cone_pdf(cc), 0.0),
+            pdf,
+        )
+    return pdf
 
 
 # -----------------------------------------------------------------------------
@@ -253,44 +398,26 @@ def _mis_weight(s, t, cam, light, over_rev, false_arr):
     for k in range(s - 1, -1, -1):
         ri = ri * _remap0(rev("l", k, light)) / _remap0(light[k]["pdf_fwd"])
         nd_i = ~dlt("l", k, light)
-        # k == 0: competing strategy is s'=0 (BSDF hits the light) —
-        # always possible for area lights
-        nd_prev = ~dlt("l", k - 1, light) if k >= 1 else ~false_arr
+        if k >= 1:
+            nd_prev = ~dlt("l", k - 1, light)
+        else:
+            # k == 0: competing strategy is s'=0 (camera path hits the
+            # emitter) — only exists for physically hittable emitters
+            nd_prev = light[0].get("hittable", ~false_arr)
         sum_ri = sum_ri + jnp.where(nd_i & nd_prev, ri, 0.0)
     return 1.0 / (1.0 + sum_ri)
 
 
 # -----------------------------------------------------------------------------
-# the renderer
+# one bdpt chunk (shared by single-chip and sharded rendering)
 # -----------------------------------------------------------------------------
 
-def render_bdpt(scene, spp=None, seed=0, pack=None):
-    """Full bidirectional render; image units match the path tracer."""
-    from mitsuba_tpu.scene.builder import pack_scene
-
-    if pack is None:
-        pack = pack_scene(scene)
-    if not supports_bdpt(pack):
-        from mitsuba_tpu.renderer import render as _render
-        from mitsuba_tpu.integrator.plugins import IntegratorRecord
-
-        sub = IntegratorRecord(
-            kind="path",
-            max_depth=scene.integrator.max_depth,
-            rr_depth=scene.integrator.rr_depth,
-        )
-        saved = scene.integrator
-        scene.integrator = sub
-        try:
-            return _render(scene, spp=spp, seed=seed, pack=pack)
-        finally:
-            scene.integrator = saved
-
-    sen = scene.sensor.record
-    film_rec = sen.film
-    integ = scene.integrator
-    w, h = film_rec.width, film_rec.height
+def make_bdpt_chunk(pack, integ, sen, w, h, seed):
+    """Returns chunk_fn(lane, sidx) -> (L [r,3], splats list of
+    (pos [r,2], val [r,3], ok [r])) — the per-lane bdpt estimator plus
+    the light-image splats (to be filtered into the light film)."""
     present = pack.present_types
+    kinds = pack.meta.get("emitter_kinds", ())
 
     cap = int(os.environ.get("MTS_BDPT_MAX_EDGES", 8))
     max_edges = integ.max_depth if integ.max_depth > 0 else cap
@@ -300,8 +427,8 @@ def render_bdpt(scene, spp=None, seed=0, pack=None):
             f"(MTS_BDPT_MAX_EDGES)"
         )
         max_edges = cap
-    n_cam = max_edges  # camera surface vertices (t-1 <= max_edges)
-    n_light = max_edges  # light vertices incl. emitter (t=1: s <= edges)
+    n_cam = max_edges
+    n_light = max_edges
 
     # pinhole camera data (shared with ptracer's validated kernel)
     th = math.tan(math.radians(sen.xfov_deg) / 2.0)
@@ -310,6 +437,7 @@ def render_bdpt(scene, spp=None, seed=0, pack=None):
     cam_pos = jnp.asarray(tw[:3, 3])
     world_to_cam = jnp.asarray(np.asarray(sen.to_world.inv, np.float32))
     cam_fwd = jnp.asarray(tw[:3, 2])
+    sampler_rec = sen.sampler
 
     def cam_k(d_unit):
         """Per-pixel-sample direction pdf of the camera (solid angle):
@@ -317,19 +445,11 @@ def render_bdpt(scene, spp=None, seed=0, pack=None):
         cos_c = jnp.maximum(jnp.abs(mm.dot(d_unit, cam_fwd)), 1e-6)
         return (w * h * aspect) / (4.0 * th * th * cos_c**3)
 
-    spp = spp or sen.sampler.sample_count
-    n_px = w * h
-    lane_budget = int(os.environ.get("MTS_BDPT_LANES", 1 << 17))
-    spp_chunk = max(1, min(spp, lane_budget // n_px))
-    n_chunks = math.ceil(spp / spp_chunk)
-    sampler_rec = sen.sampler
+    from mitsuba_tpu.sensor.plugins import generate_rays
 
-    def one_pass(films, sample_base):
-        film, light_film = films
-        px = jnp.arange(n_px, dtype=jnp.uint32)
-        lane = jnp.broadcast_to(px[None, :], (spp_chunk, n_px)).reshape(-1)
-        sidx = sample_base + jnp.arange(spp_chunk, dtype=jnp.uint32)[:, None]
-        sidx = jnp.broadcast_to(sidx, (spp_chunk, n_px)).reshape(-1)
+    cam_packed = sen.pack(w, h)
+
+    def chunk_fn(lane, sidx):
         r = lane.shape[0]
         false_arr = jnp.zeros((r,), bool)
 
@@ -338,9 +458,6 @@ def render_bdpt(scene, spp=None, seed=0, pack=None):
         x = (lane % w).astype(jnp.float32) + jitter[..., 0]
         y = (lane // w).astype(jnp.float32) + jitter[..., 1]
         pos01 = jnp.stack([x / w, y / h], axis=-1)
-        from mitsuba_tpu.sensor.plugins import generate_rays
-
-        cam_packed = sen.pack(w, h)
         o0, d0 = generate_rays(
             cam_packed, pos01, sampler_rec.lens_sample(lane, sidx)
         )
@@ -351,17 +468,15 @@ def render_bdpt(scene, spp=None, seed=0, pack=None):
             lane, sidx, jnp.uint32(seed), n_cam, present,
             delta0=false_arr,
         )
-        # reverse pdf of cam_v[0] toward the camera is never needed
-        # (the pinhole vertex has no pdf_rev slot)
 
         # ---- light subpath ----
         seed_l = rng.stream_seed(seed, rng.STREAM_LIGHT)
-        lv0, o1, d1, beta1, pdf_w1 = _sample_area_light_vertex(
+        lv0, o1, d1, beta1, pdf_w1, delta1, planar0 = _sample_light_vertex(
             pack, lane, sidx, seed_l
         )
         lwalk = _walk(
             pack, o1, d1, beta1, pdf_w1, lane, sidx, seed_l,
-            max(n_light - 1, 1), present, delta0=false_arr,
+            max(n_light - 1, 1), present, delta0=delta1, planar0=planar0,
         )
         # light vertex 0's reverse pdf from vertex 1's bsdf:
         if lwalk:
@@ -375,7 +490,7 @@ def render_bdpt(scene, spp=None, seed=0, pack=None):
         light = [lv0] + lwalk
 
         L = jnp.zeros((r, 3), jnp.float32)
-        lf = light_film
+        splats = []
 
         # ================= strategy enumeration =================
         for t in range(2, n_cam + 2):  # camera-side vertices incl. camera
@@ -384,7 +499,9 @@ def render_bdpt(scene, spp=None, seed=0, pack=None):
             wi_pt = fr_pt.to_local(pt["wi"])
 
             # ---- s = 0: camera path hits the light (edges = t-1) ----
-            if t - 1 >= 1 and t - 1 <= max_edges:
+            if t - 1 >= 1 and t - 1 <= max_edges and (
+                AREA in kinds or not kinds
+            ):
                 cos_e = mm.dot(pt["ns"], pt["wi"])
                 hit_l = pt["valid"] & (pt["emit"] >= 0) & (cos_e > 0)
                 le = pack.em_rgb[jnp.maximum(pt["emit"], 0)]
@@ -406,8 +523,103 @@ def render_bdpt(scene, spp=None, seed=0, pack=None):
                     0.0,
                 )
 
-            # ---- s >= 1, t >= 2: connections (edges = s+t-1) ----
-            for s in range(1, len(light) + 1):
+            # ---- s = 1: re-sample the emitter (= sampleDirect NEE,
+            # bdpt_proc.cpp:215-241) — supports all emitter kinds ----
+            if t <= max_edges:
+                u_n = rng.rand4(
+                    lane, sidx, (t - 2) * _SLOTS + _SLOT_NEE,
+                    jnp.uint32(seed),
+                )
+                ds = sample_direct(pack, pt["p"], u_n[..., 0:3])
+                wo_pt = fr_pt.to_local(ds.d)
+                f_pt = bsdf_eval(pt["sp"], wi_pt, wo_pt, present)
+                contrib = pt["beta"] * f_pt * ds.value
+                ok = (
+                    pt["valid"]
+                    & (ds.pdf > 0)
+                    & (jnp.max(contrib, axis=-1) > 0)
+                )
+                o_sh = _path._offset_ray(pt["p"], pt["ng"], ds.d)
+                occ = occluded(pack, o_sh, ds.d, ds.dist * (1.0 - 1e-3))
+                ok = ok & ~occ
+
+                # fake light vertex for the ri walk: the sampled point
+                p_l = pt["p"] + ds.d * ds.dist[..., None]
+                n_l = jnp.where(
+                    jnp.max(jnp.abs(ds.n), axis=-1, keepdims=True) > 1e-6,
+                    ds.n, -ds.d,
+                )
+                # NEE pdf in area measure at the light (mass for deltas)
+                pdf_l_area = jnp.where(
+                    ds.delta,
+                    ds.pdf,
+                    _to_area(ds.pdf, pt["p"], p_l, n_l),
+                )
+                fake0 = dict(
+                    valid=ok,
+                    p=p_l,
+                    ns=n_l,
+                    beta=ds.value,
+                    pdf_fwd=pdf_l_area,
+                    pdf_rev=jnp.zeros((r,), jnp.float32),
+                    delta=false_arr,
+                    hittable=~ds.delta,
+                )
+                over = {}
+                # camera junction seen from the light: emission pdf
+                em_pdf_w = _emission_dir_pdf_w(
+                    pack,
+                    ds.kind,
+                    jnp.zeros((r,), jnp.int32),
+                    n_l,
+                    -ds.d,
+                    kinds,
+                )
+                # NOTE: e id for spot cone pdf — recover from the
+                # sampled kind path (only used when SPOT present)
+                if SPOT in kinds:
+                    # re-derive the emitter index the sampler chose
+                    if pack.meta["n_emitters"] == 1:
+                        e_sel = jnp.zeros((r,), jnp.int32)
+                    else:
+                        e_sel = jnp.clip(
+                            jnp.searchsorted(
+                                pack.emitter_cdf, u_n[..., 0], side="right"
+                            ) - 1,
+                            0,
+                            pack.emitter_pmf.shape[0] - 1,
+                        )
+                    em_pdf_w = _emission_dir_pdf_w(
+                        pack, ds.kind, e_sel, n_l, -ds.d, kinds
+                    )
+                over_ct2 = _to_area(em_pdf_w, p_l, pt["p"], pt["ns"])
+                if DIRECTIONAL in kinds:
+                    rad = pack.meta["scene_radius"]
+                    planar = 1.0 / (math.pi * rad * rad)
+                    over_ct2 = jnp.where(
+                        ds.kind == DIRECTIONAL,
+                        planar * jnp.abs(mm.dot(pt["ns"], ds.d)),
+                        over_ct2,
+                    )
+                over[("c", t - 2)] = over_ct2
+                # light point seen from pt (bsdf)
+                pdf_w3 = bsdf_pdf(pt["sp"], wi_pt, wo_pt, present)
+                over[("l", 0)] = jnp.where(
+                    ds.delta, 0.0, _to_area(pdf_w3, pt["p"], p_l, n_l)
+                )
+                if t >= 3:
+                    ptm = cam[t - 3]
+                    pdf_w4 = bsdf_pdf(pt["sp"], wo_pt, wi_pt, present)
+                    over[("c", t - 3)] = _to_area(
+                        pdf_w4, pt["p"], ptm["p"], ptm["ns"]
+                    )
+                w_mis = _mis_weight(1, t, cam, [fake0], over, false_arr)
+                L = L + jnp.where(
+                    ok[..., None], contrib * w_mis[..., None], 0.0
+                )
+
+            # ---- s >= 2, t >= 2: connections (edges = s+t-1) ----
+            for s in range(2, len(light) + 1):
                 if s + t - 1 > max_edges:
                     break
                 qs = light[s - 1]
@@ -419,20 +631,14 @@ def render_bdpt(scene, spp=None, seed=0, pack=None):
                 wo_pt = fr_pt.to_local(dc)
                 f_pt = bsdf_eval(pt["sp"], wi_pt, wo_pt, present)
 
-                if s == 1:
-                    cos_l = mm.dot(qs["ns"], -dc)
-                    f_qs = qs["beta"] * jnp.maximum(cos_l, 0.0)[..., None]
-                    geo = 1.0 / d2
-                    ok = qs["valid"] & (cos_l > 1e-6)
-                else:
-                    fr_qs = mm.Frame.from_normal(qs["ns"])
-                    wi_qs = fr_qs.to_local(qs["wi"])
-                    wo_qs = fr_qs.to_local(-dc)
-                    f_qs = qs["beta"] * bsdf_eval(
-                        qs["sp"], wi_qs, wo_qs, present
-                    )
-                    geo = 1.0 / d2
-                    ok = qs["valid"]
+                fr_qs = mm.Frame.from_normal(qs["ns"])
+                wi_qs = fr_qs.to_local(qs["wi"])
+                wo_qs = fr_qs.to_local(-dc)
+                f_qs = qs["beta"] * bsdf_eval(
+                    qs["sp"], wi_qs, wo_qs, present
+                )
+                geo = 1.0 / d2
+                ok = qs["valid"]
 
                 contrib = pt["beta"] * f_pt * f_qs * geo[..., None]
                 ok = (
@@ -446,25 +652,16 @@ def render_bdpt(scene, spp=None, seed=0, pack=None):
 
                 # junction pdf overrides
                 over = {}
-                if s == 1:
-                    pdf_w = jnp.maximum(mm.dot(qs["ns"], -dc), 0.0) / jnp.pi
-                    over[("c", t - 2)] = _to_area(
-                        pdf_w, qs["p"], pt["p"], pt["ns"]
-                    )
-                else:
-                    fr_qs = mm.Frame.from_normal(qs["ns"])
-                    wi_qs = fr_qs.to_local(qs["wi"])
-                    wo_qs = fr_qs.to_local(-dc)
-                    pdf_w = bsdf_pdf(qs["sp"], wi_qs, wo_qs, present)
-                    over[("c", t - 2)] = _to_area(
-                        pdf_w, qs["p"], pt["p"], pt["ns"]
-                    )
-                    # qs-1 seen from qs (incoming now from pt)
-                    qsm = light[s - 2]
-                    pdf_w2 = bsdf_pdf(qs["sp"], wo_qs, wi_qs, present)
-                    over[("l", s - 2)] = _to_area(
-                        pdf_w2, qs["p"], qsm["p"], qsm["ns"]
-                    )
+                pdf_w = bsdf_pdf(qs["sp"], wi_qs, wo_qs, present)
+                over[("c", t - 2)] = _to_area(
+                    pdf_w, qs["p"], pt["p"], pt["ns"]
+                )
+                # qs-1 seen from qs (incoming now from pt)
+                qsm = light[s - 2]
+                pdf_w2 = bsdf_pdf(qs["sp"], wo_qs, wi_qs, present)
+                over[("l", s - 2)] = _to_area(
+                    pdf_w2, qs["p"], qsm["p"], qsm["ns"]
+                )
                 # qs seen from pt (incoming from pt's predecessor)
                 pdf_w3 = bsdf_pdf(pt["sp"], wi_pt, wo_pt, present)
                 over[("l", s - 1)] = _to_area(
@@ -493,9 +690,17 @@ def render_bdpt(scene, spp=None, seed=0, pack=None):
             dc = v / dist[..., None]  # qs -> camera
 
             if s == 1:
-                cos_l = mm.dot(qs["ns"], dc)
-                val = qs["beta"] * jnp.maximum(cos_l, 0.0)[..., None]
-                ok = qs["valid"] & (cos_l > 1e-6)
+                # emitter radiates straight into the camera.  The
+                # reference SKIPS (1,1) for degenerate (delta-position)
+                # emitters — "can't connect degenerate endpoints",
+                # bdpt_proc.cpp:243-246 — so only area lights splat here
+                if AREA in kinds or not kinds:
+                    d_fac = jnp.maximum(mm.dot(qs["ns"], dc), 0.0)
+                    d_fac = jnp.where(qs["kind"] == AREA, d_fac, 0.0)
+                else:
+                    d_fac = jnp.zeros((qs["p"].shape[0],), jnp.float32)
+                val = qs["beta"] * d_fac[..., None]
+                ok = qs["valid"] & (d_fac > 0)
             else:
                 fr_qs = mm.Frame.from_normal(qs["ns"])
                 wi_qs = fr_qs.to_local(qs["wi"])
@@ -516,7 +721,7 @@ def render_bdpt(scene, spp=None, seed=0, pack=None):
             if s >= 2:
                 o_sh = _path._offset_ray(qs["p"], qs["ng"], dc)
             else:
-                o_sh = qs["p"] + qs["ns"] * 1e-4
+                o_sh = qs["p"] + dc * 1e-4
             occ = occluded(pack, o_sh, dc, dist * (1.0 - 1e-3))
             ok = ok & ~occ
 
@@ -537,10 +742,69 @@ def render_bdpt(scene, spp=None, seed=0, pack=None):
 
             splat = val * (cam_k(-dc) / d2 * w_mis)[..., None]
             splat = jnp.where(ok[..., None], splat, 0.0)
-            px_i = jnp.clip((sx * w).astype(jnp.int32), 0, w - 1)
-            py_i = jnp.clip((sy * h).astype(jnp.int32), 0, h - 1)
-            lf = lf.at[py_i, px_i].add(splat)
+            pos = jnp.stack([sx * w, sy * h], axis=-1)
+            splats.append((pos, splat, ok))
 
+        return L, splats
+
+    return chunk_fn
+
+
+# -----------------------------------------------------------------------------
+# the renderer
+# -----------------------------------------------------------------------------
+
+def render_bdpt(scene, spp=None, seed=0, pack=None):
+    """Full bidirectional render; image units match the path tracer."""
+    from mitsuba_tpu.film.film import splat_add
+    from mitsuba_tpu.scene.builder import pack_scene
+
+    if pack is None:
+        pack = pack_scene(scene)
+    if not supports_bdpt(pack):
+        from mitsuba_tpu.renderer import render as _render
+        from mitsuba_tpu.integrator.plugins import IntegratorRecord
+
+        print(
+            "[bdpt] WARNING: scene outside the bdpt v2 envelope "
+            "(media or env/constant emitters) — rendering with the "
+            "unidirectional path backend instead"
+        )
+        sub = IntegratorRecord(
+            kind="path",
+            max_depth=scene.integrator.max_depth,
+            rr_depth=scene.integrator.rr_depth,
+        )
+        saved = scene.integrator
+        scene.integrator = sub
+        try:
+            return _render(scene, spp=spp, seed=seed, pack=pack)
+        finally:
+            scene.integrator = saved
+
+    sen = scene.sensor.record
+    film_rec = sen.film
+    integ = scene.integrator
+    w, h = film_rec.width, film_rec.height
+    rfilter = film_rec.rfilter
+
+    spp = spp or sen.sampler.sample_count
+    n_px = w * h
+    lane_budget = int(os.environ.get("MTS_BDPT_LANES", 1 << 17))
+    spp_chunk = max(1, min(spp, lane_budget // n_px))
+    n_chunks = math.ceil(spp / spp_chunk)
+    chunk_fn = make_bdpt_chunk(pack, integ, sen, w, h, seed)
+
+    def one_pass(films, sample_base):
+        film, light_film = films
+        px = jnp.arange(n_px, dtype=jnp.uint32)
+        lane = jnp.broadcast_to(px[None, :], (spp_chunk, n_px)).reshape(-1)
+        sidx = sample_base + jnp.arange(spp_chunk, dtype=jnp.uint32)[:, None]
+        sidx = jnp.broadcast_to(sidx, (spp_chunk, n_px)).reshape(-1)
+        L, splats = chunk_fn(lane, sidx)
+        lf = light_film
+        for pos, val, ok in splats:
+            lf = splat_add(lf, pos, val, rfilter, valid=ok)
         film = film + L.reshape(spp_chunk, h, w, 3).sum(axis=0)
         return film, lf
 

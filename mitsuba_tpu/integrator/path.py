@@ -590,10 +590,9 @@ TRACE_FNS = {
     "direct": direct_trace,
     "ao": ao_trace,
     "field": field_trace,
-    # bidirectional/photon family currently rendered by the path backend
-    # (radiometrically matching; their variance-reduction machinery is
-    # the planned follow-up per SURVEY.md §7 stages 8-9)
-    "bdpt": path_trace,
+    # bdpt has real single-chip (integrator/bdpt.py) and sharded
+    # (parallel/mesh.py make_sharded_bdpt_pass) implementations — no row
+    # here; remaining rows are being converted the same way
     "pssmlt": path_trace,
     "mlt": path_trace,
     "erpt": path_trace,

@@ -157,9 +157,114 @@ def make_sharded_render_pass(
     return render_pass
 
 
+def make_sharded_bdpt_pass(
+    pack, integ, sensor_rec, film_rec, spp_chunk, mesh, seed,
+    axis_name="lanes",
+):
+    """Sharded bdpt: sample layers split across the mesh, each chip runs
+    full camera+light subpath chunks, and BOTH films (eye image + light
+    image) psum-merge over ICI (= the reference's BDPTWorkResult merge,
+    bdpt_wr.cpp, with the scheduler replaced by shard_map)."""
+    from mitsuba_tpu.film.film import splat_add
+    from mitsuba_tpu.integrator.bdpt import make_bdpt_chunk
+
+    w, h = film_rec.width, film_rec.height
+    n_px = w * h
+    rfilter = film_rec.rfilter
+    n_dev = mesh.devices.size
+    spp_pad = math.ceil(spp_chunk / n_dev) * n_dev
+    spp_local = spp_pad // n_dev
+    chunk_fn = make_bdpt_chunk(pack, integ, sensor_rec, w, h, seed)
+
+    def shard_body(films, sidx_layer, sample_base):
+        film, lfilm = films
+        px = jnp.arange(n_px, dtype=jnp.uint32)
+        lane = jnp.broadcast_to(px[None, :], (spp_local, n_px)).reshape(-1)
+        sidx = jnp.broadcast_to(
+            sidx_layer[:, None] + sample_base, (spp_local, n_px)
+        ).reshape(-1)
+        L, splats = chunk_fn(lane, sidx)
+        layer_ok = jnp.broadcast_to(
+            (sidx_layer < spp_chunk)[:, None], (spp_local, n_px)
+        ).reshape(-1)
+        L = jnp.where(layer_ok[..., None], L, 0.0)
+        local_f = L.reshape(spp_local, h, w, 3).sum(axis=0)
+        local_l = jnp.zeros((h, w, 3), jnp.float32)
+        for pos, val, ok in splats:
+            local_l = splat_add(local_l, pos, val, rfilter,
+                                valid=ok & layer_ok)
+        film = film + jax.lax.psum(local_f, axis_name)
+        lfilm = lfilm + jax.lax.psum(local_l, axis_name)
+        return film, lfilm
+
+    def render_pass(films, sample_base):
+        sidx_layers = jnp.arange(spp_pad, dtype=jnp.uint32)
+        fn = jax.shard_map(
+            shard_body,
+            mesh=mesh,
+            in_specs=((P(), P()), P(axis_name), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(films, sidx_layers, sample_base)
+
+    return render_pass, spp_pad
+
+
+def _render_sharded_bdpt(scene, pack, mesh, spp, seed):
+    from mitsuba_tpu.integrator.bdpt import supports_bdpt
+
+    sensor_rec = scene.sensor.record
+    film_rec = sensor_rec.film
+    w, h = film_rec.width, film_rec.height
+    spp = spp or sensor_rec.sampler.sample_count
+    if not supports_bdpt(pack):
+        print(
+            "[bdpt] WARNING: scene outside the bdpt v2 envelope — "
+            "sharded render falls back to the path backend"
+        )
+        from mitsuba_tpu.integrator.plugins import IntegratorRecord
+
+        saved = scene.integrator
+        scene.integrator = IntegratorRecord(
+            kind="path",
+            max_depth=scene.integrator.max_depth,
+            rr_depth=scene.integrator.rr_depth,
+        )
+        try:
+            return render_sharded(scene, mesh=mesh, spp=spp, seed=seed)
+        finally:
+            scene.integrator = saved
+
+    n_px = w * h
+    lanes_budget = (1 << 17) * mesh.devices.size
+    spp_chunk = max(1, min(spp, lanes_budget // n_px))
+    n_passes = math.ceil(spp / spp_chunk)
+    rp, _ = make_sharded_bdpt_pass(
+        pack, scene.integrator, sensor_rec, film_rec, spp_chunk, mesh, seed
+    )
+    rp = jax.jit(rp, donate_argnums=(0,))
+    films = (
+        jnp.zeros((h, w, 3), jnp.float32),
+        jnp.zeros((h, w, 3), jnp.float32),
+    )
+    base = 0
+    done = 0
+    for _ in range(n_passes):
+        films = rp(films, jnp.uint32(base))
+        base += spp_chunk
+        done += spp_chunk
+    img = films[0] / done + films[1] / (done * n_px)
+    return np.asarray(img)
+
+
 def render_sharded(scene, mesh=None, spp=None, seed=0, spp_chunk=None):
     """Full multi-chip render (host loop over sample chunks)."""
     pack = pack_scene(scene)
+    if scene.integrator.kind == "bdpt":
+        return _render_sharded_bdpt(
+            scene, pack, mesh or make_mesh(), spp, seed
+        )
     sensor_rec = scene.sensor.record
     film_rec = sensor_rec.film
     sampler_rec = sensor_rec.sampler

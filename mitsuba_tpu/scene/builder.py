@@ -452,6 +452,17 @@ def pack_scene(scene) -> ScenePack:
         np.float32
     )  # [Tp, 9]
 
+    # treelet clusters for the Pallas packet-traversal kernel
+    # (accel/clusters.py; requires the padded far triangle at n_tris)
+    cluster_arrays: dict = {}
+    cluster_meta: dict = {}
+    if use_bvh:
+        from mitsuba_tpu.accel.clusters import pack_clusters
+
+        cl = pack_clusters(bvh, tri_v0, tri_e1, tri_e2, n_tris)
+        if cl is not None:
+            cluster_arrays, cluster_meta = cl
+
     # UV-aligned tangent per triangle (dp/du, for bump/normal mapping —
     # reference intersection partials, trimesh.cpp getNormalDerivative)
     duv1 = tri_uv1 - tri_uv0
@@ -908,6 +919,7 @@ def pack_scene(scene) -> ScenePack:
         "bvh_lo": bvh.lo, "bvh_hi": bvh.hi, "bvh_skip": bvh.skip,
         "bvh_first": bvh.first, "bvh_count": bvh.count,
         "bvh_nodes": bvh_nodes, "tri9": tri9,
+        **cluster_arrays,
         **mt,
         **tex_arrays,
         **em,
@@ -927,7 +939,27 @@ def pack_scene(scene) -> ScenePack:
     }
     arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
 
+    # scene bounding sphere (static meta: directional/env emission
+    # sampling and bdpt light subpaths need a finite stand-in origin)
+    pts = []
+    if n_tris > 0:
+        v = tri_v0[:n_tris]
+        pts += [v, v + tri_e1[:n_tris], v + tri_e2[:n_tris]]
+    if n_sph > 0:
+        pts += [sph_center - sph_radius[:, None],
+                sph_center + sph_radius[:, None]]
+    if pts:
+        allp = np.concatenate(pts, axis=0)
+        blo, bhi = allp.min(axis=0), allp.max(axis=0)
+        bcenter = 0.5 * (blo + bhi)
+        bradius = float(np.linalg.norm(bhi - bcenter)) + 1e-6
+    else:
+        bcenter = np.zeros(3, np.float32)
+        bradius = 1.0
+
     meta = {
+        "scene_center": tuple(float(x) for x in bcenter),
+        "scene_radius": bradius,
         "n_tris": n_tris,
         "n_spheres": n_sph,
         "n_materials": len(materials),
@@ -936,6 +968,7 @@ def pack_scene(scene) -> ScenePack:
         "use_bvh": use_bvh,
         "bvh_nodes": int(len(bvh.skip)),
         "bvh_depth": int(bvh.depth),
+        **cluster_meta,
         "env_idx": env_idx,
         "has_env": env_idx >= 0,
         "has_envmap": env_idx >= 0 and (
