@@ -101,16 +101,21 @@ def _perturb_block(U, k, u_mut, u_sign, n_dims=3, off=3):
     return U.at[rows, cols].set(vals - jnp.floor(vals))
 
 
-def propose_veach(U, k, seed_mlt, w, h, max_depth, p_large):
+def propose_veach(U, k, seed_mlt, w, h, max_depth, p_large, lanes=None):
     """One structured mutation per chain; returns (U_prop, is_large).
 
     Mutation choice per chain: large step with prob p_large, else
-    uniformly among {full small, lens, caustic, multichain}."""
+    uniformly among {full small, lens, caustic, multichain}.  `lanes`
+    are GLOBAL chain ids (for sharded runs); default = arange."""
     n, D = U.shape
-    lanes = jnp.arange(n, dtype=jnp.uint32)
+    if lanes is None:
+        lanes = jnp.arange(n, dtype=jnp.uint32)
     u_ctl = rng.rand4(lanes, k, 3, seed_mlt)
 
-    dim_l = jnp.arange(n * D, dtype=jnp.uint32)
+    dim_l = lanes[:, None].astype(jnp.uint32) * D + jnp.arange(
+        D, dtype=jnp.uint32
+    )[None, :]
+    dim_l = dim_l.reshape(-1)
     um = rng.rand4(dim_l, k, 4, seed_mlt)
     u_mut = um[:, 0].reshape(n, D)
     u_sign = um[:, 1].reshape(n, D)
@@ -147,11 +152,12 @@ def propose_veach(U, k, seed_mlt, w, h, max_depth, p_large):
     return U_prop, large
 
 
-def render_mlt(scene, spp=None, seed=0, pack=None, chains=None):
+def render_mlt(scene, spp=None, seed=0, pack=None, chains=None, mesh=None):
     """Veach-mutation MLT render (= MLT::render, mlt.cpp).
 
     Same normalization/film machinery as PSSMLT; only the proposal
-    kernel differs (structured mutation portfolio above)."""
+    kernel differs (structured mutation portfolio above).  With `mesh`
+    the chains shard across devices (see render_pssmlt)."""
     from mitsuba_tpu.scene.builder import pack_scene
 
     if pack is None:
@@ -169,6 +175,9 @@ def render_mlt(scene, spp=None, seed=0, pack=None, chains=None):
     p_large = integ.p_large if integ.p_large > 0 else 0.2
 
     n_chains = chains or min(1 << 17, n_px)
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        n_chains = -(-n_chains // n_dev) * n_dev
     seed_mlt = rng.stream_seed(seed, rng.STREAM_MLT)
 
     trace = jax.jit(lambda U: path_from_primary(pack, integ, cam, w, h, U))
@@ -185,14 +194,12 @@ def render_mlt(scene, spp=None, seed=0, pack=None, chains=None):
     total_mutations = mutations_pp * n_px
     n_steps = max(total_mutations // n_chains, 1)
 
-    @jax.jit
     def step(carry, k):
-        U_cur, pos_cur, L_cur, I_cur, film = carry
-        lanes = jnp.arange(n_chains, dtype=jnp.uint32)
+        U_cur, pos_cur, L_cur, I_cur, film, lanes = carry
         u_acc = rng.rand4(lanes, k, 6, seed_mlt)
 
         U_prop, _ = propose_veach(
-            U_cur, k, seed_mlt, w, h, max_depth, p_large
+            U_cur, k, seed_mlt, w, h, max_depth, p_large, lanes=lanes
         )
         pos_p, L_p = path_from_primary(pack, integ, cam, w, h, U_prop)
         I_p = luminance(L_p)
@@ -208,19 +215,39 @@ def render_mlt(scene, spp=None, seed=0, pack=None, chains=None):
         pos_cur = jnp.where(accept[:, None], pos_p, pos_cur)
         L_cur = jnp.where(accept[:, None], L_p, L_cur)
         I_cur = jnp.where(accept, I_p, I_cur)
-        return (U_cur, pos_cur, L_cur, I_cur, film), None
+        return (U_cur, pos_cur, L_cur, I_cur, film, lanes), None
 
-    film = jnp.zeros((h, w, 3), jnp.float32)
-    carry = (U_cur, pos_cur, L_cur, I_cur, film)
-    carry, _ = jax.lax.scan(
-        step, carry, jnp.arange(n_steps, dtype=jnp.uint32)
-    )
-    film = carry[4]
+    ks = jnp.arange(n_steps, dtype=jnp.uint32)
+    lanes_all = jnp.arange(n_chains, dtype=jnp.uint32)
+
+    def chain_run(lanes, U0, pos0, L0, I0):
+        film = jnp.zeros((h, w, 3), jnp.float32)
+        carry = (U0, pos0, L0, I0, film, lanes)
+        carry, _ = jax.lax.scan(step, carry, ks)
+        return carry[4]
+
+    if mesh is None:
+        film = jax.jit(chain_run)(lanes_all, U_cur, pos_cur, L_cur, I_cur)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        ax = mesh.axis_names[0]
+        film = jax.jit(
+            jax.shard_map(
+                lambda l, u, p, L, i: jax.lax.psum(
+                    chain_run(l, u, p, L, i), ax
+                ),
+                mesh=mesh,
+                in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax)),
+                out_specs=P(),
+                check_vma=False,
+            )
+        )(lanes_all, U_cur, pos_cur, L_cur, I_cur)
     scale = b_norm * n_px / (n_steps * n_chains)
     return np.asarray(film * scale)
 
 
-def render_erpt(scene, spp=None, seed=0, pack=None, chains=None):
+def render_erpt(scene, spp=None, seed=0, pack=None, chains=None, mesh=None):
     """Energy redistribution path tracing (= ERPT::render, erpt.cpp:134).
 
     Each pass: fresh path-traced seeds; each seed starts a Metropolis
@@ -245,6 +272,8 @@ def render_erpt(scene, spp=None, seed=0, pack=None, chains=None):
     chain_len = max(getattr(integ, "chain_length", 0) or 100, 1)
 
     n_lanes = chains or min(1 << 16, n_px)
+    if mesh is not None:
+        n_lanes = -(-n_lanes // mesh.devices.size) * mesh.devices.size
     seed_mlt = rng.stream_seed(seed, rng.STREAM_MLT)
 
     trace = jax.jit(lambda U: path_from_primary(pack, integ, cam, w, h, U))
@@ -271,13 +300,15 @@ def render_erpt(scene, spp=None, seed=0, pack=None, chains=None):
 
     n_seed_rounds = max((samples_pp * n_px) // n_lanes, 1)
 
-    @jax.jit
-    def seed_round(film, round_i):
-        lanes = jnp.arange(n_lanes, dtype=jnp.uint32)
-        dim_l = jnp.arange(n_lanes * D, dtype=jnp.uint32)
+    def seed_round(film, lanes, round_i):
+        nloc = lanes.shape[0]
+        dim_l = (
+            lanes[:, None].astype(jnp.uint32) * D
+            + jnp.arange(D, dtype=jnp.uint32)[None, :]
+        ).reshape(-1)
         U0 = rng.rand4(
             dim_l // D, dim_l % D, round_i * 2 + 101, seed_mlt
-        )[:, 0].reshape(n_lanes, D)
+        )[:, 0].reshape(nloc, D)
         pos0, L0 = path_from_primary(pack, integ, cam, w, h, U0)
         I0 = luminance(L0)
 
@@ -292,7 +323,8 @@ def render_erpt(scene, spp=None, seed=0, pack=None, chains=None):
             U, pos, L, I, film = carry
             u_acc = rng.rand4(lanes, round_i * 65536 + k, 8, seed_mlt)
             U_p, _ = propose_veach(
-                U, round_i * 65536 + k, seed_mlt, w, h, max_depth, 0.0
+                U, round_i * 65536 + k, seed_mlt, w, h, max_depth, 0.0,
+                lanes=lanes,
             )
             pos_p, L_p = path_from_primary(pack, integ, cam, w, h, U_p)
             I_p = luminance(L_p)
@@ -324,9 +356,28 @@ def render_erpt(scene, spp=None, seed=0, pack=None, chains=None):
         )
         return carry[4]
 
+    lanes_all = jnp.arange(n_lanes, dtype=jnp.uint32)
+    if mesh is None:
+        run = jax.jit(seed_round)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        ax = mesh.axis_names[0]
+        run = jax.jit(
+            jax.shard_map(
+                lambda film, lanes, ri: jax.lax.psum(
+                    seed_round(jnp.zeros_like(film), lanes, ri), ax
+                ) + film,
+                mesh=mesh,
+                in_specs=(P(), P(ax), P()),
+                out_specs=P(),
+                check_vma=False,
+            )
+        )
+
     film = jnp.zeros((h, w, 3), jnp.float32)
     for ri in range(n_seed_rounds):
-        film = seed_round(film, jnp.uint32(ri))
+        film = run(film, lanes_all, jnp.uint32(ri))
     # each seed represents 1/(seeds per pixel) of the estimator
     scale = n_px / (n_seed_rounds * n_lanes)
     return np.asarray(film * scale)

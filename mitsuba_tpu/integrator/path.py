@@ -590,15 +590,10 @@ TRACE_FNS = {
     "direct": direct_trace,
     "ao": ao_trace,
     "field": field_trace,
-    # bdpt has real single-chip (integrator/bdpt.py) and sharded
-    # (parallel/mesh.py make_sharded_bdpt_pass) implementations — no row
-    # here; remaining rows are being converted the same way
-    "pssmlt": path_trace,
-    "mlt": path_trace,
-    "erpt": path_trace,
-    "ptracer": path_trace,
-    "photonmapper": path_trace,
-    "ppm": path_trace,
-    "sppm": path_trace,
+    # bdpt/pssmlt/mlt/erpt/ptracer/sppm/ppm/photonmapper have real
+    # single-chip implementations (integrator/{bdpt,pssmlt,mlt,ptracer,
+    # sppm}.py) AND real sharded dispatch (parallel/mesh.py
+    # render_sharded) — no fallback rows here
+    # vpl currently renders via path (real VPL generation pending)
     "vpl": path_trace,
 }

@@ -270,11 +270,17 @@ def bootstrap_chains(trace, D, n_chains, n_boot_batches, seed, seed_mlt):
     return jnp.asarray(U_cur), b_norm
 
 
-def render_pssmlt(scene, spp=None, seed=0, pack=None, chains=None):
+def render_pssmlt(scene, spp=None, seed=0, pack=None, chains=None,
+                  mesh=None):
     """Full PSSMLT render (= PSSMLT::render, pssmlt.cpp).
 
     `spp` is interpreted as mutations per pixel (the reference's
     equivalent knob).  Returns a linear HDR numpy image.
+
+    With `mesh`, chains shard across the devices (each chip runs its
+    own Markov chains against a local film; one psum merges) — chain
+    ids key the RNG, so the result is bit-identical to single-chip up
+    to film-sum reassociation.
     """
     from mitsuba_tpu.scene.builder import pack_scene
 
@@ -292,6 +298,9 @@ def render_pssmlt(scene, spp=None, seed=0, pack=None, chains=None):
     p_large = integ.p_large if integ.p_large > 0 else 0.3
 
     n_chains = chains or min(1 << 17, n_px)
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        n_chains = -(-n_chains // n_dev) * n_dev
     # chain control/mutation draws live in their own stream (core/rng.py)
     seed_mlt = rng.stream_seed(seed, rng.STREAM_MLT)
 
@@ -312,17 +321,19 @@ def render_pssmlt(scene, spp=None, seed=0, pack=None, chains=None):
     total_mutations = mutations_pp * n_px
     n_steps = max(total_mutations // n_chains, 1)
 
-    @jax.jit
     def step(carry, k):
-        U_cur, pos_cur, L_cur, I_cur, film = carry
-        lanes = jnp.arange(n_chains, dtype=jnp.uint32)
+        U_cur, pos_cur, L_cur, I_cur, film, lanes = carry
         u_ctl = rng.rand4(lanes, k, 1, seed_mlt)
-        # per-dim mutation randomness
-        dim_l = jnp.arange(n_chains * D, dtype=jnp.uint32)
+        # per-dim mutation randomness, keyed by GLOBAL chain ids
+        nloc = lanes.shape[0]
+        dim_l = (
+            lanes[:, None].astype(jnp.uint32) * D
+            + jnp.arange(D, dtype=jnp.uint32)[None, :]
+        ).reshape(-1)
         um = rng.rand4(dim_l, k, 2, seed_mlt)
-        u_mut = um[:, 0].reshape(n_chains, D)
-        u_sign = um[:, 1].reshape(n_chains, D)
-        u_fresh = um[:, 2].reshape(n_chains, D)
+        u_mut = um[:, 0].reshape(nloc, D)
+        u_sign = um[:, 1].reshape(nloc, D)
+        u_fresh = um[:, 2].reshape(nloc, D)
 
         large = u_ctl[:, 0] < p_large
         U_small = _kelemen_mutate(U_cur, u_mut, u_sign)
@@ -345,14 +356,38 @@ def render_pssmlt(scene, spp=None, seed=0, pack=None, chains=None):
         pos_cur = jnp.where(accept[:, None], pos_p, pos_cur)
         L_cur = jnp.where(accept[:, None], L_p, L_cur)
         I_cur = jnp.where(accept, I_p, I_cur)
-        return (U_cur, pos_cur, L_cur, I_cur, film), None
+        return (U_cur, pos_cur, L_cur, I_cur, film, lanes), None
 
-    film = jnp.zeros((h, w, 3), jnp.float32)
-    carry = (U_cur, pos_cur, L_cur, I_cur, film)
-    carry, _ = jax.lax.scan(
-        step, carry, jnp.arange(n_steps, dtype=jnp.uint32)
-    )
-    film = carry[4]
+    ks = jnp.arange(n_steps, dtype=jnp.uint32)
+    lanes_all = jnp.arange(n_chains, dtype=jnp.uint32)
+
+    def chain_run(lanes, U0, pos0, L0, I0):
+        film = jnp.zeros((h, w, 3), jnp.float32)
+        carry = (U0, pos0, L0, I0, film, lanes)
+        carry, _ = jax.lax.scan(step, carry, ks)
+        return carry[4]
+
+    if mesh is None:
+        film = jax.jit(chain_run)(lanes_all, U_cur, pos_cur, L_cur, I_cur)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        ax = mesh.axis_names[0]
+
+        def sharded_run(lanes, U0, pos0, L0, I0):
+            return jax.lax.psum(
+                chain_run(lanes, U0, pos0, L0, I0), ax
+            )
+
+        film = jax.jit(
+            jax.shard_map(
+                sharded_run,
+                mesh=mesh,
+                in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax)),
+                out_specs=P(),
+                check_vma=False,
+            )
+        )(lanes_all, U_cur, pos_cur, L_cur, I_cur)
 
     # normalization: each splat-pair has total weight 1/I * L ~ unit
     # contribution; E[sum] = steps*chains * E_pi[h f / I]; scale so the

@@ -146,17 +146,11 @@ def _connect_to_camera(pack, cam_info, p, value_rgb, film, active):
     return film.at[py, px].add(val)
 
 
-def render_ptracer(scene, spp=None, seed=0, pack=None):
-    """Full particle-traced render; image units match the path tracer.
-    `spp` = particles per pixel."""
-    from mitsuba_tpu.scene.builder import pack_scene
-
-    if pack is None:
-        pack = pack_scene(scene)
-    sen = scene.sensor.record
-    film_rec = sen.film
-    integ = scene.integrator
-    w, h = film_rec.width, film_rec.height
+def make_ptracer_batch(pack, integ, sen, w, h, seed):
+    """Per-batch particle tracing kernel fn(film, lane, sidx) -> film —
+    shared by the single-chip host loop and the sharded pass (each
+    device runs its own lane range; counter RNG keys by (lane, sidx) so
+    the split is pure work division)."""
     max_depth = integ.max_depth if integ.max_depth > 0 else 16
     rr_depth = max(integ.rr_depth, 1)
     present = pack.present_types
@@ -171,15 +165,7 @@ def render_ptracer(scene, spp=None, seed=0, pack=None):
     cam_fwd = jnp.asarray(tw[:3, 2])  # camera +z (forward) in world space
     cam_info = (cam_pos, world_to_cam, th, aspect, w, h, cam_fwd)
 
-    spp = spp or sen.sampler.sample_count
-    n_particles_total = spp * w * h
-    batch = min(n_particles_total, 1 << 20)
-    n_batches = max(n_particles_total // batch, 1)
-
-    @jax.jit
-    def run_batch(film, batch_idx):
-        lane = jnp.arange(batch, dtype=jnp.uint32)
-        sidx = jnp.broadcast_to(batch_idx, lane.shape).astype(jnp.uint32)
+    def run_batch(film, lane, sidx):
         p0, n0, d0, beta, is_area, e0 = _sample_emitter_ray(
             pack, lane, sidx, seed
         )
@@ -272,6 +258,32 @@ def render_ptracer(scene, spp=None, seed=0, pack=None):
 
         out = jax.lax.while_loop(cond, body, state)
         return out["film"]
+
+    return run_batch
+
+
+def render_ptracer(scene, spp=None, seed=0, pack=None):
+    """Full particle-traced render; image units match the path tracer.
+    `spp` = particles per pixel."""
+    from mitsuba_tpu.scene.builder import pack_scene
+
+    if pack is None:
+        pack = pack_scene(scene)
+    sen = scene.sensor.record
+    film_rec = sen.film
+    w, h = film_rec.width, film_rec.height
+
+    spp = spp or sen.sampler.sample_count
+    n_particles_total = spp * w * h
+    batch = min(n_particles_total, 1 << 20)
+    n_batches = max(n_particles_total // batch, 1)
+    run = make_ptracer_batch(pack, scene.integrator, sen, w, h, seed)
+
+    @jax.jit
+    def run_batch(film, batch_idx):
+        lane = jnp.arange(batch, dtype=jnp.uint32)
+        sidx = jnp.broadcast_to(batch_idx, lane.shape).astype(jnp.uint32)
+        return run(film, lane, sidx)
 
     film = jnp.zeros((h, w, 3), jnp.float32)
     for b in range(n_batches):

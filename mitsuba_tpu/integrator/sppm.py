@@ -59,38 +59,10 @@ def _cell_id(q, dims):
     return (q[..., 2] * dims[1] + q[..., 1]) * dims[0] + q[..., 0]
 
 
-def render_sppm(scene, spp=None, seed=0, pack=None, photons_per_pass=None):
-    """Progressive render: `spp` = number of SPPM iterations (each is one
-    eye pass at 1 sample/pixel + one photon pass)."""
-    from mitsuba_tpu.scene.builder import pack_scene
-
-    if pack is None:
-        pack = pack_scene(scene)
-    if pack.meta["n_emitters"] == 0:
-        return np.zeros(
-            (scene.sensor.record.film.height, scene.sensor.record.film.width,
-             3),
-            np.float32,
-        )
-
-    sen = scene.sensor.record
-    film_rec = sen.film
-    integ = scene.integrator
-    w, h = film_rec.width, film_rec.height
-    n_px = w * h
-    present = pack.present_types
-    max_depth = integ.max_depth if integ.max_depth > 0 else 12
-    sampler_rec = sen.sampler
-
-    n_iters = spp or sampler_rec.sample_count
-    n_photons = photons_per_pass or int(
-        os.environ.get("MTS_SPPM_PHOTONS", 1 << 18)
-    )
-
-    # scene bounds for the hash grid + initial radius (reference
-    # sppm.cpp chooses from the film footprint; we use the scene
-    # extent).  NOTE: tri arrays are PADDED past n_tris with 1e30
-    # sentinels — slice to the real primitive count.
+def _scene_grid_bounds(pack):
+    """Hash-grid bounds + initial radius scale from the scene extent.
+    NOTE: tri arrays are PADDED past n_tris with 1e30 sentinels —
+    slice to the real primitive count."""
     nt = int(pack.n_tris)
     v0 = np.asarray(pack.tri_v0[:nt])
     v1 = v0 + np.asarray(pack.tri_e1[:nt])
@@ -99,22 +71,37 @@ def render_sppm(scene, spp=None, seed=0, pack=None, photons_per_pass=None):
     lo = pts.min(axis=0)
     hi = pts.max(axis=0)
     extent = float(np.max(hi - lo)) or 1.0
-    r0 = float(
-        os.environ.get("MTS_SPPM_R0", extent / max(w, h) * 2.0)
-    )
+    return lo, hi, extent
+
+
+def make_sppm_passes(pack, integ, sen, w, h, seed):
+    """Factory for the two wavefront passes, parameterized over lane
+    arrays so both the single-chip loop and the sharded renderer
+    (parallel/mesh.py) drive the SAME algorithm:
+
+      eye_fn(lane_px, it)  -> (L [n,3], vps tuple)     — lanes = pixels
+      photon_fn(lane_ph, it, vps, r2) -> (M, tau, overflow)
+          — lanes = photons; vps/r2 cover the FULL film (replicated in
+            the sharded case; each shard's photon subset contributes
+            additively and M/tau psum-merge)
+    """
+    n_px = w * h
+    present = pack.present_types
+    max_depth = integ.max_depth if integ.max_depth > 0 else 12
+    sampler_rec = sen.sampler
+    lo, hi, extent = _scene_grid_bounds(pack)
 
     cam_packed = sen.pack(w, h)
     from mitsuba_tpu.sensor.plugins import generate_rays
 
-    lane_px = jnp.arange(n_px, dtype=jnp.uint32)
-    lane_ph = jnp.arange(n_photons, dtype=jnp.uint32)
     seed_eye = jnp.uint32(seed)
     seed_ph = rng.stream_seed(seed, rng.STREAM_LIGHT)
 
     # ---------------- eye pass: find visible points ----------------
-    def eye_pass(it):
+    def eye_pass(lane_px, it):
         """One camera sample per pixel -> visible points + direct light."""
-        sidx = jnp.broadcast_to(it, (n_px,)).astype(jnp.uint32)
+        n_lanes = lane_px.shape[0]
+        sidx = jnp.broadcast_to(it, (n_lanes,)).astype(jnp.uint32)
         jitter = sampler_rec.pixel_sample(
             lane_px, sidx, sampler_rec.sample_count
         )
@@ -125,18 +112,18 @@ def render_sppm(scene, spp=None, seed=0, pack=None, photons_per_pass=None):
             cam_packed, pos01, sampler_rec.next2d(lane_px, sidx, 1009)
         )
 
-        L = jnp.zeros((n_px, 3), jnp.float32)
-        thr = jnp.ones((n_px, 3), jnp.float32)
-        active = jnp.ones((n_px,), bool)
-        vp_valid = jnp.zeros((n_px,), bool)
-        vp_p = jnp.zeros((n_px, 3), jnp.float32)
-        vp_ns = jnp.zeros((n_px, 3), jnp.float32)
-        vp_wi = jnp.zeros((n_px, 3), jnp.float32)
-        vp_beta = jnp.zeros((n_px, 3), jnp.float32)
-        vp_mat = jnp.zeros((n_px,), jnp.int32)
-        vp_uv = jnp.zeros((n_px, 2), jnp.float32)
-        prev_delta = jnp.ones((n_px,), bool)
-        prev_pdf = jnp.ones((n_px,), jnp.float32)
+        L = jnp.zeros((n_lanes, 3), jnp.float32)
+        thr = jnp.ones((n_lanes, 3), jnp.float32)
+        active = jnp.ones((n_lanes,), bool)
+        vp_valid = jnp.zeros((n_lanes,), bool)
+        vp_p = jnp.zeros((n_lanes, 3), jnp.float32)
+        vp_ns = jnp.zeros((n_lanes, 3), jnp.float32)
+        vp_wi = jnp.zeros((n_lanes, 3), jnp.float32)
+        vp_beta = jnp.zeros((n_lanes, 3), jnp.float32)
+        vp_mat = jnp.zeros((n_lanes,), jnp.int32)
+        vp_uv = jnp.zeros((n_lanes, 2), jnp.float32)
+        prev_delta = jnp.ones((n_lanes,), bool)
+        prev_pdf = jnp.ones((n_lanes,), jnp.float32)
 
         from mitsuba_tpu.bsdf.eval import DELTA_TYPES
 
@@ -175,7 +162,7 @@ def render_sppm(scene, spp=None, seed=0, pack=None, photons_per_pass=None):
             frame = shading_frame(pack, its)
             wi_l = frame.to_local(its.wi_world)
 
-            is_delta_mat = jnp.zeros((n_px,), bool)
+            is_delta_mat = jnp.zeros((n_lanes,), bool)
             for tname in DELTA_TYPES:
                 is_delta_mat = is_delta_mat | (sp["type"] == tname)
 
@@ -235,13 +222,15 @@ def render_sppm(scene, spp=None, seed=0, pack=None, photons_per_pass=None):
         return L, (vp_valid, vp_p, vp_ns, vp_wi, vp_beta, vp_mat, vp_uv)
 
     # ---------------- photon pass ----------------
-    def photon_pass(it, vps, r2):
-        """Shoot n_photons and gather flux onto visible points.
+    def photon_pass(lane_ph, it, vps, r2):
+        """Shoot lane_ph photons and gather flux onto visible points.
 
-        Returns (M_i [n_px] photon counts, tau_i [n_px,3] unnormalized
+        Returns (M_i [n_vp] photon counts, tau_i [n_vp,3] unnormalized
         flux sums, dropped count)."""
         (vp_valid, vp_p, vp_ns, vp_wi, vp_beta, vp_mat, vp_uv) = vps
-        sidx = jnp.broadcast_to(it, (n_photons,)).astype(jnp.uint32)
+        n_ph = lane_ph.shape[0]
+        n_vp = vp_p.shape[0]
+        sidx = jnp.broadcast_to(it, (n_ph,)).astype(jnp.uint32)
         p0, n0, d0, beta0, is_area, e0 = _sample_emitter_ray(
             pack, lane_ph, sidx, seed
         )
@@ -299,7 +288,7 @@ def render_sppm(scene, spp=None, seed=0, pack=None, photons_per_pass=None):
                 active = active & keep
             active = active & (jnp.max(beta, axis=-1) > 0)
 
-        P = n_photons * len(ph_p)
+        P = n_ph * len(ph_p)
         ph_p = jnp.concatenate(ph_p)
         ph_d = jnp.concatenate(ph_d)
         ph_pow = jnp.concatenate(ph_pow)
@@ -334,8 +323,8 @@ def render_sppm(scene, spp=None, seed=0, pack=None, photons_per_pass=None):
         frame_v = mm.Frame.from_normal(vp_ns)
         wi_v = frame_v.to_local(vp_wi)
 
-        M = jnp.zeros((n_px,), jnp.float32)
-        tau = jnp.zeros((n_px, 3), jnp.float32)
+        M = jnp.zeros((n_vp,), jnp.float32)
+        tau = jnp.zeros((n_vp, 3), jnp.float32)
         overflow = jnp.zeros((), jnp.float32)
         for dz in range(2):
             for dy in range(2):
@@ -386,9 +375,48 @@ def render_sppm(scene, spp=None, seed=0, pack=None, photons_per_pass=None):
                         M = M + jnp.where(inside, scale, 0.0)
         return M, tau, overflow
 
-    # ---------------- progressive loop ----------------
-    eye_j = jax.jit(eye_pass)
-    photon_j = jax.jit(photon_pass)
+    return eye_pass, photon_pass, extent
+
+
+def render_sppm(scene, spp=None, seed=0, pack=None, photons_per_pass=None):
+    """Progressive render: `spp` = number of SPPM iterations (each is one
+    eye pass at 1 sample/pixel + one photon pass)."""
+    from mitsuba_tpu.scene.builder import pack_scene
+
+    if pack is None:
+        pack = pack_scene(scene)
+    if pack.meta["n_emitters"] == 0:
+        return np.zeros(
+            (scene.sensor.record.film.height, scene.sensor.record.film.width,
+             3),
+            np.float32,
+        )
+
+    sen = scene.sensor.record
+    film_rec = sen.film
+    integ = scene.integrator
+    w, h = film_rec.width, film_rec.height
+    n_px = w * h
+    sampler_rec = sen.sampler
+
+    n_iters = spp or sampler_rec.sample_count
+    n_photons = photons_per_pass or int(
+        os.environ.get("MTS_SPPM_PHOTONS", 1 << 18)
+    )
+
+    eye_pass, photon_pass, extent = make_sppm_passes(
+        pack, integ, sen, w, h, seed
+    )
+    r0 = float(
+        os.environ.get("MTS_SPPM_R0", extent / max(w, h) * 2.0)
+    )
+
+    lane_px = jnp.arange(n_px, dtype=jnp.uint32)
+    lane_ph = jnp.arange(n_photons, dtype=jnp.uint32)
+    eye_j = jax.jit(lambda it: eye_pass(lane_px, it))
+    photon_j = jax.jit(
+        lambda it, vps, r2: photon_pass(lane_ph, it, vps, r2)
+    )
 
     r2 = jnp.full((n_px,), r0 * r0, jnp.float32)
     N = jnp.zeros((n_px,), jnp.float32)
