@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Time-to-RMSE benchmark: the second half of the north star.
+
+BASELINE.json demands time-to-RMSE-0.01 parity (+-5%) vs 32-core CPU
+Mitsuba on the benchmark configs.  The CPU reference cannot be BUILT in
+this container (no boost/Xerces toolchain), so this harness measures
+OUR wall-clock-to-RMSE curve against pinned high-spp converged images
+(bench_refs/*.npz, generated with --make-refs on the TPU) and reports
+it per scene; the CPU side is an order-of-magnitude literature estimate
+documented in BASELINE.md, not a measurement.
+
+RMSE definition: relative RMSE over the tone-domain img/(1+img) —
+stable against caustic fireflies — matching tests/test_golden.py.
+
+Usage:
+  python bench_rmse.py --make-refs     # once, on TPU (slow, high spp)
+  python bench_rmse.py                 # measure; prints a JSON line per
+                                       # scene + a summary table
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REF_DIR = os.path.join(HERE, "bench_refs")
+
+# (name, scene file, integrator override, resolution, ref spp)
+CONFIGS = [
+    ("cbox", "scenes/cbox.xml", None, 512, 4096),
+    ("matpreview", "scenes/matpreview.xml", None, 512, 4096),
+    ("smoke", "scenes/smoke.xml", None, 256, 512),
+    ("glass_caustics", "scenes/glass_caustics.xml", None, 256, 4096),
+]
+TARGET_RMSE = 0.01
+
+
+def _load(name, path, integrator, res):
+    from mitsuba_tpu.scene.xml_loader import load_scene
+
+    scene = load_scene(os.path.join(HERE, path))
+    scene.sensor.record.film.width = res
+    scene.sensor.record.film.height = res
+    if integrator is not None:
+        from mitsuba_tpu.integrator.plugins import IntegratorRecord
+
+        scene.integrator = IntegratorRecord(kind=integrator)
+    return scene
+
+
+def _render(scene, spp, seed):
+    from mitsuba_tpu.renderer import render
+
+    return np.asarray(render(scene, spp=spp, seed=seed))
+
+
+def _rmse(img, ref):
+    a = img / (1.0 + img)
+    b = ref / (1.0 + ref)
+    return float(np.sqrt(np.mean((a - b) ** 2)))
+
+
+def make_refs():
+    os.makedirs(REF_DIR, exist_ok=True)
+    for name, path, integ, res, ref_spp in CONFIGS:
+        out = os.path.join(REF_DIR, f"{name}_{res}.npz")
+        if os.path.exists(out):
+            print(f"{name}: ref exists, skipping")
+            continue
+        scene = _load(name, path, integ, res)
+        t0 = time.time()
+        img = _render(scene, ref_spp, seed=999)
+        print(f"{name}: ref {res}^2 @{ref_spp}spp in {time.time()-t0:.0f}s")
+        np.savez_compressed(out, img=img.astype(np.float16))
+
+
+def measure():
+    results = []
+    for name, path, integ, res, _ in CONFIGS:
+        ref_file = os.path.join(REF_DIR, f"{name}_{res}.npz")
+        if not os.path.exists(ref_file):
+            print(f"# {name}: no ref ({ref_file}); run --make-refs first",
+                  file=sys.stderr)
+            continue
+        ref = np.load(ref_file)["img"].astype(np.float32)
+        scene = _load(name, path, integ, res)
+
+        # warm the compile cache outside the timed renders
+        _render(scene, 1, seed=1)
+
+        spp = 2
+        prev = None  # (spp, seconds, rmse)
+        hit = None
+        while spp <= 4096:
+            t0 = time.time()
+            img = _render(scene, spp, seed=1)
+            dt = time.time() - t0
+            r = _rmse(img, ref)
+            print(f"# {name}: {spp:5d}spp {dt:7.2f}s rmse {r:.4f}",
+                  file=sys.stderr)
+            if r <= TARGET_RMSE:
+                hit = (spp, dt, r)
+                break
+            prev = (spp, dt, r)
+            spp *= 2
+        if hit is None:
+            results.append({
+                "scene": name, "res": res,
+                "seconds_to_rmse_0.01": None,
+                "last_spp": prev[0], "last_rmse": prev[2],
+                "last_seconds": prev[1],
+            })
+            continue
+        # log-log interpolate between the bracketing budgets (rmse ~
+        # spp^-1/2, time ~ spp)
+        if prev is not None and prev[2] > TARGET_RMSE:
+            f = (np.log(prev[2]) - np.log(TARGET_RMSE)) / max(
+                np.log(prev[2]) - np.log(hit[2]), 1e-9
+            )
+            secs = prev[1] * (hit[1] / prev[1]) ** f
+            spp_est = prev[0] * (hit[0] / prev[0]) ** f
+        else:
+            secs, spp_est = hit[1], hit[0]
+        results.append({
+            "scene": name, "res": res,
+            "seconds_to_rmse_0.01": round(float(secs), 2),
+            "spp_to_rmse_0.01": int(spp_est),
+            "bracket_spp": hit[0], "bracket_rmse": hit[2],
+        })
+    print(json.dumps({"metric": "time_to_rmse_0.01", "results": results}))
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--make-refs", action="store_true")
+    args = p.parse_args()
+    if args.make_refs:
+        make_refs()
+    else:
+        measure()

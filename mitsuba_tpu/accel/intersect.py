@@ -526,6 +526,7 @@ class SurfaceInteraction(NamedTuple):
     med_in: jnp.ndarray  # interior medium id (-1 vacuum)
     med_ex: jnp.ndarray  # exterior medium id
     dpdu: jnp.ndarray  # [R, 3] uv-aligned tangent (bump/normal maps)
+    bary: jnp.ndarray  # [R, 2] triangle barycentrics (geom textures)
 
 
 def fill_interaction(pack, o, d, hit: Hit) -> SurfaceInteraction:
@@ -628,4 +629,5 @@ def fill_interaction(pack, o, d, hit: Hit) -> SurfaceInteraction:
         med_in=med_in,
         med_ex=med_ex,
         dpdu=dpdu,
+        bary=jnp.stack([hit.u, hit.v], axis=-1),
     )

@@ -35,6 +35,7 @@ from mitsuba_tpu.bsdf.plugins import (
     DIELECTRIC,
     DIFFTRANS,
     DIFFUSE,
+    HK,
     NULL_BSDF,
     PHONG_BSDF,
     PLASTIC,
@@ -55,6 +56,7 @@ TRANSMISSIVE_TYPES = (
     ROUGHDIELECTRIC,
     DIFFTRANS,
     NULL_BSDF,
+    HK,
 )
 
 
@@ -380,10 +382,83 @@ def _roughdielectric_pdf(sp, wi, wo):
 
 
 # ---------------------------------------------------------------------------
+# Hanrahan-Krueger thin slab (reference src/bsdfs/hk.cpp)
+# param columns: cB = sigmaS, cC = sigmaA, alpha_u = HG g,
+# alpha_v = slab thickness
+# ---------------------------------------------------------------------------
+
+def _hk_phase(g, wi, wo):
+    """HG phase with the slab's direction convention: forward
+    scattering has dot(wi, wo) = -1 (both vectors point away from the
+    slab/scattering point, reference hg.cpp eval)."""
+    c = mm.dot(wi, wo)
+    temp = 1.0 + g * g + 2.0 * g * c
+    return (
+        0.25 * INV_PI * (1.0 - g * g)
+        / jnp.maximum(temp * jnp.sqrt(jnp.maximum(temp, 1e-12)), 1e-12)
+    )
+
+
+def _hk_common(sp):
+    sig_s = sp["cB"]
+    sig_a = sp["cC"]
+    sig_t = sig_s + sig_a
+    tau = sig_t * sp["alpha_v"][..., None]
+    albedo = jnp.where(sig_t > 0, sig_s / jnp.maximum(sig_t, 1e-12), 0.0)
+    return tau, albedo
+
+
+def _hk_prob_spec(sp, wi):
+    tau, _ = _hk_common(sp)
+    aci = jnp.maximum(jnp.abs(mm.cos_theta(wi)), 1e-6)
+    return jnp.mean(jnp.exp(-tau / aci[..., None]), axis=-1)
+
+
+def _hk_eval(sp, wi, wo):
+    """Single-scattering slab terms (hk.cpp eval, ESolidAngle); the
+    delta straight-through transmission lives in sample()."""
+    tau, albedo = _hk_common(sp)
+    ci, co = mm.cos_theta(wi), mm.cos_theta(wo)
+    aci = jnp.maximum(jnp.abs(ci), 1e-6)
+    aco = jnp.maximum(jnp.abs(co), 1e-6)
+    phase = _hk_phase(sp["alpha_u"], wi, wo)
+
+    # reflection: Hanrahan et al. 93 single scattering
+    r_fac = phase * aci / (aci + aco)
+    refl = albedo * r_fac[..., None] * (
+        1.0 - jnp.exp((-1.0 / aci - 1.0 / aco)[..., None] * tau)
+    )
+    # transmission
+    near = jnp.abs(aci - aco) < 1e-4
+    t_same = (
+        albedo * (phase / aco)[..., None] * tau
+        * jnp.exp(-tau / aco[..., None])
+    )
+    t_diff = (
+        albedo * (phase * aci / (aci - aco))[..., None]
+        * (jnp.exp(-tau / aci[..., None]) - jnp.exp(-tau / aco[..., None]))
+    )
+    trans = jnp.where(near[..., None], t_same, t_diff)
+
+    dp = ci * co
+    out = jnp.where((dp > 0)[..., None], refl,
+                    jnp.where((dp < 0)[..., None], trans, 0.0))
+    return out * aco[..., None]
+
+
+def _hk_pdf(sp, wi, wo):
+    """Phase-function sampling density x (1 - P[specular transmission])
+    (hk.cpp pdf, ESolidAngle)."""
+    p = _hk_phase(sp["alpha_u"], wi, wo)
+    return p * (1.0 - _hk_prob_spec(sp, wi))
+
+
+# ---------------------------------------------------------------------------
 # public dispatch
 # ---------------------------------------------------------------------------
 
 _EVAL_FNS = {
+    HK: _hk_eval,
     DIFFUSE: _diffuse_eval,
     ROUGHDIFFUSE: _roughdiffuse_eval,
     ROUGHCONDUCTOR: _roughconductor_eval,
@@ -396,6 +471,7 @@ _EVAL_FNS = {
 }
 
 _PDF_FNS = {
+    HK: _hk_pdf,
     DIFFUSE: _diffuse_pdf,
     ROUGHDIFFUSE: _diffuse_pdf,
     ROUGHCONDUCTOR: _roughconductor_pdf,
@@ -748,6 +824,32 @@ def bsdf_sample(sp, wi, u2, ulobe, present):
                 ok[..., None], f / jnp.maximum(pdf_t, 1e-10)[..., None], 0.0
             )
             put(tm, wo_t, w_t, pdf_t, False, 1.0)
+        elif t == HK:
+            # slab: delta straight-through transmission with probability
+            # = mean channel attenuation, else HG phase scattering
+            # (reference hk.cpp sample)
+            p_spec = _hk_prob_spec(sp, wi)
+            tau, _ = _hk_common(sp)
+            choose_spec = ulobe < p_spec
+            wo_spec = -wi
+            att = jnp.exp(
+                -tau / jnp.maximum(jnp.abs(ci), 1e-6)[..., None]
+            )
+            w_spec = att / jnp.maximum(p_spec, 1e-8)[..., None]
+            # phase scattering around the continuing direction -wi
+            fwd = mm.Frame.from_normal(-wi)
+            wo_hg = fwd.to_world(warp.square_to_phase_hg(u2, sp["alpha_u"]))
+            pdf_hg = _hk_pdf(sp, wi, wo_hg)
+            f_hg = _hk_eval(sp, wi, wo_hg)
+            w_hg = jnp.where(
+                (pdf_hg > 1e-10)[..., None],
+                f_hg / jnp.maximum(pdf_hg, 1e-10)[..., None],
+                0.0,
+            )
+            wo_t = jnp.where(choose_spec[..., None], wo_spec, wo_hg)
+            w_t = jnp.where(choose_spec[..., None], w_spec, w_hg)
+            pdf_t = jnp.where(choose_spec, p_spec, pdf_hg)
+            put(tm, wo_t, w_t, pdf_t, choose_spec, 1.0)
         elif t == DIELECTRIC:
             F, cos_t, eta_rel = mm.fresnel_dielectric(ci, sp["eta"])
             refl = ulobe <= F

@@ -39,6 +39,7 @@ DIFFTRANS = 11
 NULL_BSDF = 12
 MIXTURE = 13
 COATING = 14
+HK = 15
 
 TYPE_NAMES = {
     DIFFUSE: "diffuse",
@@ -478,20 +479,32 @@ class Coating(_BSDFBase):
 
 @register("bsdf", "hk")
 class HanrahanKrueger(_BSDFBase):
-    """PLACEHOLDER for reference src/bsdfs/hk.cpp (Hanrahan-Krueger thin
-    slab): approximated as diffuse transmission + reflection mix derived
-    from the slab's single-scattering albedo."""
+    """reference src/bsdfs/hk.cpp — Hanrahan-Krueger thin slab:
+    attenuated delta straight-through transmission + single-scattering
+    reflection/transmission with an HG phase (bsdf/eval.py _hk_*).
+    sigmaT&albedo parameterization folds to sigmaS/sigmaA."""
 
     def _build(self, props):
-        rec = BSDFRecord(type=DIFFTRANS)
-        sigma_s = props.get_spectrum("sigmaS", _gray(2.0))
-        sigma_a = props.get_spectrum("sigmaA", _gray(0.05))
-        thickness = props.get_float("thickness", 1.0)
-        tau = (sigma_s + sigma_a) * thickness
-        albedo = sigma_s / np.maximum(sigma_s + sigma_a, 1e-6)
-        rec.cA = (albedo * np.exp(-tau) + albedo * 0.5 * (1 - np.exp(-tau))).astype(
-            np.float32
-        )
+        rec = BSDFRecord(type=HK)
+        if "sigmaT" in props or "albedo" in props:
+            sigma_t = props.get_spectrum("sigmaT", _gray(2.05))
+            albedo = props.get_spectrum("albedo", _gray(2.0 / 2.05))
+            sigma_s = sigma_t * albedo
+            sigma_a = sigma_t - sigma_s
+        else:
+            sigma_s = props.get_spectrum("sigmaS", _gray(2.0))
+            sigma_a = props.get_spectrum("sigmaA", _gray(0.05))
+        rec.cB = np.asarray(sigma_s, np.float32)
+        rec.cC = np.asarray(sigma_a, np.float32)
+        g = props.get_float("g", 0.0)  # flat param or nested hg phase
+        for _, child in props.children:
+            r = getattr(child, "record", None)
+            if r is not None and hasattr(r, "g") and hasattr(r, "kind"):
+                g = float(r.g)
+        rec.alpha_u = g
+        rec.alpha_v = props.get_float("thickness", 1.0)
+        st = np.maximum(sigma_s + sigma_a, 1e-6)
+        rec.cA = (sigma_s / st).astype(np.float32)  # albedo (avg refl)
         return rec
 
 

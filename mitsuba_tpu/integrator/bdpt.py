@@ -120,7 +120,7 @@ def _walk(pack, o0, d0, beta0, pdf_w0, lane, sidx, seed, n_steps, present,
 
         frame = shading_frame(pack, its)
         wi_l = frame.to_local(its.wi_world)
-        sp = shading_params(pack, its.mat, its.uv, mip_footprint(pack, its))
+        sp = shading_params(pack, its.mat, its.uv, mip_footprint(pack, its), its=its)
 
         pdf_fwd = jnp.where(
             prev_delta_transition,

@@ -55,7 +55,7 @@ def _overture(pack, integ, cam_rays, seed):
     o, d = cam_rays
     hit = intersect(pack, o, d)
     its = fill_interaction(pack, o, d, hit)
-    sp = shading_params(pack, its.mat, its.uv)
+    sp = shading_params(pack, its.mat, its.uv, its=its)
     diffuse = its.valid & (sp["type"] == DIFFUSE)
 
     m = o.shape[0]
@@ -152,7 +152,7 @@ def irrcache_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0,
     its = fill_interaction(pack, o, d, hit)
     frame = shading_frame(pack, its)
     wi_l = frame.to_local(its.wi_world)
-    sp = shading_params(pack, its.mat, its.uv, mip_footprint(pack, its))
+    sp = shading_params(pack, its.mat, its.uv, mip_footprint(pack, its), its=its)
     diffuse = its.valid & (sp["type"] == DIFFUSE)
 
     L = jnp.zeros(o.shape[:1] + (3,), jnp.float32)

@@ -149,7 +149,7 @@ def path_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
         # ---- local frame + shading params ----
         frame = shading_frame(pack, its)
         wi_l = frame.to_local(its.wi_world)
-        sp = shading_params(pack, its.mat, its.uv, mip_footprint(pack, its))
+        sp = shading_params(pack, its.mat, its.uv, mip_footprint(pack, its), its=its)
 
         # strict normals: reject rays that hit shading/geo-inconsistent
         # configurations (reference path.cpp:165-172)
@@ -368,7 +368,7 @@ def path_trace_regen(
 
         frame = shading_frame(pack, its)
         wi_l = frame.to_local(its.wi_world)
-        sp = shading_params(pack, its.mat, its.uv, mip_footprint(pack, its))
+        sp = shading_params(pack, its.mat, its.uv, mip_footprint(pack, its), its=its)
         if integ.strict_normals:
             wi_g = mm.dot(its.wi_world, its.ng)
             active = active & (wi_g * mm.cos_theta(wi_l) > 0)
@@ -572,7 +572,7 @@ def field_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
             [its.uv, jnp.zeros(its.uv.shape[:-1] + (1,))], axis=-1
         )
     elif name == "albedo":
-        sp = shading_params(pack, its.mat, its.uv, mip_footprint(pack, its))
+        sp = shading_params(pack, its.mat, its.uv, mip_footprint(pack, its), its=its)
         v = sp["cA"]
     elif name == "primIndex":
         v = jnp.repeat(its.prim[..., None].astype(jnp.float32), 3, -1)

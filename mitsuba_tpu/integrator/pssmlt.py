@@ -128,7 +128,7 @@ def path_from_primary(pack, integ, cam, w, h, U):
         active = found
         frame = shading_frame(pack, its)
         wi_l = frame.to_local(its.wi_world)
-        sp = shading_params(pack, its.mat, its.uv, mip_footprint(pack, its))
+        sp = shading_params(pack, its.mat, its.uv, mip_footprint(pack, its), its=its)
 
         if pack.meta["n_emitters"] > 0:
             u_n = u_at(depth, 0, 3)

@@ -208,7 +208,7 @@ def make_ptracer_batch(pack, integ, sen, w, h, seed):
 
             frame = shading_frame(pack, its)
             wi_l = frame.to_local(its.wi_world)
-            sp = shading_params(pack, its.mat, its.uv)
+            sp = shading_params(pack, its.mat, its.uv, its=its)
 
             # connect this vertex to the camera
             to_cam = cam_pos[None, :] - its.p

@@ -158,7 +158,7 @@ def make_sppm_passes(pack, integ, sen, w, h, seed):
                 )
 
             active = found
-            sp = shading_params(pack, its.mat, its.uv)
+            sp = shading_params(pack, its.mat, its.uv, its=its)
             frame = shading_frame(pack, its)
             wi_l = frame.to_local(its.wi_world)
 
@@ -265,7 +265,7 @@ def make_sppm_passes(pack, integ, sen, w, h, seed):
             ph_pow.append(beta)
             ph_ok.append(store)
 
-            sp = shading_params(pack, its.mat, its.uv)
+            sp = shading_params(pack, its.mat, its.uv, its=its)
             frame = shading_frame(pack, its)
             wi_l = frame.to_local(its.wi_world)
             u_b = rng.rand4(

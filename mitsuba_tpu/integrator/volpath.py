@@ -191,7 +191,7 @@ def volpath_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
         # ============ SURFACE EVENT ============
         frame = shading_frame(pack, its)
         wi_l = frame.to_local(its.wi_world)
-        sp = shading_params(pack, its.mat, its.uv, mip_footprint(pack, its))
+        sp = shading_params(pack, its.mat, its.uv, mip_footprint(pack, its), its=its)
 
         # ============ SHARED NEE ============
         # one emitter sample + ONE attenuated shadow trace serves both

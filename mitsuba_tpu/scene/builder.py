@@ -191,6 +191,72 @@ def _cam_pix_angle(scene):
         return 0.0
 
 
+def _vertex_curvatures(mesh):
+    """Discrete per-vertex (mean H, Gaussian K) curvature estimates:
+    angle-deficit Gaussian and cotangent-Laplacian mean over the
+    one-ring, with barycentric (area/3) vertex areas — the mesh
+    analogue of the reference's differential-geometry getCurvature
+    (reference src/librender/shape.cpp; visualized by
+    src/textures/curvature.cpp)."""
+    p_raw = np.asarray(mesh.positions, np.float64)
+    idx_raw = np.asarray(mesh.indices, np.int64)
+    # weld positional duplicates (uv seams / pole fans duplicate
+    # vertices, which would leave open one-rings and blow up the
+    # angle-deficit estimate)
+    key = np.round(p_raw * 1e6).astype(np.int64)
+    _, uniq_idx, inv = np.unique(
+        key, axis=0, return_index=True, return_inverse=True
+    )
+    p = p_raw[uniq_idx]
+    idx = inv[idx_raw]
+    nv = len(p)
+    a, b, c = p[idx[:, 0]], p[idx[:, 1]], p[idx[:, 2]]
+    area2 = np.linalg.norm(np.cross(b - a, c - a), axis=-1)  # 2*area
+    area2 = np.maximum(area2, 1e-20)
+
+    angle_sum = np.zeros(nv)
+    varea = np.zeros(nv)
+    lap = np.zeros((nv, 3))
+
+    def corner(vi, e1, e2, vj, vk):
+        """Angle at vi between e1, e2; cot weights onto the two edges."""
+        l1 = np.linalg.norm(e1, axis=-1)
+        l2 = np.linalg.norm(e2, axis=-1)
+        cosang = np.clip(
+            np.sum(e1 * e2, axis=-1) / np.maximum(l1 * l2, 1e-20), -1, 1
+        )
+        ang = np.arccos(cosang)
+        np.add.at(angle_sum, vi, ang)
+        # cot of THIS corner weights the OPPOSITE edge (vj, vk)
+        cot = cosang / np.maximum(np.sqrt(1.0 - cosang * cosang), 1e-6)
+        np.add.at(lap, vj, 0.5 * cot[:, None] * (p[vk] - p[vj]))
+        np.add.at(lap, vk, 0.5 * cot[:, None] * (p[vj] - p[vk]))
+
+    i0, i1, i2 = idx[:, 0], idx[:, 1], idx[:, 2]
+    corner(i0, b - a, c - a, i1, i2)
+    corner(i1, a - b, c - b, i0, i2)
+    corner(i2, a - c, b - c, i0, i1)
+    third = (area2 / 6.0)[:, None]
+    for col in (i0, i1, i2):
+        np.add.at(varea, col, third[:, 0])
+    varea = np.maximum(varea, 1e-20)
+
+    kg = (2.0 * np.pi - angle_sum) / varea
+    # sign of H: positive where the Laplacian points against the normal
+    # (convex regions under outward normals); area-weighted face
+    # normals on the welded mesh
+    n = np.zeros((nv, 3))
+    fn = np.cross(b - a, c - a)
+    for col in (i0, i1, i2):
+        np.add.at(n, col, fn)
+    n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    h_mag = 0.5 * np.linalg.norm(lap, axis=-1) / varea
+    sign = -np.sign(np.sum(lap * n, axis=-1))
+    kh = sign * h_mag
+    # map back to the original (unwelded) vertex indexing
+    return kh[inv].astype(np.float32), kg[inv].astype(np.float32)
+
+
 def _expand_mixtures(rec: BSDFRecord) -> list[BSDFRecord]:
     if rec.type == MIXTURE:
         out = []
@@ -255,6 +321,8 @@ def pack_scene(scene) -> ScenePack:
     v0s, e1s, e2s = [], [], []
     n0s, n1s, n2s = [], [], []
     uv0s, uv1s, uv2s = [], [], []
+    c0s, c1s, c2s = [], [], []  # per-corner vertex colors
+    geom_meshes = []  # meshes in triangle order (curvature estimation)
     tmats, temits = [], []
     tmed_in, tmed_ex = [], []
     spheres = []
@@ -363,6 +431,19 @@ def pack_scene(scene) -> ScenePack:
             temits.append(np.full(len(i), emit_id, np.int32))
             tmed_in.append(np.full(len(i), med_in, np.int32))
             tmed_ex.append(np.full(len(i), med_ex, np.int32))
+            # per-corner colors (vertexcolors texture) + deferred mesh
+            # reference for curvature estimation (geom textures)
+            if mesh.colors is not None:
+                col = np.asarray(mesh.colors, np.float32)
+                c0s.append(col[i[:, 0]])
+                c1s.append(col[i[:, 1]])
+                c2s.append(col[i[:, 2]])
+            else:
+                o3 = np.ones((len(i), 3), np.float32)
+                c0s.append(o3)
+                c1s.append(o3)
+                c2s.append(o3)
+            geom_meshes.append(mesh)
 
     def cat(parts, shape_tail, dtype=np.float32):
         if parts:
@@ -384,6 +465,62 @@ def pack_scene(scene) -> ScenePack:
     tri_med_ex = cat(tmed_ex, (), np.int32)
     n_tris = len(tri_v0)
 
+    # geometry-driven textures (vertexcolors / wireframe / curvature):
+    # per-corner attribute columns, packed only when the scene uses them
+    from mitsuba_tpu.scene.textures import (
+        TEX_CURVATURE,
+        TEX_VERTEXCOLORS,
+        TEX_WIREFRAME,
+    )
+
+    # the texture TABLE fills later (material-table loop); scan the
+    # material records' texture descriptors directly here
+    def _mat_tex_descs():
+        out = []
+        stack = list(materials)
+        while stack:
+            rec = stack.pop()
+            for f in ("texA", "tex_opacity", "tex_bump"):
+                t = getattr(rec, f, None)
+                if t is not None:
+                    out.append(t)
+            stack.extend(getattr(rec, "children", None) or [])
+        return out
+
+    _descs = _mat_tex_descs()
+    geom_tex_kinds = tuple(sorted({
+        t.kind for t in _descs
+        if t.kind in (TEX_VERTEXCOLORS, TEX_WIREFRAME, TEX_CURVATURE)
+    }))
+    need_vc = TEX_VERTEXCOLORS in geom_tex_kinds
+    need_kv = TEX_CURVATURE in geom_tex_kinds
+    tri_c0 = cat(c0s, (3,)) if need_vc else None
+    tri_c1 = cat(c1s, (3,)) if need_vc else None
+    tri_c2 = cat(c2s, (3,)) if need_vc else None
+    if need_kv:
+        kh_parts, kg_parts = [], []
+        for mesh in geom_meshes:
+            kh, kg = _vertex_curvatures(mesh)
+            i = mesh.indices.astype(np.int64)
+            kh_parts.append(kh[i])  # [T, 3]
+            kg_parts.append(kg[i])
+        tri_kh = cat(kh_parts, (3,))
+        tri_kg = cat(kg_parts, (3,))
+    else:
+        tri_kh = tri_kg = None
+    if TEX_WIREFRAME in geom_tex_kinds:
+        # automatic lineWidth = 10% of the mean edge length
+        # (reference wireframe.cpp:90-105)
+        el = (
+            np.linalg.norm(tri_e1, axis=-1)
+            + np.linalg.norm(tri_e2, axis=-1)
+            + np.linalg.norm(tri_e2 - tri_e1, axis=-1)
+        )
+        auto_lw = 0.1 * float(el.mean()) / 3.0 if n_tris else 0.01
+        for t in _descs:
+            if t.kind == TEX_WIREFRAME and t.line_width <= 0.0:
+                t.line_width = auto_lw
+
     # ---------------- BVH ----------------
     use_bvh = n_tris > BRUTE_FORCE_MAX_TRIS
     if use_bvh:
@@ -401,6 +538,12 @@ def pack_scene(scene) -> ScenePack:
                 tri_uv0, tri_uv1, tri_uv2, tri_mat, tri_emit,
                 tri_med_in, tri_med_ex)
         )
+        if tri_c0 is not None:
+            tri_c0, tri_c1, tri_c2 = (
+                a[perm] for a in (tri_c0, tri_c1, tri_c2)
+            )
+        if tri_kh is not None:
+            tri_kh, tri_kg = tri_kh[perm], tri_kg[perm]
     else:
         bvh = BVH(
             lo=np.zeros((1, 3), np.float32),
@@ -446,6 +589,16 @@ def pack_scene(scene) -> ScenePack:
     tri_emit = pad_tri(tri_emit, -1)
     tri_med_in = pad_tri(tri_med_in, -1)
     tri_med_ex = pad_tri(tri_med_ex, -1)
+    geom_tex_arrays = {}
+    if tri_c0 is not None:
+        geom_tex_arrays.update(
+            tri_c0=pad_tri(tri_c0, 1.0), tri_c1=pad_tri(tri_c1, 1.0),
+            tri_c2=pad_tri(tri_c2, 1.0),
+        )
+    if tri_kh is not None:
+        geom_tex_arrays.update(
+            tri_kh=pad_tri(tri_kh), tri_kg=pad_tri(tri_kg)
+        )
 
     # row-packed triangle geometry (see bvh_nodes above)
     tri9 = np.concatenate([tri_v0, tri_e1, tri_e2], axis=1).astype(
@@ -920,6 +1073,7 @@ def pack_scene(scene) -> ScenePack:
         "bvh_first": bvh.first, "bvh_count": bvh.count,
         "bvh_nodes": bvh_nodes, "tri9": tri9,
         **cluster_arrays,
+        **geom_tex_arrays,
         **mt,
         **tex_arrays,
         **em,
@@ -981,6 +1135,7 @@ def pack_scene(scene) -> ScenePack:
         "has_delta_emitters": any(r.is_delta() for r in emitters),
         "n_area_tris": int(at_cursor),
         "has_textures": len(textures) > 0,
+        "geom_tex_kinds": geom_tex_kinds,
         "has_mips": any(t.kind == TEX_BITMAP for t in textures)
         and os.environ.get("MTS_TPU_NO_MIPS", "0") != "1",
         "cam_pix_angle": _cam_pix_angle(scene),

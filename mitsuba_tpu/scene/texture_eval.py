@@ -58,13 +58,17 @@ def _bitmap_fetch(pack, rect, u, v, nearest_sel):
     return jnp.where((nearest_sel > 0)[..., None], nearest, bilin)
 
 
-def eval_texture(pack, tid, uv, default_rgb, fp=None):
+def eval_texture(pack, tid, uv, default_rgb, fp=None, geom=None):
     """tid: [R] int32 texture ids (-1 -> default_rgb [R,3]); uv: [R,2].
 
     fp (optional [R]): isotropic uv-space footprint diameter of the
     shading sample — selects the mip level pair for trilinear
     filtering (reference mipmap.h:56-162 evalTrilinear; the EWA path
-    reduces to this under the wavefront's isotropic ray cone)."""
+    reduces to this under the wavefront's isotropic ray cone).
+
+    geom (optional (prim [R], bary [R,2])): triangle id + barycentrics
+    for geometry-driven textures (vertexcolors/wireframe/curvature,
+    reference src/textures/{vertexcolors,wireframe,curvature}.cpp)."""
     has = tid >= 0
     t = jnp.maximum(tid, 0)
     kind, c0, c1, scale, uvt, lw, rect, nearest_sel = take_fused(
@@ -120,6 +124,69 @@ def eval_texture(pack, tid, uv, default_rgb, fp=None):
         bitmap = _bitmap_fetch(pack, rect, u, v, nearest_sel)
     out = jnp.where((kind == TEX_BITMAP)[..., None], bitmap, out)
 
+    # geometry-driven kinds (statically gated on the packed scene)
+    gk = pack.meta.get("geom_tex_kinds", ())
+    if gk and geom is not None:
+        from mitsuba_tpu.scene.textures import (
+            TEX_CURVATURE,
+            TEX_VERTEXCOLORS,
+            TEX_WIREFRAME,
+        )
+
+        prim, bary = geom
+        pi = jnp.maximum(prim, 0)
+        bu, bv = bary[..., 0], bary[..., 1]
+        bw = 1.0 - bu - bv
+        if TEX_VERTEXCOLORS in gk:
+            vc = (
+                bw[..., None] * pack.tri_c0[pi]
+                + bu[..., None] * pack.tri_c1[pi]
+                + bv[..., None] * pack.tri_c2[pi]
+            )
+            out = jnp.where((kind == TEX_VERTEXCOLORS)[..., None], vc, out)
+        if TEX_WIREFRAME in gk:
+            # 3D distance to the nearest triangle edge + smoothstep
+            # (reference wireframe.cpp eval, stepWidth = 0.5)
+            v0 = pack.tri_v0[pi]
+            e1 = pack.tri_e1[pi]
+            e2 = pack.tri_e2[pi]
+            p = v0 + bu[..., None] * e1 + bv[..., None] * e2
+
+            def edge_d2(c, d):
+                dn = d / jnp.maximum(
+                    jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12
+                )
+                r = p - c
+                perp = r - dn * jnp.sum(r * dn, axis=-1, keepdims=True)
+                return jnp.sum(perp * perp, axis=-1)
+
+            d2min = jnp.minimum(
+                jnp.minimum(edge_d2(v0, e1), edge_d2(v0, e2)),
+                edge_d2(v0 + e1, e2 - e1),
+            )
+            t01 = jnp.clip(
+                (jnp.sqrt(d2min) - 0.5 * lw) / jnp.maximum(0.5 * lw, 1e-12),
+                0.0, 1.0,
+            )
+            a = t01 * t01 * (3.0 - 2.0 * t01)  # smoothstep
+            wf = c1 * (1.0 - a)[..., None] + c0 * a[..., None]
+            out = jnp.where((kind == TEX_WIREFRAME)[..., None], wf, out)
+        if TEX_CURVATURE in gk:
+            use_g = uvt[..., 2] > 0.5  # uoffset column = selector
+            kv = jnp.where(
+                use_g[..., None], pack.tri_kg[pi], pack.tri_kh[pi]
+            )
+            k_i = (
+                bw * kv[..., 0] + bu * kv[..., 1] + bv * kv[..., 2]
+            ) * lw  # lw column = user scale
+            k_i = jnp.clip(k_i, -1.0, 1.0)
+            cur = jnp.stack(
+                [jnp.maximum(k_i, 0.0),
+                 jnp.zeros_like(k_i),
+                 jnp.maximum(-k_i, 0.0)], axis=-1,
+            )
+            out = jnp.where((kind == TEX_CURVATURE)[..., None], cur, out)
+
     out = out * scale
     return jnp.where(has[..., None], out, default_rgb)
 
@@ -137,7 +204,7 @@ def mip_footprint(pack, its):
     return its.t * ang / jnp.maximum(dpdu_len, 1e-8)
 
 
-def _gather_params(pack, m, uv, fp=None):
+def _gather_params(pack, m, uv, fp=None, geom=None):
     (typ, cA, cB, cC, cD, a_u, a_v, eta, expo, dist, nonlin, twos,
      fdr, spw, texA, rt, rt_fdr) = take_fused(
         m, pack.mat_type, pack.mat_cA, pack.mat_cB, pack.mat_cC,
@@ -147,7 +214,7 @@ def _gather_params(pack, m, uv, fp=None):
         pack.mat_texA, pack.mat_rt, pack.mat_rt_fdr,
     )
     if pack.has_textures:
-        cA = eval_texture(pack, texA, uv, cA, fp)
+        cA = eval_texture(pack, texA, uv, cA, fp, geom)
     return {
         "type": typ,
         "cA": cA,
@@ -168,22 +235,28 @@ def _gather_params(pack, m, uv, fp=None):
     }
 
 
-def shading_params(pack, mat_id, uv, fp=None):
+def shading_params(pack, mat_id, uv, fp=None, its=None):
     """Gather + texture-resolve per-lane shading params for bsdf/eval.py.
 
     fp: optional uv footprint for trilinear mip filtering
-    (mip_footprint).  For scenes with mixture/blend BSDFs the dict
-    carries a second parameter set (`mix`) for the B component;
-    bsdf/eval.py blends."""
+    (mip_footprint).  its: the SurfaceInteraction — passes (prim, bary)
+    through for geometry-driven textures; integrators that shade
+    without an interaction (e.g. SPPM's stored visible points) fall
+    back to the constant approximation for those.  For scenes with
+    mixture/blend BSDFs the dict carries a second parameter set
+    (`mix`) for the B component; bsdf/eval.py blends."""
     m = jnp.maximum(mat_id, 0)
-    sp = _gather_params(pack, m, uv, fp)
+    geom = None
+    if its is not None and pack.meta.get("geom_tex_kinds", ()):
+        geom = (its.prim, its.bary)
+    sp = _gather_params(pack, m, uv, fp, geom)
     if pack.meta.get("has_mixtures", False):
         mix_b, mix_wa, mix_wb = take_fused(
             m, pack.mat_mix_b, pack.mat_mix_wa, pack.mat_mix_wb
         )
         mb = jnp.where(mix_b >= 0, mix_b, m)
         sp["mix"] = {
-            "spB": _gather_params(pack, mb, uv, fp),
+            "spB": _gather_params(pack, mb, uv, fp, geom),
             "wa": jnp.where(mix_b >= 0, mix_wa, 1.0),
             "wb": jnp.where(mix_b >= 0, mix_wb, 0.0),
         }

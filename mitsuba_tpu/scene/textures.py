@@ -22,7 +22,7 @@ TEX_CHECKERBOARD = 2
 TEX_GRID = 3
 TEX_VERTEXCOLORS = 4
 TEX_WIREFRAME = 5
-TEX_CURVATURE = 6  # placeholder
+TEX_CURVATURE = 6
 
 
 @dataclass
@@ -168,14 +168,25 @@ class Wireframe(_TexBase):
             color1=props.get_spectrum(
                 "edgeColor", np.full(3, 0.1, np.float32)
             ),
-            line_width=props.get_float("lineWidth", 0.01),
+            line_width=props.get_float("lineWidth", 0.0),
         )
 
 
 @register("texture", "curvature")
 class Curvature(_TexBase):
+    """reference: src/textures/curvature.cpp — visualize mean/Gaussian
+    curvature, red = positive / blue = negative, scaled into [-1, 1].
+
+    Column reuse in the packed table: line_width holds the user scale,
+    uv_offset[0] selects gaussian (1) vs mean (0)."""
+
     def _build(self, props):
-        return TextureDesc(kind=TEX_CURVATURE)
+        which = props.get_string("curvature", "mean")
+        return TextureDesc(
+            kind=TEX_CURVATURE,
+            line_width=props.get_float("scale", 1.0),
+            uv_offset=(1.0 if which == "gaussian" else 0.0, 0.0),
+        )
 
 
 def as_texture_or_spectrum(props, name, default):

@@ -30,6 +30,7 @@ ORTHOGRAPHIC = 2
 SPHERICAL = 3
 RADIANCEMETER = 4
 TELECENTRIC = 5
+RDIST = 6
 
 
 @dataclass
@@ -43,6 +44,7 @@ class SensorRecord:
     aperture_radius: float = 0.0
     shutter_open: float = 0.0
     shutter_close: float = 0.0
+    kc: tuple = (0.0, 0.0)  # radial distortion (perspective_rdist)
     film = None  # attached by the XML loader
     sampler = None
 
@@ -55,8 +57,10 @@ class SensorRecord:
             # model is traced into the render loop
             "kind": int(self.kind),
             "use_lens": bool(
-                self.kind == THINLENS and self.aperture_radius > 0
+                self.kind in (THINLENS, TELECENTRIC)
+                and self.aperture_radius > 0
             ),
+            "kc": (float(self.kc[0]), float(self.kc[1])),
             "to_world": jnp.asarray(self.to_world.m, jnp.float32),
             "tan_half_x": jnp.float32(tan_half),
             "aspect": jnp.float32(aspect),
@@ -139,6 +143,10 @@ class Orthographic(_SensorBase):
 
 @register("sensor", "telecentric")
 class Telecentric(_SensorBase):
+    """reference: src/sensors/telecentric.cpp — orthographic projection
+    with a finite aperture focused at focusDistance (rays converge from
+    the aperture disk to the per-pixel focus point)."""
+
     kind = TELECENTRIC
 
     def _finish(self, props):
@@ -178,10 +186,25 @@ def generate_rays(cam, pos01, u_lens):
     th = cam["tan_half_x"]
     aspect = cam["aspect"]
 
-    if kind in (PERSPECTIVE, THINLENS, TELECENTRIC):
+    if kind in (PERSPECTIVE, THINLENS, RDIST):
         # perspective / thinlens camera-space direction
         x = (1.0 - 2.0 * sx) * th
         y = (1.0 - 2.0 * sy) * th / aspect
+        if kind == RDIST:
+            # undo the calibrated radial distortion: solve
+            # r'(1 + kc0 r'^2 + kc1 r'^4) = r by Newton iteration
+            # (reference perspective_rdist.cpp invertDistortion)
+            kc0, kc1 = cam["kc"]
+            r = jnp.sqrt(x * x + y * y)
+            rp = r
+            for _ in range(5):
+                r2 = rp * rp
+                f = rp * (1.0 + r2 * (kc0 + r2 * kc1)) - r
+                df = 1.0 + r2 * (3.0 * kc0 + 5.0 * kc1 * r2)
+                rp = rp - f / df
+            corr = jnp.where(r > 1e-9, rp / jnp.maximum(r, 1e-9), 1.0)
+            x = x * corr
+            y = y * corr
         d_cam = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
         d_cam = mm.normalize(d_cam)
         o_cam = jnp.zeros_like(d_cam)
@@ -198,6 +221,33 @@ def generate_rays(cam, pos01, u_lens):
                 [p_lens[..., 0], p_lens[..., 1], jnp.zeros_like(sx)], axis=-1
             )
             d_cam = mm.normalize(p_focus - o_cam)
+    elif kind == TELECENTRIC:
+        # orthographic projection + finite aperture focused at
+        # focusDistance (reference telecentric.cpp sampleRay: origin on
+        # the shifted aperture disk, direction toward the focus point)
+        img = jnp.stack(
+            [(1.0 - 2.0 * sx), (1.0 - 2.0 * sy) / aspect,
+             jnp.zeros_like(sx)], axis=-1,
+        )
+        if cam["use_lens"]:
+            p_lens = (
+                warp.square_to_uniform_disk_concentric(u_lens)
+                * cam["aperture"]
+            )
+            o_cam = img + jnp.stack(
+                [p_lens[..., 0], p_lens[..., 1], jnp.zeros_like(sx)],
+                axis=-1,
+            )
+            focus_p = img + jnp.stack(
+                [jnp.zeros_like(sx), jnp.zeros_like(sx),
+                 jnp.broadcast_to(cam["focus_dist"], sx.shape)], axis=-1,
+            )
+            d_cam = mm.normalize(focus_p - o_cam)
+        else:
+            o_cam = img
+            d_cam = jnp.broadcast_to(
+                jnp.array([0.0, 0.0, 1.0], jnp.float32), o_cam.shape
+            )
     elif kind == ORTHOGRAPHIC:
         # orthographic: parallel rays from the image plane
         # (reference src/sensors/orthographic.cpp; extent = [-1,1] x aspect)
@@ -259,14 +309,18 @@ class IrradianceMeter(_SensorBase):
 
 @register("sensor", "perspective_rdist")
 class PerspectiveRDist(_SensorBase):
-    """reference: src/sensors/perspective_rdist.cpp — radial lens
-    distortion (the polynomial is parsed; applying it to ray gen is
-    planned, currently renders undistorted)."""
+    """reference: src/sensors/perspective_rdist.cpp — perspective with
+    the 2nd/4th-order radial distortion polynomial kc applied during
+    ray generation (Newton inversion, perspective_rdist.cpp
+    invertDistortion)."""
 
-    kind = PERSPECTIVE
+    kind = RDIST
 
     def _finish(self, props):
-        self.kc = [
+        kc = [
             float(x)
             for x in props.get_string("kc", "0, 0").replace(",", " ").split()
         ]
+        while len(kc) < 2:
+            kc.append(0.0)
+        self.record.kc = (kc[0], kc[1])

@@ -71,6 +71,8 @@ SMOOTH_CASES = [
     ("difftrans", {}),
     ("roughdielectric", {"alpha": 0.3, "distribution": "ggx"}),
     ("plastic", {}),
+    ("hk", {"thickness": 0.6, "g": 0.5}),
+    ("hk", {"thickness": 2.0}),
 ]
 
 
