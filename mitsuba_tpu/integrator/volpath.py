@@ -186,7 +186,9 @@ def volpath_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
         p_med = o + d * ms.t[..., None]
         # phase sampling
         u_p = u4(event, _SLOT_PHASE)
-        d_phase, ph_pdf = med_eval.phase_sample(pack, med, d, u_p[..., :2])
+        d_phase, ph_pdf, ph_w = med_eval.phase_sample(
+            pack, med, d, u_p[..., :2], p=p_med
+        )
 
         # ============ SURFACE EVENT ============
         frame = shading_frame(pack, its)
@@ -206,7 +208,7 @@ def volpath_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
             u_n = u4(event, _SLOT_NEE)
             ds = em.sample_direct(pack, nee_origin, u_n[..., :3])
             # scattering toward the light
-            ph = med_eval.phase_eval(pack, med, mm.dot(ds.d, d))
+            ph = med_eval.phase_eval(pack, med, d, ds.d, p=p_med)
             wo_l = frame.to_local(ds.d)
             f_surf = bsdf_eval(sp, wi_l, wo_l, present)
             f = jnp.where(
@@ -231,8 +233,9 @@ def volpath_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
                 pack, nee_origin, ds.d, ds.dist, med_sh, lane, sample_idx,
                 event, seed,
             )
+            ph_nee_pdf = med_eval.phase_pdf(pack, med, d, ds.d, p=p_med)
             other_pdf = jnp.where(
-                medium_evt, ph, bsdf_pdf(sp, wi_l, wo_l, present)
+                medium_evt, ph_nee_pdf, bsdf_pdf(sp, wi_l, wo_l, present)
             )
             other_pdf = jnp.where(ds.delta, 0.0, other_pdf)
             w_nee = jnp.where(ds.delta, 1.0, _path.mi_weight(ds.pdf, other_pdf))
@@ -257,6 +260,8 @@ def volpath_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
         # ---- merge the two event kinds ----
         surf_ok = surface_evt & its.valid
         thr = thr * jnp.where(surf_ok[..., None], bs.weight, 1.0)
+        # non-perfectly-sampled phases (kkay/microflake) carry a weight
+        thr = thr * jnp.where(medium_evt, ph_w, 1.0)[..., None]
         eta = s["eta"] * jnp.where(surf_ok, bs.eta, 1.0)
 
         d_new = jnp.where(medium_evt[..., None], d_phase, d_surf)

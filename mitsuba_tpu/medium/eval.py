@@ -391,9 +391,9 @@ def _phase_eval_one(kind, g, wo_dot_wi):
     return jnp.where(kind == RAYLEIGH, ray, out)
 
 
-def phase_eval(pack, med, wo_dot_wi):
-    """Phase value AND pdf (they coincide for normalized phases; a
-    two-component mixturephase blends by its weights).
+def _phase_eval_dot(pack, med, wo_dot_wi):
+    """Scalar-kind phase value AND pdf (they coincide for normalized
+    phases; a two-component mixturephase blends by its weights).
 
     wo_dot_wi = cos of the angle between the incoming propagation
     direction and the outgoing direction (reference hg.cpp eval uses
@@ -404,6 +404,165 @@ def phase_eval(pack, med, wo_dot_wi):
     pb = _phase_eval_one(kind_b, pack.med_g_b[m], wo_dot_wi)
     wa = pack.med_phase_wa[m]
     return jnp.where(kind_b >= 0, wa * pa + (1.0 - wa) * pb, pa)
+
+
+# --- fiber phases (kkay / microflake) on orientation volumes ----------------
+
+def _has_fiber_phases(pack):
+    from mitsuba_tpu.medium.plugins import KKAY, MICROFLAKE
+
+    meta = getattr(pack, "meta", None) or {}
+    pk = meta.get("phase_kinds", ())
+    return (KKAY in pk) or (MICROFLAKE in pk)
+
+
+def _orient_at(pack, med, p):
+    """Unit fiber orientation at world position p from the medium's
+    corner-packed orientation grid (trilinear, normalized after
+    interpolation like the reference gridvolume lookupVector).
+    Returns (axis [R,3], valid [R])."""
+    hp = _het_params(pack, med)
+    m = jnp.maximum(med, 0)
+    slot = jnp.maximum(hp["slot"], 0)
+    obase = pack.het_obase[slot]
+    odims = pack.het_odims[slot].astype(jnp.float32)
+    q = _to_grid(hp, p)
+    D_, H_, W_ = odims[..., 0], odims[..., 1], odims[..., 2]
+    fx = q[..., 0] * W_ - 0.5
+    fy = q[..., 1] * H_ - 0.5
+    fz = q[..., 2] * D_ - 0.5
+    x0, y0, z0 = jnp.floor(fx), jnp.floor(fy), jnp.floor(fz)
+    ax, ay, az = fx - x0, fy - y0, fz - z0
+    xi = jnp.clip(x0, -1.0, W_ - 1.0) + 1.0
+    yi = jnp.clip(y0, -1.0, H_ - 1.0) + 1.0
+    zi = jnp.clip(z0, -1.0, D_ - 1.0) + 1.0
+    cell = obase + (
+        (zi * (H_ + 1.0) + yi) * (W_ + 1.0) + xi
+    ).astype(jnp.int32)
+    n = pack.het_ocorners.shape[0]
+    c = pack.het_ocorners[jnp.clip(cell, 0, n - 1)]  # [R, 24]
+    c = c.reshape(c.shape[:-1] + (8, 3))
+    bx, by = ax[..., None, None], ay[..., None, None]
+    cy = c[..., 0::2, :] * (1 - bx) + c[..., 1::2, :] * bx  # [R,4,3]
+    cz = cy[..., 0::2, :] * (1 - by) + cy[..., 1::2, :] * by  # [R,2,3]
+    v = (
+        cz[..., 0, :] * (1 - az)[..., None]
+        + cz[..., 1, :] * az[..., None]
+    )
+    ln = jnp.linalg.norm(v, axis=-1)
+    valid = (obase >= 0) & (ln > 1e-6) & (hp["slot"] >= 0)
+    axis = v / jnp.maximum(ln, 1e-12)[..., None]
+    return axis, valid
+
+
+def _flake_d(pack, m, c):
+    """Gaussian fiber flake-normal density D(cos) on the sphere."""
+    s = pack.med_flake_stddev[m]
+    return pack.med_flake_norm[m] * jnp.exp(
+        -c * c / (2.0 * s * s)
+    )
+
+
+def _flake_sigt(pack, m, cos_w):
+    """sigma_t(|cos theta_w|) from the per-medium quadrature LUT."""
+    lut = pack.med_flake_sigt[m]  # [R, FLAKE_LUT]
+    n = lut.shape[-1]
+    x = jnp.clip(jnp.abs(cos_w), 0.0, 1.0) * (n - 1)
+    i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, n - 2)
+    fr = x - i0.astype(jnp.float32)
+    a = jnp.take_along_axis(lut, i0[..., None], axis=-1)[..., 0]
+    b = jnp.take_along_axis(lut, (i0 + 1)[..., None], axis=-1)[..., 0]
+    return a * (1.0 - fr) + b * fr
+
+
+def _kkay_eval(pack, m, axis, valid, wi, wo):
+    """Kajiya-Kay: kd/4pi + ks*norm*max(0, cos(cone angle))^exp with the
+    specular cone mirrored about the fiber plane (kkay.cpp eval).  The
+    cone dot collapses to zR*zo + sqrt((1-zR^2)(1-zo^2)) because R
+    shares wo's azimuth about the fiber."""
+    kd = pack.med_ph_kd[m]
+    ks = pack.med_ph_ks[m]
+    zR = -mm.dot(wi, axis)
+    zo = mm.dot(wo, axis)
+    cone = zR * zo + jnp.sqrt(
+        jnp.maximum((1.0 - zR * zR) * (1.0 - zo * zo), 0.0)
+    )
+    spec = (
+        jnp.maximum(cone, 0.0) ** pack.med_ph_exp[m]
+        * pack.med_ph_knorm[m] * ks
+    )
+    diff = kd * INV_FOURPI
+    return jnp.where(valid, spec + diff, diff)
+
+
+def _microflake_eval(pack, m, axis, valid, wi, wo):
+    """Specular microflakes: 0.5 D(cos_H)/sigma_t(cos_wi) in the fiber
+    frame (microflake.cpp eval)."""
+    h = wi + wo
+    hl = jnp.linalg.norm(h, axis=-1)
+    ch = mm.dot(h, axis) / jnp.maximum(hl, 1e-9)
+    cwi = mm.dot(wi, axis)
+    val = 0.5 * _flake_d(pack, m, ch) / jnp.maximum(
+        _flake_sigt(pack, m, cwi), 1e-9
+    )
+    return jnp.where(valid & (hl > 1e-9), val, 0.0)
+
+
+def phase_eval(pack, med, d_in, d_out, p=None):
+    """Phase function value.  d_in = propagation direction INTO the
+    event, d_out = outgoing direction, p = world position (fiber phases
+    read the orientation volume there)."""
+    from mitsuba_tpu.medium.plugins import KKAY, MICROFLAKE
+
+    m = jnp.maximum(med, 0)
+    out = _phase_eval_dot(pack, med, mm.dot(d_out, d_in))
+    if _has_fiber_phases(pack) and p is not None:
+        axis, valid = _orient_at(pack, med, p)
+        wi = -d_in
+        kind = pack.med_phase[m]
+        pk = pack.meta.get("phase_kinds", ())
+        if KKAY in pk:
+            out = jnp.where(
+                kind == KKAY,
+                _kkay_eval(pack, m, axis, valid, wi, d_out), out,
+            )
+        if MICROFLAKE in pk:
+            out = jnp.where(
+                kind == MICROFLAKE,
+                _microflake_eval(pack, m, axis, valid, wi, d_out), out,
+            )
+    return out
+
+
+def phase_pdf(pack, med, d_in, d_out, p=None):
+    """Directional sampling density of phase_sample (for MIS): equals
+    phase_eval for the perfectly-sampled kinds; kkay samples uniformly
+    (kkay.cpp sample); microflake samples flake normals from D."""
+    from mitsuba_tpu.medium.plugins import KKAY, MICROFLAKE
+
+    m = jnp.maximum(med, 0)
+    out = _phase_eval_dot(pack, med, mm.dot(d_out, d_in))
+    if _has_fiber_phases(pack) and p is not None:
+        axis, valid = _orient_at(pack, med, p)
+        wi = -d_in
+        kind = pack.med_phase[m]
+        pk = pack.meta.get("phase_kinds", ())
+        if KKAY in pk:
+            out = jnp.where(kind == KKAY, INV_FOURPI, out)
+        if MICROFLAKE in pk:
+            h = wi + d_out
+            hl = jnp.maximum(jnp.linalg.norm(h, axis=-1), 1e-9)
+            hn = h / hl[..., None]
+            ch = mm.dot(hn, axis)
+            # both flake normals +-m mirror wi onto the same wo, so
+            # the wo-density doubles: D/(2|wi.h|)
+            pdf_m = _flake_d(pack, m, ch) / jnp.maximum(
+                2.0 * jnp.abs(mm.dot(wi, hn)), 1e-6
+            )
+            out = jnp.where(
+                kind == MICROFLAKE, jnp.where(valid, pdf_m, 0.0), out
+            )
+    return out
 
 
 def _rayleigh_sample_cos(u):
@@ -427,11 +586,17 @@ def _phase_local_dir(kind, g, u2):
     return jnp.where((kind == RAYLEIGH)[..., None], local_r, local)
 
 
-def phase_sample(pack, med, d_in, u2):
-    """Sample an outgoing direction; returns (d_out, pdf).  Weight is 1
-    for single components (perfect importance sampling); mixtures pick a
-    component stochastically with the first uniform (remapped), so the
-    returned pdf is the blended density of the drawn direction."""
+def phase_sample(pack, med, d_in, u2, p=None):
+    """Sample an outgoing direction; returns (d_out, pdf, weight).
+
+    weight = phase/pdf: 1 for the perfectly-sampled scalar kinds
+    (mixtures pick a component stochastically with the first uniform,
+    so the pdf is the blended density of the drawn direction); kkay
+    samples uniformly with weight = 4pi * eval (kkay.cpp sample);
+    microflake draws a flake normal from D by erfinv inversion and
+    mirrors, weight = 2|wi.m|/sigma_t."""
+    from mitsuba_tpu.medium.plugins import KKAY, MICROFLAKE
+
     m = jnp.maximum(med, 0)
     kind = pack.med_phase[m]
     g = pack.med_g[m]
@@ -451,5 +616,47 @@ def phase_sample(pack, med, d_in, u2):
     fr = mm.Frame.from_normal(d_in)
     local = _phase_local_dir(kind_sel, g_sel, u2r)
     d_out = fr.to_world(local)
-    pdf = phase_eval(pack, med, mm.dot(d_out, d_in))
-    return d_out, pdf
+    pdf = _phase_eval_dot(pack, med, mm.dot(d_out, d_in))
+    weight = jnp.ones_like(pdf)
+
+    if _has_fiber_phases(pack) and p is not None:
+        from jax.scipy.special import erf, erfinv
+
+        axis, valid = _orient_at(pack, med, p)
+        wi = -d_in
+        pk = pack.meta.get("phase_kinds", ())
+        if KKAY in pk:
+            d_uni = warp.square_to_uniform_sphere(u2)
+            f_k = _kkay_eval(pack, m, axis, valid, wi, d_uni)
+            is_k = kind == KKAY
+            d_out = jnp.where(is_k[..., None], d_uni, d_out)
+            pdf = jnp.where(is_k, INV_FOURPI, pdf)
+            weight = jnp.where(is_k, f_k * (4.0 * jnp.pi), weight)
+        if MICROFLAKE in pk:
+            s_ = pack.med_flake_stddev[m]
+            t = 2.0 * u2[..., 0] - 1.0
+            c = jnp.sqrt(2.0) * s_ * erfinv(
+                jnp.clip(t, -mm.ONE_MINUS_EPS, mm.ONE_MINUS_EPS)
+                * erf(1.0 / (jnp.sqrt(2.0) * s_))
+            )
+            c = jnp.clip(c, -mm.ONE_MINUS_EPS, mm.ONE_MINUS_EPS)
+            st_ = jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0))
+            phi = 2.0 * jnp.pi * u2[..., 1]
+            fr_f = mm.Frame.from_normal(axis)
+            m_fl = fr_f.to_world(jnp.stack(
+                [st_ * jnp.cos(phi), st_ * jnp.sin(phi), c], axis=-1
+            ))
+            dwm = mm.dot(wi, m_fl)
+            wo_f = 2.0 * dwm[..., None] * m_fl - wi
+            pdf_f = _flake_d(pack, m, c) / jnp.maximum(
+                2.0 * jnp.abs(dwm), 1e-6
+            )
+            w_f = jnp.abs(dwm) / jnp.maximum(
+                _flake_sigt(pack, m, mm.dot(wi, axis)), 1e-9
+            )
+            is_f = kind == MICROFLAKE
+            ok_f = valid & (jnp.abs(dwm) > 1e-6)
+            d_out = jnp.where(is_f[..., None], wo_f, d_out)
+            pdf = jnp.where(is_f, jnp.where(ok_f, pdf_f, 0.0), pdf)
+            weight = jnp.where(is_f, jnp.where(ok_f, w_f, 0.0), weight)
+    return d_out, pdf, weight

@@ -23,6 +23,9 @@ from mitsuba_tpu.scene.registry import register
 ISOTROPIC = 0
 HG = 1
 RAYLEIGH = 2
+KKAY = 3
+MICROFLAKE = 4
+FLAKE_LUT = 33  # sigma_t(cos_theta) table resolution
 
 HOMOGENEOUS = 0
 HETEROGENEOUS = 1
@@ -37,6 +40,55 @@ class PhaseRecord:
     kind_b: int = -1
     g_b: float = 0.0
     w_a: float = 1.0
+    # kajiya-kay (reference src/phase/kkay.cpp)
+    ks: float = 0.4
+    kd: float = 0.2
+    exponent: float = 4.0
+    knorm: float = 0.0
+    # microflake fiber distribution (reference src/phase/microflake.cpp,
+    # microflake_fiber.h GaussianFiberDistribution)
+    stddev: float = 0.1
+    flake_norm: float = 0.0
+    flake_sigt: np.ndarray | None = None  # [FLAKE_LUT] sigma_t(|cos|)
+
+
+def _kkay_normalization(exponent):
+    """Simpson quadrature of the specular cone integral
+    (reference kkay.cpp configure)."""
+    n = 1000
+    theta = (np.arange(1, n) * np.pi) / n
+    vals = np.cos(theta - np.pi / 2) ** exponent * np.sin(theta)
+    w = np.where(np.arange(1, n) % 2 == 1, 4.0, 2.0)
+    integral = (vals * w).sum() * (np.pi / n) / 3.0
+    return float(1.0 / (integral * 2.0 * np.pi))
+
+
+def _flake_tables(stddev):
+    """Gaussian fiber distribution D(m) ~ exp(-cos^2/(2 s^2)) on the
+    sphere: normalization + projected-area sigma_t(cos_theta) table,
+    computed by quadrature instead of the reference's precomputed
+    coefficient tables (microflake_fiber.h fiberSigmaTCoeffs)."""
+    from scipy.special import erf
+
+    s = float(stddev)
+    norm = 1.0 / ((2.0 * np.pi) ** 1.5 * s * erf(1.0 / (np.sqrt(2.0) * s)))
+
+    # sigma_t(w) = int_S2 D(m) |w.m| dm, azimuthally symmetric in w
+    nt, nph = 512, 256
+    ct_m = np.linspace(-1.0, 1.0, nt)  # cos(theta_m)
+    ph = (np.arange(nph) + 0.5) / nph * 2.0 * np.pi
+    st_m = np.sqrt(np.maximum(1.0 - ct_m**2, 0.0))
+    D = norm * np.exp(-(ct_m**2) / (2.0 * s * s))  # [nt]
+    out = np.empty(FLAKE_LUT, np.float32)
+    for i, ct_w in enumerate(np.linspace(0.0, 1.0, FLAKE_LUT)):
+        st_w = np.sqrt(max(1.0 - ct_w * ct_w, 0.0))
+        # |w.m| over the azimuth ring
+        dots = np.abs(
+            ct_w * ct_m[:, None] + st_w * st_m[:, None] * np.cos(ph)[None, :]
+        )
+        ring = dots.mean(axis=1) * 2.0 * np.pi  # [nt]
+        out[i] = np.trapezoid(D * ring, ct_m)
+    return norm, out
 
 
 class _PhaseBase:
@@ -70,16 +122,37 @@ class RayleighPhase(_PhaseBase):
 
 @register("phase", "kkay")
 class KajiyaKayPhase(_PhaseBase):
-    """PLACEHOLDER (reference src/phase/kkay.cpp) — treated isotropic."""
+    """reference src/phase/kkay.cpp — Kajiya-Kay hair phase on the
+    medium's local fiber orientation (diffuse + specular cone)."""
 
-    kind = ISOTROPIC
+    kind = KKAY
+
+    def _finish(self, props):
+        self.record.ks = props.get_float("ks", 0.4)
+        self.record.kd = props.get_float("kd", 0.2)
+        self.record.exponent = props.get_float("exponent", 4.0)
+        if self.record.ks + self.record.kd > 1.0:
+            raise ValueError("kkay: ks + kd must be <= 1")
+        self.record.knorm = _kkay_normalization(self.record.exponent)
 
 
 @register("phase", "microflake")
 class MicroflakePhase(_PhaseBase):
-    """PLACEHOLDER (reference src/phase/microflake.cpp) — treated isotropic."""
+    """reference src/phase/microflake.cpp — specular microflakes with
+    the Gaussian fiber distribution (microflake_fiber.h), oriented by
+    the medium's orientation volume.  The phase function is exact;
+    directional extinction coupling (sigma_t(omega) modulating the
+    transmittance) is a documented approximation gap."""
 
-    kind = ISOTROPIC
+    kind = MICROFLAKE
+
+    def _finish(self, props):
+        self.record.stddev = props.get_float("stddev", 0.1)
+        if not (0.01 <= self.record.stddev <= 1.0):
+            raise ValueError("microflake: stddev must be in [0.01, 1]")
+        self.record.flake_norm, self.record.flake_sigt = _flake_tables(
+            self.record.stddev
+        )
 
 
 @register("phase", "mixturephase")
@@ -275,6 +348,7 @@ class MediumRecord:
     scale: float = 1.0
     density: VolumeRecord | None = None  # heterogeneous
     albedo: VolumeRecord | None = None
+    orientation: VolumeRecord | None = None  # fiber phases
     id: str = ""
 
 
@@ -328,6 +402,8 @@ class HeterogeneousMedium(_MediumBase):
                     self.record.density = child.record
                 elif name == "albedo":
                     self.record.albedo = child.record
+                elif name == "orientation":
+                    self.record.orientation = child.record
                 elif self.record.density is None:
                     self.record.density = child.record
         if self.record.density is None:

@@ -942,6 +942,15 @@ def pack_scene(scene) -> ScenePack:
     med_phase_wa = np.ones(n_med, np.float32)
     med_kind = np.zeros(n_med, np.int32)
     med_sampling_w = np.zeros(n_med, np.float32)
+    # fiber phases (kkay/microflake): per-medium params + sigma_t LUT
+    from mitsuba_tpu.medium.plugins import FLAKE_LUT, KKAY, MICROFLAKE
+    med_ph_ks = np.zeros(n_med, np.float32)
+    med_ph_kd = np.zeros(n_med, np.float32)
+    med_ph_exp = np.ones(n_med, np.float32)
+    med_ph_knorm = np.zeros(n_med, np.float32)
+    med_flake_norm = np.zeros(n_med, np.float32)
+    med_flake_stddev = np.full(n_med, 0.1, np.float32)
+    med_flake_sigt = np.ones((n_med, FLAKE_LUT), np.float32)
     # heterogeneous grids: corner-packed densities + supergrid majorants
     # (fast TPU delta tracking — medium/eval.py; reference equivalent:
     # heterogeneous.cpp:164-199 integrates density along the ray)
@@ -951,6 +960,7 @@ def pack_scene(scene) -> ScenePack:
     h_w2g, h_albedo, h_dims, h_sdims, h_cbase, h_sbase, h_smax = (
         [], [], [], [], [], [], []
     )
+    ho_parts, h_obase, h_odims = [], [], []
     het_med_id = -1
     het_sigma_max = 0.0
     for i, m in enumerate(media):
@@ -959,6 +969,15 @@ def pack_scene(scene) -> ScenePack:
 
         med_g[i] = m.phase.g if m.phase.kind == HG else 0.0
         med_phase[i] = m.phase.kind
+        if m.phase.kind == KKAY:
+            med_ph_ks[i] = m.phase.ks
+            med_ph_kd[i] = m.phase.kd
+            med_ph_exp[i] = m.phase.exponent
+            med_ph_knorm[i] = m.phase.knorm
+        if m.phase.kind == MICROFLAKE:
+            med_flake_norm[i] = m.phase.flake_norm
+            med_flake_stddev[i] = m.phase.stddev
+            med_flake_sigt[i] = m.phase.flake_sigt
         med_phase_b[i] = m.phase.kind_b
         med_g_b[i] = m.phase.g_b
         med_phase_wa[i] = m.phase.w_a
@@ -1016,6 +1035,29 @@ def pack_scene(scene) -> ScenePack:
                 h_albedo.append(np.asarray(m.albedo.constant, np.float32))
             else:
                 h_albedo.append(np.full(3, 0.9, np.float32))
+            # fiber orientation volume (kkay/microflake): corner-packed
+            # 3-channel grid -> one [.., 24] row gather per lookup
+            ov = getattr(m, "orientation", None)
+            if ov is not None and ov.grid is not None and ov.grid.ndim == 4:
+                og = np.ascontiguousarray(ov.grid[..., :3], np.float32)
+                oD, oH, oW = og.shape[:3]
+                ogp = np.zeros((oD + 2, oH + 2, oW + 2, 3), np.float32)
+                ogp[1:-1, 1:-1, 1:-1] = og
+                oc = np.empty((oD + 1, oH + 1, oW + 1, 8, 3), np.float32)
+                for dz in (0, 1):
+                    for dy in (0, 1):
+                        for dx in (0, 1):
+                            oc[..., dz * 4 + dy * 2 + dx, :] = ogp[
+                                dz : dz + oD + 1,
+                                dy : dy + oH + 1,
+                                dx : dx + oW + 1,
+                            ]
+                h_obase.append(sum(p_.shape[0] for p_ in ho_parts))
+                ho_parts.append(oc.reshape(-1, 24))
+                h_odims.append([oD, oH, oW])
+            else:
+                h_obase.append(-1)
+                h_odims.append([1, 1, 1])
         else:
             med_sigma_s[i] = m.sigma_s
             med_sigma_a[i] = m.sigma_a
@@ -1037,6 +1079,10 @@ def pack_scene(scene) -> ScenePack:
         h_cbase = [0]
         h_sbase = [0]
         h_smax = [0.0]
+        h_obase = [-1]
+        h_odims = [[1, 1, 1]]
+    if not ho_parts:
+        ho_parts = [np.zeros((1, 24), np.float32)]
 
     arrays = {
         "med_sigma_s": med_sigma_s,
@@ -1058,6 +1104,16 @@ def pack_scene(scene) -> ScenePack:
         "het_cbase": np.asarray(h_cbase, np.int32),
         "het_sbase": np.asarray(h_sbase, np.int32),
         "het_smax": np.asarray(h_smax, np.float32),
+        "het_ocorners": np.concatenate(ho_parts, axis=0),
+        "het_obase": np.asarray(h_obase, np.int32),
+        "het_odims": np.asarray(h_odims, np.int32),
+        "med_ph_ks": med_ph_ks,
+        "med_ph_kd": med_ph_kd,
+        "med_ph_exp": med_ph_exp,
+        "med_ph_knorm": med_ph_knorm,
+        "med_flake_norm": med_flake_norm,
+        "med_flake_stddev": med_flake_stddev,
+        "med_flake_sigt": med_flake_sigt,
         "tri_med_in": tri_med_in,
         "tri_med_ex": tri_med_ex,
         "tri_t": tri_t,
@@ -1146,6 +1202,9 @@ def pack_scene(scene) -> ScenePack:
         "bvh_n_layouts": bvh_n_layouts,
         "het_med_id": het_med_id,
         "het_sigma_max": het_sigma_max,
+        "phase_kinds": tuple(sorted({int(k) for k in med_phase}
+                                    | {int(k) for k in med_phase_b if k >= 0}))
+        if len(media) else (),
         "n_het": n_het,
         "het_super_b": SUPER_B,
         "camera_medium": -1,

@@ -219,14 +219,14 @@ def test_phase_chi2_rayleigh_and_mixture():
 
         def sample_fn(u2, pack=pack, med=med):
             din = jnp.broadcast_to(d_in, (u2.shape[0], 3))
-            d_out, _ = phase_sample(pack, med[: u2.shape[0]], din, u2)
+            d_out, _, _ = phase_sample(pack, med[: u2.shape[0]], din, u2)
             return d_out
 
         def pdf_fn(d, pack=pack):
             m = jnp.zeros((d.shape[0],), jnp.int32)
             din = jnp.broadcast_to(d_in, (d.shape[0], 3))
             import mitsuba_tpu.core.math as mm
-            return phase_eval(pack, m, mm.dot(d, din))
+            return phase_eval(pack, m, jnp.broadcast_to(din, d.shape), d)
 
         passed, p, msg = chi2_test(sample_fn, pdf_fn, n_samples=400_000)
         assert passed, f"{name}: {msg}"
