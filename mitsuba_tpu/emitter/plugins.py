@@ -220,19 +220,26 @@ def _sun_direction(props):
 
 
 class _SkyBase(_EmitterBase):
-    """Analytic Preetham daylight baked to a lat-long env map
-    (= reference sky.cpp, which also rasterizes to a bitmap for
-    sampling; the Hosek-Wilkie dataset model is a planned upgrade)."""
+    """Daylight model baked to a lat-long env map (= reference sky.cpp,
+    which also rasterizes to a bitmap for sampling).  Default model is
+    the reference's Hosek-Wilkie dataset fit (skymodel.cpp, data packed
+    in mitsuba_tpu/data/hosek_rgb.npz); `model="preetham"` selects the
+    older analytic model."""
 
     kind = ENVMAP
     _with_sun = False
 
     def _finish(self, props):
-        from mitsuba_tpu.emitter.sky import preetham_sky_image
+        from mitsuba_tpu.emitter.sky import (
+            hosek_sky_image,
+            preetham_sky_image,
+        )
 
+        model = props.get_string("model", "hosek").lower()
+        bake = preetham_sky_image if model == "preetham" else hosek_sky_image
         sun_dir = _sun_direction(props)
         scale = props.get_float("scale", 1.0)
-        self.record.env_image = preetham_sky_image(
+        self.record.env_image = bake(
             props.get_float("turbidity", 3.0),
             sun_dir,
             resolution=int(props.get_int("resolution", 512)) // 2,

@@ -132,6 +132,133 @@ def sun_irradiance_rgb(cos_theta_s, turbidity):
     return s0 * tau_r * tau_a * tau_o
 
 
+def _hosek_dataset():
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data", "hosek_rgb.npz",
+    )
+    d = np.load(path)
+    return d["rgb"].astype(np.float64), d["rad"].astype(np.float64)
+
+
+def _hosek_config(turbidity, albedo, elevation):
+    """Quintic-Bezier elevation interpolation + bilinear in turbidity
+    and ground albedo (the reference's ArHosekSkyModel cook-configuration
+    scheme, src/emitters/sunsky/skymodel.cpp).  Returns (config [3,9],
+    radiance [3])."""
+    rgb, rad = _hosek_dataset()  # [3,2,10,6,9], [3,2,10,6]
+    x = (max(elevation, 0.0) / (math.pi / 2.0)) ** (1.0 / 3.0)
+    x = min(x, 1.0)
+    b = np.array([
+        (1 - x) ** 5,
+        5 * (1 - x) ** 4 * x,
+        10 * (1 - x) ** 3 * x * x,
+        10 * (1 - x) ** 2 * x**3,
+        5 * (1 - x) * x**4,
+        x**5,
+    ])
+    t = float(np.clip(turbidity, 1.0, 10.0))
+    ti = int(min(math.floor(t) - 1, 8))
+    tf = t - (ti + 1)
+    a = float(np.clip(albedo, 0.0, 1.0))
+
+    def lerp_t(arr):  # arr [3, 2, 10, 6, ...] -> [3, 2, ...]
+        lo = np.tensordot(arr[:, :, ti], b, axes=([2], [0]))
+        hi = np.tensordot(arr[:, :, min(ti + 1, 9)], b, axes=([2], [0]))
+        return lo * (1 - tf) + hi * tf
+
+    cfg_ab = lerp_t(rgb)  # [3, 2, 9]
+    rad_ab = lerp_t(rad)  # [3, 2]
+    cfg = cfg_ab[:, 0] * (1 - a) + cfg_ab[:, 1] * a
+    radv = rad_ab[:, 0] * (1 - a) + rad_ab[:, 1] * a
+    return cfg, radv
+
+
+def hosek_sky_image(
+    turbidity,
+    sun_dir,
+    resolution=512,
+    sky_scale=1.0,
+    sun_scale=1.0,
+    with_sun=False,
+    ground_albedo=0.15,
+):
+    """Bake the Hosek-Wilkie sky (SIGGRAPH 2012; the reference's
+    default model, src/emitters/sunsky/skymodel.cpp) into a lat-long
+    env image [H, W, 3] f32.  Same interface and radiometric scale as
+    preetham_sky_image; dataset from mitsuba_tpu/data/hosek_rgb.npz."""
+    T = float(np.clip(turbidity, 1.0, 10.0))
+    s = np.asarray(sun_dir, np.float64)
+    s = s / np.linalg.norm(s)
+    elevation = math.asin(np.clip(s[1], -1.0, 1.0))
+    ga = float(np.mean(np.atleast_1d(ground_albedo)))
+    cfg, radv = _hosek_config(T, ga, elevation)
+
+    h = resolution
+    w = 2 * resolution
+    v = (np.arange(h) + 0.5) / h
+    u = (np.arange(w) + 0.5) / w
+    theta = v * math.pi
+    phi = u * 2.0 * math.pi
+    st = np.sin(theta)[:, None]
+    d = np.stack(
+        [
+            st * np.sin(phi)[None, :],
+            np.broadcast_to(np.cos(theta)[:, None], (h, w)),
+            st * (-np.cos(phi)[None, :]),
+        ],
+        axis=-1,
+    )
+    cos_gamma = np.clip(d @ s, -1.0, 1.0)
+    gamma = np.arccos(cos_gamma)
+    cos_theta = np.clip(d[..., 1], 0.0, 1.0)  # model defined above horizon
+
+    rgb = np.zeros((h, w, 3))
+    for c in range(3):
+        # coefficient layout per ArHosekSkyModel_GetRadianceInternal:
+        # [0]=A [1]=B [2]=C [3]=D [4]=E(exp gamma) [5]=F(rayleigh)
+        # [6]=G(mie weight) [7]=I(zenith sqrt) [8]=H(mie anisotropy)
+        A, B, C, D, E, F, G, Iz, Hc = cfg[c]
+        exp_m = np.exp(E * gamma)
+        ray_m = cos_gamma * cos_gamma
+        mie_m = (1.0 + ray_m) / np.power(
+            np.maximum(1.0 + Hc * Hc - 2.0 * Hc * cos_gamma, 1e-9), 1.5
+        )
+        zen = np.sqrt(cos_theta)
+        val = (
+            1.0 + A * np.exp(B / (cos_theta + 0.01))
+        ) * (C + D * exp_m + F * ray_m + G * mie_m + Iz * zen)
+        rgb[..., c] = val * radv[c]
+    # physical scale: the RGB dataset is CIE-converted spectral radiance
+    # integrated over ~320-720nm in W/(m^2 sr nm) * nm-bin; normalize to
+    # W/(m^2 sr) per channel consistently with the Preetham baking by
+    # the luminous-efficacy convention
+    rgb = np.maximum(rgb, 0.0) * sky_scale
+
+    below = d[..., 1] < 0.0
+    sel = np.abs(d[..., 1]) < 0.05
+    horizon_avg = rgb[sel].mean(axis=0) if sel.any() else rgb.mean((0, 1))
+    rgb[below] = horizon_avg * ga
+
+    if with_sun and s[1] > 0.0:
+        e_sun = sun_irradiance_rgb(s[1], T) * sun_scale
+        px_ang = math.pi / h
+        support = max(1.5 * px_ang, math.radians(SUN_APP_RADIUS_DEG))
+        ang = np.arccos(cos_gamma)
+        k = np.maximum(1.0 - ang / support, 0.0) * (d[..., 1] > 0.0)
+        omega = (
+            np.sin(np.clip(theta, 1e-4, math.pi))[:, None]
+            * (math.pi / h) * (2.0 * math.pi / w)
+        ) * np.ones((1, w))
+        norm = float((k * omega).sum())
+        if norm > 0:
+            rgb = rgb + (k / norm)[..., None] * e_sun[None, None, :]
+
+    return rgb.astype(np.float32)
+
+
 def preetham_sky_image(
     turbidity,
     sun_dir,

@@ -156,3 +156,60 @@ def test_sky_plugin_renders():
         else:
             assert rec.env_image is not None
             assert rec.env_image.shape[1] == rec.env_image.shape[0] * 2
+
+
+def test_hosek_sky_bake():
+    """Hosek-Wilkie dataset sky (reference skymodel.cpp, data packed in
+    mitsuba_tpu/data/hosek_rgb.npz): finite, sun-peaked, blue zenith."""
+    import numpy as np
+    import math
+    from mitsuba_tpu.emitter.sky import hosek_sky_image
+
+    sun = np.array([0.3, 0.5, 0.6])
+    sun /= np.linalg.norm(sun)
+    img = hosek_sky_image(3.0, sun, resolution=64)
+    assert np.isfinite(img).all() and (img >= 0).all()
+    h, w = img.shape[:2]
+    # radiance toward the sun beats the same elevation away from it
+    theta_s = math.acos(sun[1])
+    phi_s = math.atan2(sun[0], -sun[2]) % (2 * math.pi)
+    iy = int(theta_s / math.pi * h)
+    ix = int(phi_s / (2 * math.pi) * w)
+    near = img[iy, ix].sum()
+    far = img[iy, (ix + w // 2) % w].sum()
+    assert near > 2.0 * far, (near, far)
+    # zenith is blue-dominant
+    zen = img[1, w // 4]
+    assert zen[2] > zen[0]
+
+
+def test_sky_model_selection():
+    from mitsuba_tpu.scene.xml_loader import load_scene_string
+
+    def scene(model):
+        return load_scene_string(f"""
+        <scene version="0.5.0">
+          <integrator type="path"/>
+          <sensor type="perspective">
+            <float name="fov" value="45"/>
+            <sampler type="independent">
+              <integer name="sampleCount" value="4"/></sampler>
+            <film type="hdrfilm">
+              <integer name="width" value="8"/>
+              <integer name="height" value="8"/>
+              <rfilter type="box"/></film>
+          </sensor>
+          <emitter type="sky">
+            <string name="model" value="{model}"/>
+            <float name="turbidity" value="3"/>
+            <integer name="resolution" value="64"/>
+          </emitter>
+        </scene>""")
+
+    import numpy as np
+
+    a = scene("hosek").emitters[0].env_image
+    b = scene("preetham").emitters[0].env_image
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    # the two models genuinely differ
+    assert not np.allclose(a, b, rtol=0.05)
