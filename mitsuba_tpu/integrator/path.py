@@ -590,10 +590,8 @@ TRACE_FNS = {
     "direct": direct_trace,
     "ao": ao_trace,
     "field": field_trace,
-    # bdpt/pssmlt/mlt/erpt/ptracer/sppm/ppm/photonmapper have real
+    # bdpt/pssmlt/mlt/erpt/ptracer/sppm/ppm/photonmapper/vpl have real
     # single-chip implementations (integrator/{bdpt,pssmlt,mlt,ptracer,
-    # sppm}.py) AND real sharded dispatch (parallel/mesh.py
-    # render_sharded) — no fallback rows here
-    # vpl currently renders via path (real VPL generation pending)
-    "vpl": path_trace,
+    # sppm,vpl}.py) AND real sharded dispatch (parallel/mesh.py
+    # render_sharded) — no path-fallback rows remain
 }

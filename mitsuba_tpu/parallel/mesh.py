@@ -373,6 +373,41 @@ def _render_sharded_ptracer(scene, pack, mesh, spp, seed,
     return np.asarray(film) * (1.0 / (n_batches * batch))
 
 
+def _render_sharded_vpl(scene, pack, mesh, spp, seed, axis_name="lanes"):
+    """Sharded VPL: pass indices split across the mesh (passes are
+    independent — pass_i keys the RNG), per-chip films psum-merged."""
+    from mitsuba_tpu.integrator.vpl import make_vpl_pass
+
+    sen = scene.sensor.record
+    w, h = sen.film.width, sen.film.height
+    n_dev = mesh.devices.size
+    spp = spp or sen.sampler.sample_count
+    spp_pad = math.ceil(spp / n_dev) * n_dev
+    local = spp_pad // n_dev
+    one_pass = make_vpl_pass(pack, scene.integrator, sen, w, h, seed)
+
+    def shard_body(pass_ids):
+        film = jnp.zeros((h, w, 3), jnp.float32)
+
+        def body(k, f):
+            return one_pass(f, pass_ids[k])
+
+        film = jax.lax.fori_loop(0, local, body, film)
+        return jax.lax.psum(film, axis_name)
+
+    fn = jax.jit(
+        jax.shard_map(
+            shard_body,
+            mesh=mesh,
+            in_specs=(P(axis_name),),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+    film = fn(jnp.arange(spp_pad, dtype=jnp.uint32))
+    return np.asarray(film) / spp_pad
+
+
 _SHARDED_PHOTON_KINDS = ("sppm", "ppm", "photonmapper")
 _SHARDED_CHAIN_KINDS = ("pssmlt", "mlt", "erpt")
 
@@ -408,6 +443,10 @@ def render_sharded(scene, mesh=None, spp=None, seed=0, spp_chunk=None):
                   mesh=mesh or make_mesh())
     if kind == "ptracer":
         return _render_sharded_ptracer(
+            scene, pack, mesh or make_mesh(), spp, seed
+        )
+    if kind == "vpl":
+        return _render_sharded_vpl(
             scene, pack, mesh or make_mesh(), spp, seed
         )
     sensor_rec = scene.sensor.record

@@ -252,11 +252,15 @@ def render(
         return out
 
     if integ.kind in (
-        "pssmlt", "mlt", "erpt", "ptracer", "bdpt",
+        "pssmlt", "mlt", "erpt", "ptracer", "bdpt", "vpl",
         "sppm", "ppm", "photonmapper", "irrcache", "adaptive",
     ):
         # integrators with their own orchestration
-        if integ.kind == "bdpt":
+        if integ.kind == "vpl":
+            from mitsuba_tpu.integrator.vpl import render_vpl
+
+            img = render_vpl(scene, spp=spp, seed=seed, pack=pack)
+        elif integ.kind == "bdpt":
             from mitsuba_tpu.integrator.bdpt import render_bdpt
 
             img = render_bdpt(scene, spp=spp, seed=seed, pack=pack)

@@ -97,3 +97,20 @@ def test_sharded_bdpt_matches_single(cbox_scene):
         scene.integrator = saved
     assert np.isfinite(img_multi).all()
     assert rel_rmse(img_multi, img_single) < 1e-4
+
+
+def test_sharded_vpl_runs():
+    """Sharded VPL splits pass indices across chips."""
+    from mitsuba_tpu.integrator.plugins import IntegratorRecord
+    from mitsuba_tpu.scene.xml_loader import load_scene
+    import os
+
+    scene = load_scene(
+        os.path.join(os.path.dirname(__file__), "..", "scenes", "cbox.xml")
+    )
+    scene.sensor.record.film.width = 24
+    scene.sensor.record.film.height = 24
+    scene.integrator = IntegratorRecord(kind="vpl", max_depth=4)
+    img = render_sharded(scene, mesh=make_mesh(), spp=8, seed=1)
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.01
