@@ -104,25 +104,33 @@ def smith_g(dist, alpha_u, alpha_v, wi, wo, m):
 
 
 def sample_m(dist, alpha_u, alpha_v, u2):
-    """Sample a microfacet normal m ~ D(m) cos(theta_m) (classic, not VNDF).
-
-    Isotropic sampling with alpha = sqrt(au*av); the pdf below matches
-    exactly, so estimators remain unbiased even for anisotropic D inputs
-    as long as callers use pdf_m for the Jacobian (we pass the same
-    isotropic alpha there).
-    """
+    """Sample a microfacet normal m ~ D(m) cos(theta_m) (classic, not
+    VNDF), with FULL anisotropy for Beckmann/GGX (the reference's
+    microfacet.h sampleAll quadrant-corrected azimuth scheme); Phong
+    uses the isotropic-equivalent alpha (as its D does)."""
     au = clamp_alpha(alpha_u)
     av = clamp_alpha(alpha_v)
-    a = jnp.sqrt(au * av)
     u0 = jnp.clip(u2[..., 0], 0.0, mm.ONE_MINUS_EPS)
-    phi = 2.0 * jnp.pi * u2[..., 1]
+    u1 = u2[..., 1]
 
-    # Beckmann: tan^2 = -a^2 ln(1-u)
-    t2_beck = -a * a * jnp.log(jnp.maximum(1.0 - u0, 1e-20))
-    # GGX: tan^2 = a^2 u/(1-u)
-    t2_ggx = a * a * u0 / jnp.maximum(1.0 - u0, 1e-12)
-    # Phong: cos = (1-u)^(1/(e+2))
-    e_ph = 2.0 / (a * a) - 2.0
+    # anisotropic azimuth: phi = atan(av/au tan(pi + 2 pi u1)) +
+    # pi*floor(2 u1 + 0.5)  (quadrant-correct)
+    phi_a = jnp.arctan(
+        av / au * jnp.tan(jnp.pi + 2.0 * jnp.pi * u1)
+    ) + jnp.pi * jnp.floor(2.0 * u1 + 0.5)
+    iso = jnp.abs(au - av) < 1e-7
+    phi = jnp.where(iso, 2.0 * jnp.pi * u1, phi_a)
+    cp, sp = jnp.cos(phi), jnp.sin(phi)
+    inv_a2 = (cp * cp) / (au * au) + (sp * sp) / (av * av)
+    a2 = 1.0 / jnp.maximum(inv_a2, 1e-12)
+
+    # Beckmann: tan^2 = -a(phi)^2 ln(1-u)
+    t2_beck = -a2 * jnp.log(jnp.maximum(1.0 - u0, 1e-20))
+    # GGX: tan^2 = a(phi)^2 u/(1-u)
+    t2_ggx = a2 * u0 / jnp.maximum(1.0 - u0, 1e-12)
+    # Phong: cos = (1-u)^(1/(e+2)) with the isotropic exponent
+    a_iso = jnp.sqrt(au * av)
+    e_ph = 2.0 / (a_iso * a_iso) - 2.0
     ct_ph = jnp.power(jnp.maximum(1.0 - u0, 1e-20), 1.0 / (e_ph + 2.0))
     t2_ph = jnp.maximum(1.0 - ct_ph * ct_ph, 0.0) / jnp.maximum(
         ct_ph * ct_ph, 1e-12
@@ -133,16 +141,17 @@ def sample_m(dist, alpha_u, alpha_v, u2):
     )
     ct = 1.0 / jnp.sqrt(1.0 + tan2)
     st = mm.safe_sqrt(1.0 - ct * ct)
-    m = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
+    m = jnp.stack([st * cp, st * sp, ct], axis=-1)
     return m
 
 
 def pdf_m(dist, alpha_u, alpha_v, m):
-    """pdf of sample_m (solid angle over m) = D_iso(m) * cos(theta_m)."""
-    au = clamp_alpha(alpha_u)
-    av = clamp_alpha(alpha_v)
-    a = jnp.sqrt(au * av)
-    return microfacet_D(dist, a, a, m) * jnp.maximum(mm.cos_theta(m), 0.0)
+    """pdf of sample_m (solid angle over m) = D(m) * cos(theta_m) —
+    the anisotropic D for Beckmann/GGX (its Phong branch is already
+    isotropic-equivalent)."""
+    return microfacet_D(dist, alpha_u, alpha_v, m) * jnp.maximum(
+        mm.cos_theta(m), 0.0
+    )
 
 
 def project_roughness_to_alpha(roughness):
