@@ -20,9 +20,9 @@ junction-pdf overrides (what the reference computes with cached
 vertex pdfs in both directions, vertex.h "pdf[EImportance/ERadiance]").
 
 Scope (v2): surfaces only (no media yet); emitter kinds AREA, POINT,
-SPOT, DIRECTIONAL (env/constant are the planned follow-up).  Scenes
-outside this envelope fall back to the path backend WITH A LOUD
-WARNING.  Subpath lengths are capped at MTS_BDPT_MAX_EDGES (default 8)
+SPOT, DIRECTIONAL, CONSTANT, ENVMAP (infinite emitters use the
+pbrt-style solid-angle/planar density split).  Scenes with media fall
+back to the path backend WITH A LOUD WARNING.  Subpath lengths are capped at MTS_BDPT_MAX_EDGES (default 8)
 edges; path-space beyond the cap is truncated (documented, not silent:
 the renderer warns when maxDepth exceeds the cap).
 """
@@ -44,7 +44,9 @@ from mitsuba_tpu.core import rng, warp
 from mitsuba_tpu.emitter.eval import sample_direct
 from mitsuba_tpu.emitter.plugins import (
     AREA,
+    CONSTANT,
     DIRECTIONAL,
+    ENVMAP,
     POINT,
     SPOT,
 )
@@ -60,7 +62,8 @@ _SLOT_BSDF = 2
 _SLOT_NEE = 3
 
 INV_FOURPI = 0.25 / math.pi
-BDPT_KINDS = (AREA, POINT, SPOT, DIRECTIONAL)
+BDPT_KINDS = (AREA, POINT, SPOT, DIRECTIONAL, CONSTANT, ENVMAP)
+INFINITE_KINDS = (CONSTANT, ENVMAP)
 
 
 def _remap0(x):
@@ -127,6 +130,9 @@ def _walk(pack, o0, d0, beta0, pdf_w0, lane, sidx, seed, n_steps, present,
             0.0,
             _to_area(pdf_w, prev_p, its.p, its.ns),
         )
+        # raw solid-angle density of the generating transition (env
+        # escape vertices need it — no position to convert to)
+        pdf_w_in = jnp.where(prev_delta_transition, 0.0, pdf_w)
         if k == 0 and planar0 is not None:
             # delta-direction emitters (directional): the disk position
             # choice IS the choice of this vertex — planar area density
@@ -152,6 +158,8 @@ def _walk(pack, o0, d0, beta0, pdf_w0, lane, sidx, seed, n_steps, present,
             pdf_rev=jnp.zeros((r,), jnp.float32),
             delta=bs.delta,
             emit=its.emit,
+            _pdf_w_in=pdf_w_in,
+            _hit_valid=its.valid,
         )
 
         # reverse pdf of the PREDECESSOR: density of this vertex's bsdf
@@ -322,6 +330,51 @@ def _sample_light_vertex(pack, lane, sidx, seed):
             beta1=rgb / jnp.maximum(pp_d, 1e-12)[..., None])
         planar0 = jnp.where(kind == DIRECTIONAL, pp_planar, 0.0)
 
+    # ---- infinite emitters (constant / envmap): sample the emission
+    # DIRECTION (uniform sphere / env 2D CDF), then a disk position at
+    # the scene bound.  pbrt-style accounting: v0.pdf_fwd = the
+    # directional density (PdfLightOrigin), v1 gets the planar disk
+    # density (the planar0 mechanism, like directional) ----
+    is_inf = jnp.zeros((r,), bool)
+    if CONSTANT in kinds or ENVMAP in kinds:
+        from mitsuba_tpu.emitter.eval import (
+            INV_FOURPI as _I4P,
+            _env_bilinear,
+            _env_pdf_dir,
+            _env_uv_from_dir,
+            _sample_env_dir,
+        )
+
+        c = jnp.asarray(pack.meta["scene_center"], jnp.float32)
+        rad = pack.meta["scene_radius"]
+        pp_planar = 1.0 / (math.pi * rad * rad)
+        if pack.meta.get("has_envmap", False):
+            d_to_env, pdf_dir = _sample_env_dir(pack, u2[..., 0:2])
+            le = _env_bilinear(pack, _env_uv_from_dir(pack, d_to_env))
+        else:
+            d_to_env = warp.square_to_uniform_sphere(u2[..., 0:2])
+            pdf_dir = jnp.full((r,), _I4P)
+            le = jnp.broadcast_to(rgb, (r, 3))
+        w_in = -d_to_env  # emission direction INTO the scene
+        fr_e = mm.Frame.from_normal(w_in)
+        disk = warp.square_to_uniform_disk_concentric(u[..., 2:4]) * rad
+        off = fr_e.to_world(
+            jnp.concatenate([disk, jnp.zeros((r, 1), jnp.float32)], axis=-1)
+        )
+        p_e = c[None, :] + d_to_env * (1.5 * rad) + off
+        denom = jnp.maximum(pmf * pdf_dir * pp_planar, 1e-20)
+        for kc in INFINITE_KINDS:
+            if kc in kinds:
+                sel = kind == kc
+                put(sel, p0=p_e, n0=w_in,
+                    beta0=le / jnp.maximum(pmf * pdf_dir, 1e-20)[..., None],
+                    pdf_pos=pmf * pdf_dir,
+                    d1=w_in, pdf_w1=jnp.ones((r,)),
+                    beta1=le / denom[..., None],
+                    hittable=jnp.ones((r,), bool))
+                planar0 = jnp.where(sel, pp_planar, planar0)
+                is_inf = is_inf | sel
+
     v0 = dict(
         valid=jnp.ones((r,), bool),
         p=p0,
@@ -333,6 +386,7 @@ def _sample_light_vertex(pack, lane, sidx, seed):
         pdf_rev=jnp.zeros((r,), jnp.float32),
         delta=delta1,
         hittable=hittable,
+        is_inf=is_inf,
     )
     o1 = p0 + d1 * 1e-4 + jnp.where(
         (kind == AREA)[..., None], n0 * 1e-4, 0.0
@@ -478,13 +532,16 @@ def make_bdpt_chunk(pack, integ, sen, w, h, seed):
             pack, o1, d1, beta1, pdf_w1, lane, sidx, seed_l,
             max(n_light - 1, 1), present, delta0=delta1, planar0=planar0,
         )
-        # light vertex 0's reverse pdf from vertex 1's bsdf:
+        # light vertex 0's reverse pdf from vertex 1's bsdf: area measure
+        # for finite emitters, SOLID ANGLE for infinite ones (their
+        # forward pdf_fwd is the directional density, pbrt-style)
         if lwalk:
             rw = lwalk[0].get("_rev_w_to_origin")
             lv0 = dict(lv0)
+            rev_area = _to_area(rw, lwalk[0]["p"], lv0["p"], lv0["ns"])
             lv0["pdf_rev"] = jnp.where(
                 lwalk[0]["valid"],
-                _to_area(rw, lwalk[0]["p"], lv0["p"], lv0["ns"]),
+                jnp.where(lv0["is_inf"], rw, rev_area),
                 0.0,
             )
         light = [lv0] + lwalk
@@ -497,6 +554,41 @@ def make_bdpt_chunk(pack, integ, sen, w, h, seed):
             pt = cam[t - 2]
             fr_pt = mm.Frame.from_normal(pt["ns"])
             wi_pt = fr_pt.to_local(pt["wi"])
+
+            # ---- s = 0 (env): camera path ESCAPES to an infinite
+            # emitter between cam[t-3] and the would-be cam[t-2]; the
+            # escape direction itself is the emitter vertex, so its
+            # pdfs stay in SOLID ANGLE (pbrt infinite-light handling)
+            if t - 1 <= max_edges and any(
+                kc in kinds for kc in INFINITE_KINDS
+            ):
+                from mitsuba_tpu.emitter.eval import _env_pdf_dir, eval_env
+
+                k = t - 2
+                alive = jnp.max(cam[k]["beta"], axis=-1) > 0
+                prev_ok = cam[k - 1]["valid"] if k >= 1 else ~false_arr
+                esc = ~cam[k]["_hit_valid"] & alive & prev_ok
+                d_esc = -cam[k]["wi"]
+                le_env = eval_env(pack, d_esc)
+                pmf_env = pack.emitter_pmf[pack.meta["env_idx"]]
+                rad = pack.meta["scene_radius"]
+                planar = 1.0 / (math.pi * rad * rad)
+                cam_env = list(cam)
+                cam_env[k] = dict(
+                    cam[k], pdf_fwd=cam[k]["_pdf_w_in"]
+                )
+                over = {("c", k): pmf_env * _env_pdf_dir(pack, d_esc)}
+                if t >= 3:
+                    ptm = cam[t - 3]
+                    over[("c", t - 3)] = planar * jnp.abs(
+                        mm.dot(ptm["ns"], d_esc)
+                    )
+                w_mis = _mis_weight(0, t, cam_env, light, over, false_arr)
+                L = L + jnp.where(
+                    esc[..., None],
+                    cam[k]["beta"] * le_env * w_mis[..., None],
+                    0.0,
+                )
 
             # ---- s = 0: camera path hits the light (edges = t-1) ----
             if t - 1 >= 1 and t - 1 <= max_edges and (
@@ -549,9 +641,14 @@ def make_bdpt_chunk(pack, integ, sen, w, h, seed):
                     jnp.max(jnp.abs(ds.n), axis=-1, keepdims=True) > 1e-6,
                     ds.n, -ds.d,
                 )
-                # NEE pdf in area measure at the light (mass for deltas)
+                # NEE pdf in area measure at the light (mass for
+                # deltas; SOLID ANGLE for infinite emitters)
+                inf_nee = jnp.zeros((r,), bool)
+                for kc in INFINITE_KINDS:
+                    if kc in kinds:
+                        inf_nee = inf_nee | (ds.kind == kc)
                 pdf_l_area = jnp.where(
-                    ds.delta,
+                    ds.delta | inf_nee,
                     ds.pdf,
                     _to_area(ds.pdf, pt["p"], p_l, n_l),
                 )
@@ -564,6 +661,7 @@ def make_bdpt_chunk(pack, integ, sen, w, h, seed):
                     pdf_rev=jnp.zeros((r,), jnp.float32),
                     delta=false_arr,
                     hittable=~ds.delta,
+                    is_inf=inf_nee,
                 )
                 over = {}
                 # camera junction seen from the light: emission pdf
@@ -593,19 +691,32 @@ def make_bdpt_chunk(pack, integ, sen, w, h, seed):
                         pack, ds.kind, e_sel, n_l, -ds.d, kinds
                     )
                 over_ct2 = _to_area(em_pdf_w, p_l, pt["p"], pt["ns"])
-                if DIRECTIONAL in kinds:
+                if DIRECTIONAL in kinds or any(
+                    kc in kinds for kc in INFINITE_KINDS
+                ):
+                    # directional + infinite emitters share the planar
+                    # disk position density onto the receiving surface
                     rad = pack.meta["scene_radius"]
                     planar = 1.0 / (math.pi * rad * rad)
+                    plan_sel = ds.kind == DIRECTIONAL
+                    for kc in INFINITE_KINDS:
+                        if kc in kinds:
+                            plan_sel = plan_sel | (ds.kind == kc)
                     over_ct2 = jnp.where(
-                        ds.kind == DIRECTIONAL,
+                        plan_sel,
                         planar * jnp.abs(mm.dot(pt["ns"], ds.d)),
                         over_ct2,
                     )
                 over[("c", t - 2)] = over_ct2
-                # light point seen from pt (bsdf)
+                # light point seen from pt (bsdf; solid angle for
+                # infinite emitters)
                 pdf_w3 = bsdf_pdf(pt["sp"], wi_pt, wo_pt, present)
                 over[("l", 0)] = jnp.where(
-                    ds.delta, 0.0, _to_area(pdf_w3, pt["p"], p_l, n_l)
+                    ds.delta, 0.0,
+                    jnp.where(
+                        inf_nee, pdf_w3,
+                        _to_area(pdf_w3, pt["p"], p_l, n_l),
+                    ),
                 )
                 if t >= 3:
                     ptm = cam[t - 3]
@@ -656,12 +767,14 @@ def make_bdpt_chunk(pack, integ, sen, w, h, seed):
                 over[("c", t - 2)] = _to_area(
                     pdf_w, qs["p"], pt["p"], pt["ns"]
                 )
-                # qs-1 seen from qs (incoming now from pt)
+                # qs-1 seen from qs (incoming now from pt); light
+                # vertex 0 of an infinite emitter keeps solid angle
                 qsm = light[s - 2]
                 pdf_w2 = bsdf_pdf(qs["sp"], wo_qs, wi_qs, present)
-                over[("l", s - 2)] = _to_area(
-                    pdf_w2, qs["p"], qsm["p"], qsm["ns"]
-                )
+                rev_sm = _to_area(pdf_w2, qs["p"], qsm["p"], qsm["ns"])
+                if s == 2:
+                    rev_sm = jnp.where(qsm["is_inf"], pdf_w2, rev_sm)
+                over[("l", s - 2)] = rev_sm
                 # qs seen from pt (incoming from pt's predecessor)
                 pdf_w3 = bsdf_pdf(pt["sp"], wi_pt, wo_pt, present)
                 over[("l", s - 1)] = _to_area(
@@ -735,9 +848,10 @@ def make_bdpt_chunk(pack, integ, sen, w, h, seed):
                 wo_qs = fr_qs.to_local(dc)
                 qsm = light[s - 2]
                 pdf_w2 = bsdf_pdf(qs["sp"], wo_qs, wi_qs, present)
-                over[("l", s - 2)] = _to_area(
-                    pdf_w2, qs["p"], qsm["p"], qsm["ns"]
-                )
+                rev_sm = _to_area(pdf_w2, qs["p"], qsm["p"], qsm["ns"])
+                if s == 2:
+                    rev_sm = jnp.where(qsm["is_inf"], pdf_w2, rev_sm)
+                over[("l", s - 2)] = rev_sm
             w_mis = _mis_weight(s, 1, cam, light, over, false_arr)
 
             splat = val * (cam_k(-dc) / d2 * w_mis)[..., None]
@@ -767,7 +881,7 @@ def render_bdpt(scene, spp=None, seed=0, pack=None):
 
         print(
             "[bdpt] WARNING: scene outside the bdpt v2 envelope "
-            "(media or env/constant emitters) — rendering with the "
+            "(participating media) — rendering with the "
             "unidirectional path backend instead"
         )
         sub = IntegratorRecord(

@@ -138,3 +138,39 @@ def test_bdpt_unsupported_scene_falls_back(small_cbox):
 
     pack = pack_scene(small_cbox)
     assert supports_bdpt(pack)
+
+
+@pytest.mark.parametrize(
+    "emitter_xml",
+    [
+        """<emitter type="constant">
+             <rgb name="radiance" value="0.6, 0.7, 0.9"/>
+           </emitter>""",
+        """<emitter type="sky">
+             <string name="model" value="hosek"/>
+             <float name="turbidity" value="3"/>
+             <integer name="resolution" value="64"/>
+             <float name="scale" value="0.2"/>
+           </emitter>""",
+    ],
+    ids=["constant", "envmap"],
+)
+def test_bdpt_infinite_emitters_match_path(emitter_xml):
+    """bdpt with constant/envmap emitters agrees with the path tracer
+    (infinite lights use the pbrt-style directional-origin density,
+    matching reference vertex.h EEmitterSample for env)."""
+    from mitsuba_tpu.integrator.bdpt import render_bdpt, supports_bdpt
+    from mitsuba_tpu.renderer import render
+    from mitsuba_tpu.scene.builder import pack_scene
+
+    scene_p = _two_wall_scene(emitter_xml, integrator="path", spp=128)
+    ref = render(scene_p, spp=128)
+    scene_b = _two_wall_scene(emitter_xml, integrator="bdpt", spp=64)
+    assert supports_bdpt(pack_scene(scene_b))
+    img = render_bdpt(scene_b, spp=64, seed=5)
+
+    ratio = img.mean(axis=(0, 1)) / ref.mean(axis=(0, 1))
+    assert np.all(np.abs(ratio - 1.0) < 0.08), ratio
+    d = img - ref
+    rel = float(np.sqrt((d * d).mean()) / ref.mean())
+    assert rel < 0.35, rel
