@@ -32,25 +32,36 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REF_DIR = os.path.join(HERE, "bench_refs")
 
 # (name, scene file, integrator override, resolution, ref spp)
+# glass_caustics REF uses the unbiased path tracer at high spp (bdpt at
+# ref-quality spp is wall-clock prohibitive; both converge to the same
+# image) while the MEASURED render keeps the scene's bdpt integrator
 CONFIGS = [
     ("cbox", "scenes/cbox.xml", None, 512, 4096),
     ("matpreview", "scenes/matpreview.xml", None, 512, 4096),
     ("smoke", "scenes/smoke.xml", None, 256, 512),
-    ("glass_caustics", "scenes/glass_caustics.xml", None, 256, 4096),
+    ("glass_caustics", "scenes/glass_caustics.xml", ("path", None), 256,
+     16384),
 ]
 TARGET_RMSE = 0.01
 
 
-def _load(name, path, integrator, res):
+def _load(name, path, integrator, res, for_ref=False):
     from mitsuba_tpu.scene.xml_loader import load_scene
 
     scene = load_scene(os.path.join(HERE, path))
     scene.sensor.record.film.width = res
     scene.sensor.record.film.height = res
-    if integrator is not None:
+    override = None
+    if isinstance(integrator, tuple):
+        override = integrator[0] if for_ref else integrator[1]
+    elif integrator is not None:
+        override = integrator
+    if override is not None:
         from mitsuba_tpu.integrator.plugins import IntegratorRecord
 
-        scene.integrator = IntegratorRecord(kind=integrator)
+        scene.integrator = IntegratorRecord(
+            kind=override, max_depth=scene.integrator.max_depth
+        )
     return scene
 
 
@@ -73,7 +84,7 @@ def make_refs():
         if os.path.exists(out):
             print(f"{name}: ref exists, skipping")
             continue
-        scene = _load(name, path, integ, res)
+        scene = _load(name, path, integ, res, for_ref=True)
         t0 = time.time()
         img = _render(scene, ref_spp, seed=999)
         print(f"{name}: ref {res}^2 @{ref_spp}spp in {time.time()-t0:.0f}s")

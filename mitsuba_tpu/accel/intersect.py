@@ -80,8 +80,12 @@ def _intersect_spheres(pack, o, d, best_t):
     return hit, tmin, sid.astype(jnp.int32)
 
 
+def _static_tris(pack):
+    return pack.meta.get("n_static_tris", pack.meta.get("n_tris", 0))
+
+
 def _brute_tiles(pack):
-    n_tris = pack.n_tris
+    n_tris = _static_tris(pack)
     n_tiles = max((n_tris + TRI_TILE - 1) // TRI_TILE, 1)
     pad_to = n_tiles * TRI_TILE
     # triangles are padded in the pack only by LEAF_SIZE; slice-pad here
@@ -420,13 +424,125 @@ def _sorted_chunked(pack, o, d, t_max, traverse, n_out):
     return res if n_out > 1 else res[0]
 
 
-def intersect(pack, o, d, t_max=jnp.inf, sort=False) -> Hit:
+def _anim_ray(o, d, m1, tt):
+    """Transform world rays into an animated shape's keyframe-0 frame:
+    M(t) = I + t (M1 - I) affine-lerped per lane, inverted in closed
+    form (reference AnimatedTransform::eval, track.h:335-402; exact
+    for translation/scale keyframes, chordal for rotations)."""
+    L1 = m1[:9].reshape(3, 3)
+    b1 = m1[9:12]
+    tt3 = tt[..., None]
+    # A = I + t (L1 - I); b = t * b1
+    A = jnp.eye(3) + tt3[..., None] * (L1 - jnp.eye(3))[None]
+    b = tt3 * b1[None]
+    # closed-form 3x3 inverse (adjugate / det)
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a02 * a21 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c10 = a12 * a20 - a10 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a02 * a10 - a00 * a12
+    c20 = a10 * a21 - a11 * a20
+    c21 = a01 * a20 - a00 * a21
+    c22 = a00 * a11 - a01 * a10
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+
+    def apply_inv(v):
+        x = (c00 * v[..., 0] + c01 * v[..., 1] + c02 * v[..., 2])
+        y = (c10 * v[..., 0] + c11 * v[..., 1] + c12 * v[..., 2])
+        z = (c20 * v[..., 0] + c21 * v[..., 1] + c22 * v[..., 2])
+        return jnp.stack([x, y, z], axis=-1) * inv_det[..., None]
+
+    return apply_inv(o - b), apply_inv(d)
+
+
+def _anim_closest(pack, o, d, time, best_t, best_prim, best_u, best_v):
+    """Animated shapes: per-shape relative-motion ray transform +
+    tiled brute force over the shape's triangle range."""
+    r = o.shape[0]
+    tt = (
+        jnp.broadcast_to(time, (r,)).astype(jnp.float32)
+        if time is not None else jnp.full((r,), 0.5, jnp.float32)
+    )
+    for a, (first, count) in enumerate(pack.meta["anim_ranges"]):
+        o2, d2 = _anim_ray(o, d, pack.anim_m1[a], tt)
+        v0 = pack.tri_v0[first:first + count]
+        e1 = pack.tri_e1[first:first + count]
+        e2 = pack.tri_e2[first:first + count]
+        n_tiles = (count + TRI_TILE - 1) // TRI_TILE
+        pad_to = n_tiles * TRI_TILE
+        v0p = _pad_rows(v0, pad_to, 1e30)
+        e1p = _pad_rows(e1, pad_to, 0.0)
+        e2p = _pad_rows(e2, pad_to, 0.0)
+        for ti in range(n_tiles):
+            sl = slice(ti * TRI_TILE, (ti + 1) * TRI_TILE)
+            hit, t, u, v = _moller_trumbore(
+                o2[:, None, :], d2[:, None, :],
+                v0p[None, sl], e1p[None, sl], e2p[None, sl],
+                best_t[:, None],
+            )
+            t = jnp.where(hit, t, jnp.inf)
+            k = jnp.argmin(t, axis=-1)
+            tk = jnp.take_along_axis(t, k[:, None], -1)[:, 0]
+            better = tk < best_t
+            best_prim = jnp.where(
+                better, first + ti * TRI_TILE + k.astype(jnp.int32),
+                best_prim,
+            )
+            best_u = jnp.where(
+                better, jnp.take_along_axis(u, k[:, None], -1)[:, 0],
+                best_u,
+            )
+            best_v = jnp.where(
+                better, jnp.take_along_axis(v, k[:, None], -1)[:, 0],
+                best_v,
+            )
+            best_t = jnp.minimum(best_t, tk)
+    return best_t, best_prim, best_u, best_v
+
+
+def _anim_any(pack, o, d, time, t_max):
+    r = o.shape[0]
+    tt = (
+        jnp.broadcast_to(time, (r,)).astype(jnp.float32)
+        if time is not None else jnp.full((r,), 0.5, jnp.float32)
+    )
+    occ = jnp.zeros((r,), bool)
+    tm = jnp.broadcast_to(t_max, (r,)).astype(jnp.float32)
+    for a, (first, count) in enumerate(pack.meta["anim_ranges"]):
+        o2, d2 = _anim_ray(o, d, pack.anim_m1[a], tt)
+        v0 = pack.tri_v0[first:first + count]
+        e1 = pack.tri_e1[first:first + count]
+        e2 = pack.tri_e2[first:first + count]
+        n_tiles = (count + TRI_TILE - 1) // TRI_TILE
+        pad_to = n_tiles * TRI_TILE
+        v0p = _pad_rows(v0, pad_to, 1e30)
+        e1p = _pad_rows(e1, pad_to, 0.0)
+        e2p = _pad_rows(e2, pad_to, 0.0)
+        for ti in range(n_tiles):
+            sl = slice(ti * TRI_TILE, (ti + 1) * TRI_TILE)
+            hit, _, _, _ = _moller_trumbore(
+                o2[:, None, :], d2[:, None, :],
+                v0p[None, sl], e1p[None, sl], e2p[None, sl],
+                tm[:, None],
+            )
+            occ = occ | jnp.any(hit, axis=-1)
+    return occ
+
+
+def intersect(pack, o, d, t_max=jnp.inf, sort=False, time=None) -> Hit:
     """Closest-hit query (= Scene::rayIntersect, reference scene.h:187).
 
     sort=True enables coherence-sorted chunked BVH traversal — a win
     for large INCOHERENT top-level batches (kdbench); never use it
-    inside a bounce loop (nested sequential loops compile terribly)."""
-    if pack.n_tris > 0:
+    inside a bounce loop (nested sequential loops compile terribly).
+    time: per-lane shutter time in [0,1] for animated shapes (None =
+    shutter midpoint)."""
+    if _static_tris(pack) > 0:
         if pack.use_bvh:
             if _use_clusters(pack):
                 from mitsuba_tpu.accel import pallas_bvh as pb
@@ -467,6 +583,11 @@ def intersect(pack, o, d, t_max=jnp.inf, sort=False) -> Hit:
         prim = jnp.full((r,), -1, jnp.int32)
         u = v = jnp.zeros((r,), jnp.float32)
 
+    if pack.meta.get("anim_ranges", ()):
+        best_t, prim, u, v = _anim_closest(
+            pack, o, d, time, best_t, prim, u, v
+        )
+
     is_sphere = jnp.zeros(o.shape[0], bool)
     if pack.n_spheres > 0:
         sh, st, sid = _intersect_spheres(pack, o, d, best_t)
@@ -479,12 +600,13 @@ def intersect(pack, o, d, t_max=jnp.inf, sort=False) -> Hit:
     return Hit(valid=valid, t=best_t, prim=prim, is_sphere=is_sphere, u=u, v=v)
 
 
-def occluded(pack, o, d, t_max, sort=False) -> jnp.ndarray:
+def occluded(pack, o, d, t_max, sort=False, time=None) -> jnp.ndarray:
     """Boolean shadow query (= rayIntersect any-hit path).
 
     t_max must already be shortened by the caller's epsilon.
     """
-    if pack.n_tris > 0:
+    anim = pack.meta.get("anim_ranges", ())
+    if _static_tris(pack) > 0:
         if pack.use_bvh:
             if _use_clusters(pack):
                 from mitsuba_tpu.accel import pallas_bvh as pb
@@ -507,8 +629,10 @@ def occluded(pack, o, d, t_max, sort=False) -> jnp.ndarray:
                 pack, o, d, jnp.broadcast_to(t_max, (o.shape[0],))
             )
             occ = occ | sh
+        if anim:
+            occ = occ | _anim_any(pack, o, d, time, t_max)
         return occ
-    hit = intersect(pack, o, d, t_max)
+    hit = intersect(pack, o, d, t_max, time=time)
     return hit.valid
 
 

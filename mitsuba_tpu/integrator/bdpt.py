@@ -19,12 +19,16 @@ area-pdf ratio walk (the `ri` recurrence), with the per-strategy
 junction-pdf overrides (what the reference computes with cached
 vertex pdfs in both directions, vertex.h "pdf[EImportance/ERadiance]").
 
-Scope (v2): surfaces only (no media yet); emitter kinds AREA, POINT,
-SPOT, DIRECTIONAL, CONSTANT, ENVMAP (infinite emitters use the
-pbrt-style solid-angle/planar density split).  Scenes with media fall
-back to the path backend WITH A LOUD WARNING.  Subpath lengths are capped at MTS_BDPT_MAX_EDGES (default 8)
-edges; path-space beyond the cap is truncated (documented, not silent:
-the renderer warns when maxDepth exceeds the cap).
+Scope (v3): emitter kinds AREA, POINT, SPOT, DIRECTIONAL, CONSTANT,
+ENVMAP (infinite emitters use the pbrt-style solid-angle/planar
+density split) AND participating media: subpath walks interleave
+medium-distance sampling (medium vertices scatter by the phase
+function, reference vertex.h EMediumInteraction) and every connection
+edge carries transmittance through null boundaries
+(bdpt_proc.cpp:266-268).  Subpath lengths are capped at
+MTS_BDPT_MAX_EDGES (default 8) edges; path-space beyond the cap is
+truncated (documented, not silent: the renderer warns when maxDepth
+exceeds the cap).
 """
 
 from __future__ import annotations
@@ -71,21 +75,25 @@ def _remap0(x):
     return jnp.where(x > 0, x, 1.0)
 
 
-def _to_area(pdf_w, p_from, p_to, ns_to):
-    """Solid-angle pdf at p_from toward p_to -> area pdf at p_to."""
+def _to_area(pdf_w, p_from, p_to, ns_to, medium_to=None):
+    """Solid-angle pdf at p_from toward p_to -> area pdf at p_to.
+    Medium vertices have no surface cosine (reference vertex.cpp
+    conversion gates the absDot on isOnSurface)."""
     v = p_to - p_from
     d2 = jnp.maximum(mm.dot(v, v), 1e-12)
     w = v / jnp.sqrt(d2)[..., None]
-    return pdf_w * jnp.abs(mm.dot(ns_to, w)) / d2
+    cos = jnp.abs(mm.dot(ns_to, w))
+    if medium_to is not None:
+        cos = jnp.where(medium_to, 1.0, cos)
+    return pdf_w * cos / d2
 
 
 def supports_bdpt(pack):
-    """v2 envelope: no media; emitter kinds in BDPT_KINDS."""
+    """v3 envelope: all emitter kinds in BDPT_KINDS; media supported
+    (medium vertices + attenuated connection edges)."""
     kinds = pack.meta.get("emitter_kinds", ())
-    return (
-        pack.meta["n_emitters"] > 0
-        and all(k in BDPT_KINDS for k in kinds)
-        and not pack.meta.get("has_media", False)
+    return pack.meta["n_emitters"] > 0 and all(
+        k in BDPT_KINDS for k in kinds
     )
 
 
@@ -94,8 +102,10 @@ def supports_bdpt(pack):
 # -----------------------------------------------------------------------------
 
 def _walk(pack, o0, d0, beta0, pdf_w0, lane, sidx, seed, n_steps, present,
-          delta0, planar0=None):
-    """Unrolled random walk of up to n_steps surface vertices.
+          delta0, planar0=None, med0=None):
+    """Unrolled random walk of up to n_steps vertices (surface AND
+    medium — the SoA analogue of Path::randomWalk through participating
+    media, reference path.cpp + vertex.h EMediumInteraction).
 
     o0/d0: start ray; beta0: throughput arriving along it; pdf_w0:
     solid-angle pdf of d0 at the origin.  Returns a python list of
@@ -103,10 +113,14 @@ def _walk(pack, o0, d0, beta0, pdf_w0, lane, sidx, seed, n_steps, present,
       valid, p, ns, ng, wi (unit, toward predecessor), sp (shading
       params dict), beta (throughput INTO the vertex), pdf_fwd (area),
       pdf_rev (area, from successor; 0 where unknown/delta), delta
-      (transition sampled at this vertex was a Dirac lobe), emit.
+      (transition sampled at this vertex was a Dirac lobe), emit,
+      is_medium, med (ambient medium id at the vertex).
     delta0: whether the generating distribution of d0 is delta in
     direction (directional/collimated light starts).
     """
+    has_media = pack.meta.get("has_media", False)
+    from mitsuba_tpu.medium import eval as med_eval
+
     r = o0.shape[0]
     verts = []
     o, d = o0, d0
@@ -115,11 +129,91 @@ def _walk(pack, o0, d0, beta0, pdf_w0, lane, sidx, seed, n_steps, present,
     active = jnp.max(beta0, axis=-1) > 0
     prev_p = o0
     prev_delta_transition = delta0
+    cur_med = (
+        med0 if med0 is not None
+        else jnp.full((r,), pack.meta.get("camera_medium", -1), jnp.int32)
+    )
+    seed_m = rng.stream_seed(seed, rng.STREAM_MEDIUM_DIST)
+
+    # null-BSDF boundaries are NOT vertices: each walk step resolves up
+    # to _NULL_CROSSINGS index-matched crossings (accumulating medium
+    # transmittance/scatter sampling per segment) before the next REAL
+    # vertex — matching volpath's depth semantics and the reference's
+    # pathConnectAndCollapse null handling (bdpt_proc.cpp:259)
+    _NULL_CROSSINGS = 3
+    from mitsuba_tpu.bsdf.plugins import NULL_BSDF as _NULLB
 
     for k in range(n_steps):
-        hit = intersect(pack, o, d)
-        its = fill_interaction(pack, o, d, hit)
-        valid = active & its.valid
+        if has_media:
+            o_cur = o
+            unresolved = active
+            medium_evt = jnp.zeros((r,), bool)
+            surf_evt = jnp.zeros((r,), bool)
+            escaped = jnp.zeros((r,), bool)
+            its = None
+            p_v = jnp.zeros((r, 3), jnp.float32)
+            for nn in range(_NULL_CROSSINGS):
+                hit_n = intersect(pack, o_cur, d)
+                its_n = fill_interaction(pack, o_cur, d, hit_n)
+                t_seg = jnp.where(hit_n.valid, hit_n.t, 1e7)
+                u_m = rng.rand4(
+                    lane, sidx, (k * _NULL_CROSSINGS + nn) * 2, seed_m
+                )
+                ms = med_eval.sample_distance(
+                    pack, cur_med, o_cur, d, t_seg, u_m[..., :3], lane,
+                    sidx, k * _NULL_CROSSINGS + nn, seed,
+                )
+                beta = beta * jnp.where(
+                    unresolved[..., None], ms.weight, 1.0
+                )
+                med_n = unresolved & ms.is_medium
+                is_null = (
+                    take_rows(pack.mat_type, jnp.maximum(its_n.mat, 0))
+                    == _NULLB
+                )
+                null_n = unresolved & ~med_n & its_n.valid & is_null
+                surf_n = unresolved & ~med_n & its_n.valid & ~is_null
+                sel = med_n | surf_n
+                if its is None:
+                    its = its_n
+                else:
+                    its = jax.tree.map(
+                        lambda a, b: jnp.where(
+                            sel.reshape(sel.shape + (1,) * (a.ndim - 1)),
+                            a, b,
+                        ),
+                        its_n, its,
+                    )
+                p_v = jnp.where(
+                    med_n[..., None], o_cur + d * ms.t[..., None],
+                    jnp.where(surf_n[..., None], its_n.p, p_v),
+                )
+                medium_evt = medium_evt | med_n
+                surf_evt = surf_evt | surf_n
+                escaped = escaped | (
+                    unresolved & ~med_n & ~its_n.valid
+                )
+                # cross null boundaries: advance + switch media
+                entering = mm.dot(d, its_n.ng) < 0
+                cur_med = jnp.where(
+                    null_n,
+                    jnp.where(entering, its_n.med_in, its_n.med_ex),
+                    cur_med,
+                )
+                o_cur = jnp.where(
+                    null_n[..., None], its_n.p + d * 1e-4, o_cur
+                )
+                unresolved = null_n
+            valid = medium_evt | surf_evt
+            hit_valid = ~escaped
+        else:
+            hit = intersect(pack, o, d)
+            its = fill_interaction(pack, o, d, hit)
+            medium_evt = jnp.zeros((r,), bool)
+            surf_evt = active & its.valid
+            valid = surf_evt
+            p_v = its.p
+            hit_valid = its.valid
 
         frame = shading_frame(pack, its)
         wi_l = frame.to_local(its.wi_world)
@@ -128,7 +222,7 @@ def _walk(pack, o0, d0, beta0, pdf_w0, lane, sidx, seed, n_steps, present,
         pdf_fwd = jnp.where(
             prev_delta_transition,
             0.0,
-            _to_area(pdf_w, prev_p, its.p, its.ns),
+            _to_area(pdf_w, prev_p, p_v, its.ns, medium_to=medium_evt),
         )
         # raw solid-angle density of the generating transition (env
         # escape vertices need it — no position to convert to)
@@ -137,18 +231,38 @@ def _walk(pack, o0, d0, beta0, pdf_w0, lane, sidx, seed, n_steps, present,
             # delta-direction emitters (directional): the disk position
             # choice IS the choice of this vertex — planar area density
             # projected onto the surface (pbrt's infinite-light density)
+            cosg = jnp.where(
+                medium_evt, 1.0, jnp.abs(mm.dot(its.ns, d))
+            )
             pdf_fwd = jnp.where(
-                planar0 > 0,
-                planar0 * jnp.abs(mm.dot(its.ns, d)),
-                pdf_fwd,
+                planar0 > 0, planar0 * cosg, pdf_fwd
             )
 
+        # direction sampling: bsdf at surfaces, phase at medium events
         u_b = rng.rand4(lane, sidx, k * _SLOTS + _SLOT_BSDF, seed)
         bs = bsdf_sample(sp, wi_l, u_b[..., :2], u_b[..., 2], present)
+        d_surf = frame.to_world(bs.wo)
+        if has_media:
+            d_ph, ph_pdf, ph_w = med_eval.phase_sample(
+                pack, cur_med, d, u_b[..., :2], p=p_v
+            )
+            d_new = jnp.where(medium_evt[..., None], d_ph, d_surf)
+            step_pdf_w = jnp.where(medium_evt, ph_pdf, bs.pdf)
+            step_delta = jnp.where(medium_evt, False, bs.delta)
+            step_w = jnp.where(
+                medium_evt[..., None],
+                ph_w[..., None] * jnp.ones((1, 3)),
+                bs.weight,
+            )
+        else:
+            d_new = d_surf
+            step_pdf_w = bs.pdf
+            step_delta = bs.delta
+            step_w = bs.weight
 
         v = dict(
             valid=valid,
-            p=its.p,
+            p=p_v,
             ns=its.ns,
             ng=its.ng,
             wi=its.wi_world,
@@ -156,37 +270,57 @@ def _walk(pack, o0, d0, beta0, pdf_w0, lane, sidx, seed, n_steps, present,
             beta=beta,
             pdf_fwd=pdf_fwd,
             pdf_rev=jnp.zeros((r,), jnp.float32),
-            delta=bs.delta,
-            emit=its.emit,
+            delta=step_delta,
+            emit=jnp.where(medium_evt, -1, its.emit),
+            is_medium=medium_evt,
+            med=cur_med,
+            med_in=its.med_in,
+            med_ex=its.med_ex,
             _pdf_w_in=pdf_w_in,
-            _hit_valid=its.valid,
+            _hit_valid=hit_valid,
         )
 
-        # reverse pdf of the PREDECESSOR: density of this vertex's bsdf
-        # sampling back toward it (vertex.h pdf[1-mode] caching)
-        if k > 0:
-            p_rev_w = jnp.where(
-                bs.delta, 0.0, bsdf_pdf(sp, bs.wo, wi_l, present)
+        # reverse pdf of the PREDECESSOR: density of this vertex's
+        # scattering back toward it (vertex.h pdf[1-mode] caching)
+        rev_w_s = jnp.where(
+            bs.delta, 0.0, bsdf_pdf(sp, bs.wo, wi_l, present)
+        )
+        if has_media:
+            rev_w_m = med_eval.phase_pdf(
+                pack, cur_med, d_new, its.wi_world, p=p_v
             )
+            rev_w = jnp.where(medium_evt, rev_w_m, rev_w_s)
+        else:
+            rev_w = rev_w_s
+        if k > 0:
             verts[k - 1]["pdf_rev"] = jnp.where(
                 valid,
-                _to_area(p_rev_w, its.p, verts[k - 1]["p"],
-                         verts[k - 1]["ns"]),
+                _to_area(rev_w, p_v, verts[k - 1]["p"],
+                         verts[k - 1]["ns"],
+                         medium_to=verts[k - 1]["is_medium"]),
                 verts[k - 1]["pdf_rev"],
             )
         else:
-            v["_rev_w_to_origin"] = jnp.where(
-                bs.delta, 0.0, bsdf_pdf(sp, bs.wo, wi_l, present)
-            )
+            v["_rev_w_to_origin"] = rev_w
 
         verts.append(v)
 
-        d_new = frame.to_world(bs.wo)
-        beta = beta * jnp.where(valid[..., None], bs.weight, 0.0)
-        prev_p = its.p
-        prev_delta_transition = bs.delta
-        pdf_w = bs.pdf
-        o = _path._offset_ray(its.p, its.ng, d_new)
+        beta = beta * jnp.where(valid[..., None], step_w, 0.0)
+        prev_p = p_v
+        prev_delta_transition = step_delta
+        pdf_w = step_pdf_w
+        # medium transitions at surface crossings (incl. null BSDFs)
+        if has_media:
+            crossing = mm.dot(d_new, its.ng) < 0
+            new_med = jnp.where(crossing, its.med_in, its.med_ex)
+            cur_med = jnp.where(
+                surf_evt, new_med, cur_med
+            )
+        o = jnp.where(
+            medium_evt[..., None],
+            p_v,
+            _path._offset_ray(its.p, its.ng, d_new),
+        ) if has_media else _path._offset_ray(its.p, its.ng, d_new)
         d = d_new
         active = valid & (jnp.max(beta, axis=-1) > 0)
 
@@ -228,6 +362,7 @@ def _sample_light_vertex(pack, lane, sidx, seed):
     pmf, kind, rgb = take_fused(e, pack.emitter_pmf, pack.em_kind, pack.em_rgb)
 
     p0 = jnp.zeros((r, 3), jnp.float32)
+    med0 = jnp.full((r,), pack.meta.get("camera_medium", -1), jnp.int32)
     n0 = jnp.tile(jnp.array([[0.0, 0.0, 1.0]], jnp.float32), (r, 1))
     beta0 = jnp.zeros((r, 3), jnp.float32)
     pdf_pos = jnp.ones((r,), jnp.float32)
@@ -273,6 +408,7 @@ def _sample_light_vertex(pack, lane, sidx, seed):
         n_a = mm.normalize(mm.cross(pack.tri_e1[tri], pack.tri_e2[tri]))
         pp_a = pmf / jnp.maximum(area, 1e-12)
         b0_a = rgb / jnp.maximum(pp_a, 1e-12)[..., None]
+        med_a = pack.tri_med_ex[tri]
         frame = mm.Frame.from_normal(n_a)
         d_l = warp.square_to_cosine_hemisphere(u2[..., 0:2])
         d_a = frame.to_world(d_l)
@@ -281,6 +417,7 @@ def _sample_light_vertex(pack, lane, sidx, seed):
         put(kind == AREA, p0=p_a, n0=n_a, beta0=b0_a, pdf_pos=pp_a,
             d1=d_a, pdf_w1=pw_a, beta1=b0_a * jnp.pi,
             hittable=jnp.ones((r,), bool))
+        med0 = jnp.where(kind == AREA, med_a, med0)
 
     if POINT in kinds or SPOT in kinds:
         em_pos, em_dir, cc, cb = take_fused(
@@ -387,11 +524,16 @@ def _sample_light_vertex(pack, lane, sidx, seed):
         delta=delta1,
         hittable=hittable,
         is_inf=is_inf,
+        is_medium=jnp.zeros((r,), bool),
+        ng=n0,
+        med=med0,
+        med_in=med0,
+        med_ex=med0,
     )
     o1 = p0 + d1 * 1e-4 + jnp.where(
         (kind == AREA)[..., None], n0 * 1e-4, 0.0
     )
-    return v0, o1, d1, beta1, pdf_w1, delta1, planar0
+    return v0, o1, d1, beta1, pdf_w1, delta1, planar0, med0
 
 
 def _emission_dir_pdf_w(pack, kind, e, n_l, d_out, kinds):
@@ -463,6 +605,48 @@ def _mis_weight(s, t, cam, light, over_rev, false_arr):
 
 
 # -----------------------------------------------------------------------------
+# vertex scattering helpers (surface bsdf OR medium phase, per lane —
+# the SoA analogue of PathVertex::eval/evalPdf dispatch, vertex.cpp)
+# -----------------------------------------------------------------------------
+
+def _vertex_frame(v):
+    return mm.Frame.from_normal(v["ns"])
+
+
+def _v_f(pack, v, wo_w, present):
+    """Scattering throughput f(wi -> wo) with |cos_o| folded at
+    surfaces (bsdf_eval convention); phase value at medium vertices
+    (no cosine — it cancels in the generalized geometric term)."""
+    fr = _vertex_frame(v)
+    f_s = bsdf_eval(v["sp"], fr.to_local(v["wi"]), fr.to_local(wo_w),
+                    present)
+    if pack.meta.get("has_media", False):
+        from mitsuba_tpu.medium import eval as med_eval
+
+        f_m = med_eval.phase_eval(pack, v["med"], -v["wi"], wo_w,
+                                  p=v["p"])
+        return jnp.where(
+            v["is_medium"][..., None],
+            f_m[..., None] * jnp.ones((1, 3)),
+            f_s,
+        )
+    return f_s
+
+
+def _v_pdf(pack, v, wi_w, wo_w, present):
+    """Solid-angle density of sampling wo_w at vertex v when arriving
+    from wi_w (both unit, pointing AWAY from v)."""
+    fr = _vertex_frame(v)
+    p_s = bsdf_pdf(v["sp"], fr.to_local(wi_w), fr.to_local(wo_w), present)
+    if pack.meta.get("has_media", False):
+        from mitsuba_tpu.medium import eval as med_eval
+
+        p_m = med_eval.phase_pdf(pack, v["med"], -wi_w, wo_w, p=v["p"])
+        return jnp.where(v["is_medium"], p_m, p_s)
+    return p_s
+
+
+# -----------------------------------------------------------------------------
 # one bdpt chunk (shared by single-chip and sharded rendering)
 # -----------------------------------------------------------------------------
 
@@ -503,9 +687,43 @@ def make_bdpt_chunk(pack, integ, sen, w, h, seed):
 
     cam_packed = sen.pack(w, h)
 
+    has_media = pack.meta.get("has_media", False)
+    if has_media:
+        from mitsuba_tpu.integrator.volpath import _attenuated_visibility
+
     def chunk_fn(lane, sidx):
         r = lane.shape[0]
         false_arr = jnp.zeros((r,), bool)
+        vis_slot = [1000]  # unique RNG slots per connection strategy
+
+        def conn_tr(v_from, d_c, dist):
+            """Visibility (and transmittance with media) of a
+            connection edge starting at vertex v_from toward d_c
+            (= PathEdge transmittance, bdpt_proc.cpp:266-268)."""
+            o_sh = jnp.where(
+                v_from["is_medium"][..., None],
+                v_from["p"],
+                _path._offset_ray(v_from["p"], v_from["ng"], d_c),
+            ) if has_media else _path._offset_ray(
+                v_from["p"], v_from["ng"], d_c
+            )
+            if not has_media:
+                occ = occluded(pack, o_sh, d_c, dist * (1.0 - 1e-3))
+                return jnp.where(occ[..., None], 0.0, 1.0)
+            med_c = jnp.where(
+                v_from["is_medium"],
+                v_from["med"],
+                jnp.where(
+                    mm.dot(d_c, v_from["ng"]) < 0,
+                    v_from.get("med_in", v_from["med"]),
+                    v_from.get("med_ex", v_from["med"]),
+                ),
+            )
+            vis_slot[0] += 1
+            return _attenuated_visibility(
+                pack, o_sh, d_c, dist, med_c, lane, sidx,
+                vis_slot[0], jnp.uint32(seed),
+            )
 
         # ---- camera subpath ----
         jitter = sampler_rec.pixel_sample(lane, sidx, sampler_rec.sample_count)
@@ -525,12 +743,12 @@ def make_bdpt_chunk(pack, integ, sen, w, h, seed):
 
         # ---- light subpath ----
         seed_l = rng.stream_seed(seed, rng.STREAM_LIGHT)
-        lv0, o1, d1, beta1, pdf_w1, delta1, planar0 = _sample_light_vertex(
-            pack, lane, sidx, seed_l
-        )
+        (lv0, o1, d1, beta1, pdf_w1, delta1, planar0,
+         lmed0) = _sample_light_vertex(pack, lane, sidx, seed_l)
         lwalk = _walk(
             pack, o1, d1, beta1, pdf_w1, lane, sidx, seed_l,
             max(n_light - 1, 1), present, delta0=delta1, planar0=planar0,
+            med0=lmed0,
         )
         # light vertex 0's reverse pdf from vertex 1's bsdf: area measure
         # for finite emitters, SOLID ANGLE for infinite ones (their
@@ -623,17 +841,14 @@ def make_bdpt_chunk(pack, integ, sen, w, h, seed):
                     jnp.uint32(seed),
                 )
                 ds = sample_direct(pack, pt["p"], u_n[..., 0:3])
-                wo_pt = fr_pt.to_local(ds.d)
-                f_pt = bsdf_eval(pt["sp"], wi_pt, wo_pt, present)
-                contrib = pt["beta"] * f_pt * ds.value
+                f_pt = _v_f(pack, pt, ds.d, present)
+                tr = conn_tr(pt, ds.d, ds.dist)
+                contrib = pt["beta"] * f_pt * ds.value * tr
                 ok = (
                     pt["valid"]
                     & (ds.pdf > 0)
                     & (jnp.max(contrib, axis=-1) > 0)
                 )
-                o_sh = _path._offset_ray(pt["p"], pt["ng"], ds.d)
-                occ = occluded(pack, o_sh, ds.d, ds.dist * (1.0 - 1e-3))
-                ok = ok & ~occ
 
                 # fake light vertex for the ri walk: the sampled point
                 p_l = pt["p"] + ds.d * ds.dist[..., None]
@@ -662,6 +877,7 @@ def make_bdpt_chunk(pack, integ, sen, w, h, seed):
                     delta=false_arr,
                     hittable=~ds.delta,
                     is_inf=inf_nee,
+                    is_medium=false_arr,
                 )
                 over = {}
                 # camera junction seen from the light: emission pdf
@@ -690,7 +906,8 @@ def make_bdpt_chunk(pack, integ, sen, w, h, seed):
                     em_pdf_w = _emission_dir_pdf_w(
                         pack, ds.kind, e_sel, n_l, -ds.d, kinds
                     )
-                over_ct2 = _to_area(em_pdf_w, p_l, pt["p"], pt["ns"])
+                over_ct2 = _to_area(em_pdf_w, p_l, pt["p"], pt["ns"],
+                                    medium_to=pt.get("is_medium"))
                 if DIRECTIONAL in kinds or any(
                     kc in kinds for kc in INFINITE_KINDS
                 ):
@@ -702,15 +919,19 @@ def make_bdpt_chunk(pack, integ, sen, w, h, seed):
                     for kc in INFINITE_KINDS:
                         if kc in kinds:
                             plan_sel = plan_sel | (ds.kind == kc)
+                    cos_pt = jnp.where(
+                        pt["is_medium"], 1.0,
+                        jnp.abs(mm.dot(pt["ns"], ds.d)),
+                    ) if "is_medium" in pt else jnp.abs(
+                        mm.dot(pt["ns"], ds.d)
+                    )
                     over_ct2 = jnp.where(
-                        plan_sel,
-                        planar * jnp.abs(mm.dot(pt["ns"], ds.d)),
-                        over_ct2,
+                        plan_sel, planar * cos_pt, over_ct2
                     )
                 over[("c", t - 2)] = over_ct2
-                # light point seen from pt (bsdf; solid angle for
-                # infinite emitters)
-                pdf_w3 = bsdf_pdf(pt["sp"], wi_pt, wo_pt, present)
+                # light point seen from pt (scattering pdf; solid angle
+                # for infinite emitters)
+                pdf_w3 = _v_pdf(pack, pt, pt["wi"], ds.d, present)
                 over[("l", 0)] = jnp.where(
                     ds.delta, 0.0,
                     jnp.where(
@@ -720,9 +941,10 @@ def make_bdpt_chunk(pack, integ, sen, w, h, seed):
                 )
                 if t >= 3:
                     ptm = cam[t - 3]
-                    pdf_w4 = bsdf_pdf(pt["sp"], wo_pt, wi_pt, present)
+                    pdf_w4 = _v_pdf(pack, pt, ds.d, pt["wi"], present)
                     over[("c", t - 3)] = _to_area(
-                        pdf_w4, pt["p"], ptm["p"], ptm["ns"]
+                        pdf_w4, pt["p"], ptm["p"], ptm["ns"],
+                        medium_to=ptm.get("is_medium"),
                     )
                 w_mis = _mis_weight(1, t, cam, [fake0], over, false_arr)
                 L = L + jnp.where(
@@ -739,52 +961,49 @@ def make_bdpt_chunk(pack, integ, sen, w, h, seed):
                 dist = jnp.sqrt(d2)
                 dc = v / dist[..., None]
 
-                wo_pt = fr_pt.to_local(dc)
-                f_pt = bsdf_eval(pt["sp"], wi_pt, wo_pt, present)
-
-                fr_qs = mm.Frame.from_normal(qs["ns"])
-                wi_qs = fr_qs.to_local(qs["wi"])
-                wo_qs = fr_qs.to_local(-dc)
-                f_qs = qs["beta"] * bsdf_eval(
-                    qs["sp"], wi_qs, wo_qs, present
-                )
+                f_pt = _v_f(pack, pt, dc, present)
+                f_qs = qs["beta"] * _v_f(pack, qs, -dc, present)
                 geo = 1.0 / d2
                 ok = qs["valid"]
 
-                contrib = pt["beta"] * f_pt * f_qs * geo[..., None]
+                tr = conn_tr(pt, dc, dist)
+                contrib = pt["beta"] * f_pt * f_qs * geo[..., None] * tr
                 ok = (
                     ok
                     & pt["valid"]
                     & (jnp.max(contrib, axis=-1) > 0)
                 )
-                o_sh = _path._offset_ray(pt["p"], pt["ng"], dc)
-                occ = occluded(pack, o_sh, dc, dist * (1.0 - 1e-3))
-                ok = ok & ~occ
 
                 # junction pdf overrides
                 over = {}
-                pdf_w = bsdf_pdf(qs["sp"], wi_qs, wo_qs, present)
+                pdf_w = _v_pdf(pack, qs, qs["wi"], -dc, present)
                 over[("c", t - 2)] = _to_area(
-                    pdf_w, qs["p"], pt["p"], pt["ns"]
+                    pdf_w, qs["p"], pt["p"], pt["ns"],
+                    medium_to=pt["is_medium"],
                 )
                 # qs-1 seen from qs (incoming now from pt); light
                 # vertex 0 of an infinite emitter keeps solid angle
                 qsm = light[s - 2]
-                pdf_w2 = bsdf_pdf(qs["sp"], wo_qs, wi_qs, present)
-                rev_sm = _to_area(pdf_w2, qs["p"], qsm["p"], qsm["ns"])
+                pdf_w2 = _v_pdf(pack, qs, -dc, qs["wi"], present)
+                rev_sm = _to_area(
+                    pdf_w2, qs["p"], qsm["p"], qsm["ns"],
+                    medium_to=qsm.get("is_medium"),
+                )
                 if s == 2:
                     rev_sm = jnp.where(qsm["is_inf"], pdf_w2, rev_sm)
                 over[("l", s - 2)] = rev_sm
                 # qs seen from pt (incoming from pt's predecessor)
-                pdf_w3 = bsdf_pdf(pt["sp"], wi_pt, wo_pt, present)
+                pdf_w3 = _v_pdf(pack, pt, pt["wi"], dc, present)
                 over[("l", s - 1)] = _to_area(
-                    pdf_w3, pt["p"], qs["p"], qs["ns"]
+                    pdf_w3, pt["p"], qs["p"], qs["ns"],
+                    medium_to=qs["is_medium"],
                 )
                 if t >= 3:
                     ptm = cam[t - 3]
-                    pdf_w4 = bsdf_pdf(pt["sp"], wo_pt, wi_pt, present)
+                    pdf_w4 = _v_pdf(pack, pt, dc, pt["wi"], present)
                     over[("c", t - 3)] = _to_area(
-                        pdf_w4, pt["p"], ptm["p"], ptm["ns"]
+                        pdf_w4, pt["p"], ptm["p"], ptm["ns"],
+                        medium_to=ptm["is_medium"],
                     )
 
                 w_mis = _mis_weight(s, t, cam, light, over, false_arr)
@@ -815,10 +1034,7 @@ def make_bdpt_chunk(pack, integ, sen, w, h, seed):
                 val = qs["beta"] * d_fac[..., None]
                 ok = qs["valid"] & (d_fac > 0)
             else:
-                fr_qs = mm.Frame.from_normal(qs["ns"])
-                wi_qs = fr_qs.to_local(qs["wi"])
-                wo_qs = fr_qs.to_local(dc)
-                val = qs["beta"] * bsdf_eval(qs["sp"], wi_qs, wo_qs, present)
+                val = qs["beta"] * _v_f(pack, qs, dc, present)
                 ok = qs["valid"]
 
             # project into the image
@@ -832,29 +1048,32 @@ def make_bdpt_chunk(pack, integ, sen, w, h, seed):
             ok = ok & inside & (jnp.max(val, axis=-1) > 0)
 
             if s >= 2:
-                o_sh = _path._offset_ray(qs["p"], qs["ng"], dc)
+                tr1 = conn_tr(qs, dc, dist)
             else:
-                o_sh = qs["p"] + dc * 1e-4
-            occ = occluded(pack, o_sh, dc, dist * (1.0 - 1e-3))
-            ok = ok & ~occ
+                v0like = dict(qs)
+                v0like.setdefault("is_medium", false_arr)
+                v0like.setdefault("ng", qs["ns"])
+                tr1 = conn_tr(v0like, dc, dist)
+            ok = ok & (jnp.max(tr1, axis=-1) > 0)
 
             # overrides: qs seen from the camera; qs-1 seen from qs
             over = {("l", s - 1): _to_area(
-                cam_k(-dc), cam_pos[None, :], qs["p"], qs["ns"]
+                cam_k(-dc), cam_pos[None, :], qs["p"], qs["ns"],
+                medium_to=qs.get("is_medium"),
             )}
             if s >= 2:
-                fr_qs = mm.Frame.from_normal(qs["ns"])
-                wi_qs = fr_qs.to_local(qs["wi"])
-                wo_qs = fr_qs.to_local(dc)
                 qsm = light[s - 2]
-                pdf_w2 = bsdf_pdf(qs["sp"], wo_qs, wi_qs, present)
-                rev_sm = _to_area(pdf_w2, qs["p"], qsm["p"], qsm["ns"])
+                pdf_w2 = _v_pdf(pack, qs, dc, qs["wi"], present)
+                rev_sm = _to_area(
+                    pdf_w2, qs["p"], qsm["p"], qsm["ns"],
+                    medium_to=qsm.get("is_medium"),
+                )
                 if s == 2:
                     rev_sm = jnp.where(qsm["is_inf"], pdf_w2, rev_sm)
                 over[("l", s - 2)] = rev_sm
             w_mis = _mis_weight(s, 1, cam, light, over, false_arr)
 
-            splat = val * (cam_k(-dc) / d2 * w_mis)[..., None]
+            splat = val * (cam_k(-dc) / d2 * w_mis)[..., None] * tr1
             splat = jnp.where(ok[..., None], splat, 0.0)
             pos = jnp.stack([sx * w, sy * h], axis=-1)
             splats.append((pos, splat, ok))

@@ -58,6 +58,18 @@ def _offset_ray(p, n, d):
     return p + n * s * 1e-4
 
 
+def shutter_time(pack, lane, sample_idx, seed=0):
+    """Per-lane shutter time in [0,1] for animated scenes, or None.
+    (= Sensor::sampleTime, reference sensor.h:275-281; the uniform
+    comes from the camera stream so regen lanes stay deterministic.)"""
+    if not pack.meta.get("anim_ranges", ()):
+        return None
+    u = rng.rand4(
+        lane, sample_idx, 911, rng.stream_seed(seed, rng.STREAM_CAMERA)
+    )[..., 0]
+    return u
+
+
 def path_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
     """Trace a batch of camera rays to completion.
 
@@ -66,6 +78,7 @@ def path_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
     Returns L [R, 3].
     """
     r = o.shape[0]
+    time = shutter_time(pack, lane, sample_idx, seed)
     present = pack.present_types
     max_depth = integ.max_depth if integ.max_depth > 0 else MAX_BOUNCES_CAP
     rr_depth = max(integ.rr_depth, 1)
@@ -100,7 +113,7 @@ def path_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
         thr, L = s["thr"], s["L"]
         n_rays = s["n_rays"] + jnp.sum(active.astype(jnp.float32))
 
-        hit = intersect(pack, o, d)
+        hit = intersect(pack, o, d, time=time)
         its = fill_interaction(pack, o, d, hit)
         found = its.valid & active
 
@@ -178,7 +191,7 @@ def path_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
             shadow_t = jnp.where(
                 ds.dist >= em.ENV_DIST, 1e7, ds.dist * (1.0 - SHADOW_EPS)
             )
-            occ = occluded(pack, o_sh, ds.d, shadow_t)
+            occ = occluded(pack, o_sh, ds.d, shadow_t, time=time)
             b_pdf = jnp.where(
                 ds.delta, 0.0, bsdf_pdf(sp, wi_l, wo_l, present)
             )
@@ -289,12 +302,12 @@ def path_trace_regen(
                 sampler, lane_v, sample_idx, dslot, base, seed
             )
 
-        return _mk_regen_body(u4, ray_fn, sidx_off_v)
+        return _mk_regen_body(u4, ray_fn, sidx_off_v, lane_v)
 
-    def _mk_regen_body(u4, ray_fn, sidx_off_v):
-        return lambda s: body_impl(s, u4, ray_fn, sidx_off_v)
+    def _mk_regen_body(u4, ray_fn, sidx_off_v, lane_v):
+        return lambda s: body_impl(s, u4, ray_fn, sidx_off_v, lane_v)
 
-    def body_impl(s, u4, ray_fn, sidx_off_v):
+    def body_impl(s, u4, ray_fn, sidx_off_v, lane_v):
         active = s["active"]
         L_acc, L, thr = s["L_acc"], s["L"], s["thr"]
         sample_i = s["sample_i"]
@@ -318,11 +331,12 @@ def path_trace_regen(
         sidx = sidx_off_v + jnp.maximum(sample_i - 1, 0).astype(
             jnp.uint32
         )
+        time = shutter_time(pack, lane_v, sidx, seed)
 
         n_rays = s["n_rays"] + jnp.sum(active.astype(jnp.float32))
 
         # ---- one bounce (same physics as path_trace's body) ----
-        hit = intersect(pack, o, d)
+        hit = intersect(pack, o, d, time=time)
         its = fill_interaction(pack, o, d, hit)
         found = its.valid & active
 
@@ -385,7 +399,7 @@ def path_trace_regen(
             shadow_t = jnp.where(
                 ds.dist >= em.ENV_DIST, 1e7, ds.dist * (1.0 - SHADOW_EPS)
             )
-            occ = occluded(pack, o_sh, ds.d, shadow_t)
+            occ = occluded(pack, o_sh, ds.d, shadow_t, time=time)
             b_pdf = jnp.where(
                 ds.delta, 0.0, bsdf_pdf(sp, wi_l, wo_l, present)
             )

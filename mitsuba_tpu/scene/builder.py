@@ -332,7 +332,26 @@ def pack_scene(scene) -> ScenePack:
     sss_objs = []  # (record, pts, nrm, area_per_pt)
     sss_mat_rows = []  # (mat_row, sss_id)
 
-    for inst in scene.shapes:
+    # animated instances (>=2 keyframes) go LAST: their triangle rows
+    # are excluded from the static accelerators and intersected by the
+    # per-ray animated path (accel/intersect.py; reference
+    # sahkdtree4.h's 4D tree is replaced by per-shape relative-motion
+    # ray transforms)
+    _insts = list(scene.shapes)
+    _static_i = [
+        i for i in _insts
+        if not getattr(i, "animation", None)
+        or len(i.animation) < 2
+    ]
+    _static_ids = {id(i) for i in _static_i}
+    _anim_i = [i for i in _insts if id(i) not in _static_ids]
+    _anim_ids = {id(i) for i in _anim_i}
+    _row_cursor = [0]
+    anim_ranges = []
+    anim_m1 = []
+
+    for inst in _static_i + _anim_i:
+        _anim_start = _row_cursor[0]
         if getattr(inst, "subsurface", None) is not None:
             import copy
 
@@ -431,6 +450,7 @@ def pack_scene(scene) -> ScenePack:
             temits.append(np.full(len(i), emit_id, np.int32))
             tmed_in.append(np.full(len(i), med_in, np.int32))
             tmed_ex.append(np.full(len(i), med_ex, np.int32))
+            _row_cursor[0] += len(i)
             # per-corner colors (vertexcolors texture) + deferred mesh
             # reference for curvature estimation (geom textures)
             if mesh.colors is not None:
@@ -444,6 +464,39 @@ def pack_scene(scene) -> ScenePack:
                 c1s.append(o3)
                 c2s.append(o3)
             geom_meshes.append(mesh)
+
+        if id(inst) in _anim_ids:
+            kf = inst.animation
+            t0_m = np.asarray(kf[0][1].m, np.float64)
+            t1_m = np.asarray(kf[-1][1].m, np.float64)
+            # relative motion M1 = A(t_end) A(t_0)^-1 in the baked
+            # keyframe-0 world frame; per-ray affine lerp I -> M1
+            # (exact for translations, chordal for rotations)
+            m_rel = (t1_m @ np.linalg.inv(t0_m))[:3, :]
+            rot_part = m_rel[:3, :3] - np.eye(3)
+            if np.abs(rot_part - np.diag(np.diag(rot_part))).max() > 1e-5:
+                from mitsuba_tpu.core.logging import logger
+
+                logger.warn(
+                    f"animated shape '{inst.id}': rotation keyframes "
+                    "use chordal matrix interpolation and frame-0 "
+                    "shading normals (translation/scale are exact)"
+                )
+            if emit_id >= 0:
+                from mitsuba_tpu.core.logging import logger
+
+                logger.warn(
+                    f"animated shape '{inst.id}': area emission is "
+                    "sampled at keyframe 0 (moving-emitter NEE planned)"
+                )
+            anim_ranges.append(
+                (int(_anim_start), int(_row_cursor[0] - _anim_start))
+            )
+            # layout: 9 linear-part entries (row-major 3x3) + 3
+            # translation entries (accel/intersect._anim_ray)
+            anim_m1.append(np.concatenate(
+                [m_rel[:, :3].reshape(-1), m_rel[:, 3]]
+            ).astype(np.float32))
 
     def cat(parts, shape_tail, dtype=np.float32):
         if parts:
@@ -464,6 +517,8 @@ def pack_scene(scene) -> ScenePack:
     tri_med_in = cat(tmed_in, (), np.int32)
     tri_med_ex = cat(tmed_ex, (), np.int32)
     n_tris = len(tri_v0)
+    n_anim_tris = sum(c for _, c in anim_ranges)
+    n_static = n_tris - n_anim_tris
 
     # geometry-driven textures (vertexcolors / wireframe / curvature):
     # per-corner attribute columns, packed only when the scene uses them
@@ -521,29 +576,36 @@ def pack_scene(scene) -> ScenePack:
             if t.kind == TEX_WIREFRAME and t.line_width <= 0.0:
                 t.line_width = auto_lw
 
-    # ---------------- BVH ----------------
-    use_bvh = n_tris > BRUTE_FORCE_MAX_TRIS
+    # ---------------- BVH (STATIC triangles only) ----------------
+    use_bvh = n_static > BRUTE_FORCE_MAX_TRIS
     if use_bvh:
-        lo = np.minimum(tri_v0, np.minimum(tri_v0 + tri_e1, tri_v0 + tri_e2))
-        hi = np.maximum(tri_v0, np.maximum(tri_v0 + tri_e1, tri_v0 + tri_e2))
-        centroids = tri_v0 + (tri_e1 + tri_e2) / 3.0
+        sv0 = tri_v0[:n_static]
+        se1 = tri_e1[:n_static]
+        se2 = tri_e2[:n_static]
+        lo = np.minimum(sv0, np.minimum(sv0 + se1, sv0 + se2))
+        hi = np.maximum(sv0, np.maximum(sv0 + se1, sv0 + se2))
+        centroids = sv0 + (se1 + se2) / 3.0
         bvh = build_bvh(centroids, lo, hi)
         perm = bvh.order
-        # apply permutation so leaves reference contiguous triangles
+
+        def permcat(a):
+            # permute the static prefix, keep animated rows in place
+            return np.concatenate([a[:n_static][perm], a[n_static:]])
+
         (tri_v0, tri_e1, tri_e2, tri_n0, tri_n1, tri_n2,
          tri_uv0, tri_uv1, tri_uv2, tri_mat, tri_emit,
          tri_med_in, tri_med_ex) = (
-            a[perm] for a in (
+            permcat(a) for a in (
                 tri_v0, tri_e1, tri_e2, tri_n0, tri_n1, tri_n2,
                 tri_uv0, tri_uv1, tri_uv2, tri_mat, tri_emit,
                 tri_med_in, tri_med_ex)
         )
         if tri_c0 is not None:
             tri_c0, tri_c1, tri_c2 = (
-                a[perm] for a in (tri_c0, tri_c1, tri_c2)
+                permcat(a) for a in (tri_c0, tri_c1, tri_c2)
             )
         if tri_kh is not None:
-            tri_kh, tri_kg = tri_kh[perm], tri_kg[perm]
+            tri_kh, tri_kg = permcat(tri_kh), permcat(tri_kg)
     else:
         bvh = BVH(
             lo=np.zeros((1, 3), np.float32),
@@ -560,8 +622,8 @@ def pack_scene(scene) -> ScenePack:
         pack_triangles_transposed,
     )
 
-    tri_t = pack_triangles_transposed(tri_v0, tri_e1, tri_e2, n_tris)
-    tri_s = pack_triangles_sublane(tri_v0, tri_e1, tri_e2, n_tris)
+    tri_t = pack_triangles_transposed(tri_v0, tri_e1, tri_e2, n_static)
+    tri_s = pack_triangles_sublane(tri_v0, tri_e1, tri_e2, n_static)
 
     # row-packed BVH nodes + triangles: ONE gather per traversal step /
     # leaf visit instead of 5 / 3 (TPU gathers are ~1000-flop expensive);
@@ -659,6 +721,7 @@ def pack_scene(scene) -> ScenePack:
         "mat_alpha_u": np.full(n_mat, 0.1, np.float32),
         "mat_alpha_v": np.full(n_mat, 0.1, np.float32),
         "mat_eta": np.full(n_mat, 1.5046, np.float32),
+        "mat_disp": np.zeros(n_mat, np.float32),  # Cauchy B [um^2]
         "mat_exponent": np.full(n_mat, 30.0, np.float32),
         "mat_dist": np.zeros(n_mat, np.int32),
         "mat_nonlinear": np.zeros(n_mat, np.float32),
@@ -741,6 +804,7 @@ def pack_scene(scene) -> ScenePack:
         mt["mat_alpha_u"][i] = rec.alpha_u
         mt["mat_alpha_v"][i] = rec.alpha_v
         mt["mat_eta"][i] = rec.eta
+        mt["mat_disp"][i] = getattr(rec, "dispersion", 0.0)
         mt["mat_exponent"][i] = rec.exponent
         mt["mat_dist"][i] = rec.dist
         mt["mat_nonlinear"][i] = float(rec.nonlinear)
@@ -1128,6 +1192,10 @@ def pack_scene(scene) -> ScenePack:
         "bvh_lo": bvh.lo, "bvh_hi": bvh.hi, "bvh_skip": bvh.skip,
         "bvh_first": bvh.first, "bvh_count": bvh.count,
         "bvh_nodes": bvh_nodes, "tri9": tri9,
+        "anim_m1": (
+            np.stack(anim_m1) if anim_m1
+            else np.zeros((1, 12), np.float32)
+        ),
         **cluster_arrays,
         **geom_tex_arrays,
         **mt,
@@ -1176,6 +1244,16 @@ def pack_scene(scene) -> ScenePack:
         "n_emitters": len(emitters),
         "present_types": tuple(sorted(present_types)) or (DIFFUSE,),
         "use_bvh": use_bvh,
+        "n_static_tris": int(n_static),
+        "anim_ranges": tuple(anim_ranges),
+        "shutter_open": float(
+            getattr(scene.sensor.record, "shutter_open", 0.0)
+            if scene.sensor is not None else 0.0
+        ),
+        "shutter_close": float(
+            getattr(scene.sensor.record, "shutter_close", 0.0)
+            if scene.sensor is not None else 0.0
+        ),
         "bvh_nodes": int(len(bvh.skip)),
         "bvh_depth": int(bvh.depth),
         **cluster_meta,
@@ -1211,3 +1289,85 @@ def pack_scene(scene) -> ScenePack:
         **sss_meta,
     }
     return ScenePack(arrays, meta)
+
+
+# ---------------- N-bin spectral repacking ----------------
+
+# Pack leaves holding color/spectral quantities (trailing dim 3): these
+# are re-expressed per bin-group in spectral mode.  Positions, normals,
+# and data textures (bump/opacity, restored from the original atlas
+# below) are NOT listed.  The dipole tables (sss_zr/zv/str) hold
+# *distances*, not radiometric values, and keep their RGB channels even
+# in spectral mode (documented approximation).
+_SPECTRAL_LEAVES = (
+    "tex_c0", "tex_c1", "tex_scale",
+    "mat_cA", "mat_cB", "mat_cC", "mat_cD",
+    "mat_mix_wa", "mat_mix_wb",
+    "med_sigma_s", "med_sigma_a", "het_albedo",
+    "med_ph_ks", "med_ph_kd",
+    "tri_c0", "tri_c1", "tri_c2",
+)
+
+# emission leaves carry D65-shaped illuminant spectra so their RGB
+# projects back exactly (core/spectral.py upsample_illum)
+_EMISSION_LEAVES = ("em_rgb", "env_image")
+
+
+def apply_spectral_pack(pack: ScenePack, bins, g: int) -> ScenePack:
+    """Re-express a packed scene for spectral bin-group `g`: every
+    spectral leaf's RGB value is upsampled to a smooth spectrum
+    (core/spectral.py, after reference spectrum.cpp fromLinearRGB) and
+    sliced to the group's three bins, and dielectric IORs move to the
+    group's hero wavelength via the Cauchy model.  Meta (and therefore
+    every compiled kernel) is IDENTICAL across groups, so an N-bin
+    render compiles once and executes N/3 times."""
+    import jax.numpy as jnp
+
+    from mitsuba_tpu.core.spectral import (
+        cauchy_eta,
+        upsample_illum,
+        upsample_rgb,
+    )
+
+    sl = slice(3 * g, 3 * g + 3)
+    _, lam_mid = bins.group(g)
+    arrays = dict(pack.arrays)
+
+    def xform(a, up=upsample_rgb):
+        v = up(np.asarray(a, np.float32), bins)[..., sl]
+        return np.maximum(v, 0.0)
+
+    for name in _SPECTRAL_LEAVES:
+        if name in arrays and arrays[name].ndim and arrays[name].shape[-1] == 3:
+            arrays[name] = jnp.asarray(xform(arrays[name]))
+    for name in _EMISSION_LEAVES:
+        if name in arrays and arrays[name].ndim and arrays[name].shape[-1] == 3:
+            arrays[name] = jnp.asarray(xform(arrays[name], upsample_illum))
+
+    if "tex_atlas" in arrays and not bins.identity:
+        atlas0 = np.asarray(arrays["tex_atlas"], np.float32)
+        atlas = xform(atlas0)
+        # bump/opacity entries store DATA, not colors: restore them
+        data_tex = set()
+        for leaf in ("mat_tex_bump", "mat_tex_opacity"):
+            data_tex |= {int(t) for t in np.asarray(pack.arrays[leaf])
+                         if int(t) >= 0}
+        if data_tex:
+            mip = np.asarray(pack.arrays["tex_mip_rect"])
+            nlev = np.asarray(pack.arrays["tex_n_lev"])
+            for t in data_tex:
+                for lvl in range(int(nlev[t])):
+                    x, y, w, h = (int(v) for v in mip[t, lvl])
+                    atlas[y:y + h, x:x + w] = atlas0[y:y + h, x:x + w]
+        arrays["tex_atlas"] = jnp.asarray(atlas)
+
+    # hero-wavelength dispersion for dielectrics (Cauchy, eta given at
+    # the d-line; reference carries full InterpolatedSpectrum IORs in
+    # spectral builds)
+    disp = np.asarray(pack.arrays["mat_disp"], np.float32)
+    if (disp != 0.0).any():
+        eta = np.asarray(pack.arrays["mat_eta"], np.float32)
+        arrays["mat_eta"] = jnp.asarray(
+            cauchy_eta(eta, disp, lam_mid).astype(np.float32)
+        )
+    return ScenePack(arrays, pack.meta)

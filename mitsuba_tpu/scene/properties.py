@@ -124,11 +124,25 @@ class Properties:
         def cast(v):
             if isinstance(v, Transform):
                 return v
+            if isinstance(v, (list, tuple)) and v and isinstance(
+                v[0], tuple
+            ):
+                # animated transform keyframes: static eval = keyframe 0
+                return v[0][1]
             return Transform(np.asarray(v))
 
         if default is None:
             default = Transform.identity()
         return self._get(name, default, "transform", cast)
+
+    def get_animation(self, name):
+        """Animated-transform keyframes [(time, Transform), ...] or
+        None (reference AnimatedTransform, track.h:335)."""
+        v = self._values.get(name)
+        if isinstance(v, (list, tuple)) and v and isinstance(v[0], tuple):
+            self._queried.add(name)
+            return list(v)
+        return None
 
     # plugin-author conveniences ------------------------------------------
     def unqueried(self):

@@ -48,6 +48,7 @@ class ShapeInstance:
     interior_medium = None
     exterior_medium = None
     subsurface = None  # SubsurfaceRecord (dipole)
+    animation = None  # [(time, Transform), ...] rigid keyframes
     id: str = ""
 
 
@@ -89,6 +90,7 @@ class _ShapeBase:
         self.props = props
         self.instance = ShapeInstance(id=props.id)
         self._build(props)
+        self.instance.animation = props.get_animation("toWorld")
 
     def _build(self, props):
         raise NotImplementedError

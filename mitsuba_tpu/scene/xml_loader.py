@@ -422,11 +422,17 @@ class SceneLoader:
             elif tag == "transform":
                 props.set(name or "toWorld", _parse_transform(child))
             elif tag == "animation":
-                # animated transform: use the first keyframe (motion blur
-                # planned; reference track.h:335)
-                frames = [c for c in child if c.tag == "transform"]
+                # animated transform keyframes (reference track.h:335);
+                # stored as [(time, Transform), ...] — get_transform
+                # evaluates keyframe 0, get_animation returns the track
+                frames = [
+                    (float(c.get("time", i)), _parse_transform(c))
+                    for i, c in enumerate(child)
+                    if c.tag == "transform"
+                ]
                 if frames:
-                    props.set(name or "toWorld", _parse_transform(frames[0]))
+                    frames.sort(key=lambda f: f[0])
+                    props.set(name or "toWorld", frames)
             elif tag == "ref":
                 obj = self._plugin(child)
                 props.children.append((name, obj))

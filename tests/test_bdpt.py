@@ -174,3 +174,74 @@ def test_bdpt_infinite_emitters_match_path(emitter_xml):
     d = img - ref
     rel = float(np.sqrt((d * d).mean()) / ref.mean())
     assert rel < 0.35, rel
+
+
+def test_bdpt_media_matches_volpath():
+    """bdpt v3 with participating media: medium vertices + attenuated
+    connection edges (reference vertex.h EMediumInteraction +
+    bdpt_proc.cpp edge transmittance), validated against volpath on a
+    homogeneous fog with an area light."""
+    from mitsuba_tpu.integrator.bdpt import render_bdpt, supports_bdpt
+    from mitsuba_tpu.renderer import render
+    from mitsuba_tpu.scene.builder import pack_scene
+    from mitsuba_tpu.scene.xml_loader import load_scene_string
+
+    def scene(integrator, spp):
+        return load_scene_string(f"""
+    <scene version="0.5.0">
+      <integrator type="{integrator}">
+        <integer name="maxDepth" value="6"/>
+        <integer name="rrDepth" value="100"/>
+      </integrator>
+      <sensor type="perspective">
+        <float name="fov" value="50"/>
+        <transform name="toWorld">
+          <lookat origin="0,0.5,-3" target="0,0.3,0" up="0,1,0"/>
+        </transform>
+        <sampler type="independent">
+          <integer name="sampleCount" value="{spp}"/></sampler>
+        <film type="hdrfilm">
+          <integer name="width" value="24"/>
+          <integer name="height" value="24"/>
+          <rfilter type="box"/></film>
+      </sensor>
+      <shape type="sphere">
+        <float name="radius" value="1.2"/>
+        <bsdf type="null"/>
+        <medium name="interior" type="homogeneous">
+          <rgb name="sigmaS" value="0.5, 0.5, 0.5"/>
+          <rgb name="sigmaA" value="0.05, 0.05, 0.05"/>
+        </medium>
+      </shape>
+      <shape type="rectangle">
+        <transform name="toWorld">
+          <rotate x="1" angle="90"/>
+          <translate y="2.2"/>
+        </transform>
+        <emitter type="area">
+          <rgb name="radiance" value="6, 5, 4"/>
+        </emitter>
+      </shape>
+      <shape type="rectangle">
+        <transform name="toWorld">
+          <rotate x="1" angle="-90"/>
+          <scale value="4"/>
+          <translate y="-1.4"/>
+        </transform>
+        <bsdf type="diffuse">
+          <rgb name="reflectance" value="0.5, 0.5, 0.5"/>
+        </bsdf>
+      </shape>
+    </scene>""")
+
+    ref = render(scene("volpath", 256), spp=256)
+    sc = scene("bdpt", 96)
+    assert supports_bdpt(pack_scene(sc))
+    img = render_bdpt(sc, spp=96, seed=7)
+    ratio = img.mean(axis=(0, 1)) / ref.mean(axis=(0, 1))
+    assert np.all(np.abs(ratio - 1.0) < 0.08), ratio
+    lum = ref.mean(axis=-1)
+    mask = lum < 5.0 * np.median(lum)
+    d = (img - ref)[mask]
+    rel = float(np.sqrt((d * d).mean()) / ref[mask].mean())
+    assert rel < 0.4, rel
