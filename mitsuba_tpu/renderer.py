@@ -200,10 +200,17 @@ def render(
     pack=None,
     checkpoint=None,
     checkpoint_every=8,
+    spectral_bins=None,
+    _spectral_inner=False,
 ):
     """Render a SceneDescription to a linear HDR numpy image [H, W, 3].
 
     (= RenderJob::run, reference src/librender/renderjob.cpp:87-113.)
+
+    spectral_bins: render with N wavelength bins (multiple of 3; also
+    settable via MTS_SPECTRAL_BINS) as N/3 bin-group passes over the
+    3-channel kernels, combined through CIE XYZ — the TPU analogue of
+    the reference's compile-time SPECTRUM_SAMPLES (core/spectral.py).
 
     checkpoint: optional .npz path — the film and pass counter are saved
     every `checkpoint_every` passes and the render RESUMES from an
@@ -215,6 +222,38 @@ def render(
 
     if pack is None:
         pack = pack_scene(scene)
+
+    n_spec = spectral_bins or int(os.environ.get("MTS_SPECTRAL_BINS", "0"))
+    if n_spec and not _spectral_inner:
+        from mitsuba_tpu.core.spectral import make_bins
+        from mitsuba_tpu.core.spectrum import _XYZ_TO_RGB
+        from mitsuba_tpu.scene.builder import apply_spectral_pack
+
+        bins = make_bins(n_spec)
+        xyz = None
+        for g in range(bins.n_groups):
+            img_g = np.asarray(
+                render(
+                    scene,
+                    spp=spp,
+                    seed=seed,  # shared seed: hero-style correlated
+                    lanes_per_pass=lanes_per_pass,  # noise across bins
+                    pack=apply_spectral_pack(pack, bins, g),
+                    _spectral_inner=True,
+                )
+            )
+            m3, _ = bins.group(g)
+            contrib = img_g @ np.asarray(m3, np.float32).T
+            xyz = contrib if xyz is None else xyz + contrib
+        img = np.maximum(xyz @ _XYZ_TO_RGB.T, 0.0)
+        if return_film:
+            film = jnp.concatenate(
+                [jnp.asarray(img), jnp.ones(img.shape[:2] + (1,))],
+                axis=-1,
+            )
+            return img, film
+        return img
+
     sensor_rec = scene.sensor.record
     film_rec = sensor_rec.film
     sampler_rec = sensor_rec.sampler
