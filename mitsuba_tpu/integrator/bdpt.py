@@ -48,6 +48,7 @@ from mitsuba_tpu.core import rng, warp
 from mitsuba_tpu.emitter.eval import sample_direct
 from mitsuba_tpu.emitter.plugins import (
     AREA,
+    COLLIMATED,
     CONSTANT,
     DIRECTIONAL,
     ENVMAP,
@@ -66,7 +67,8 @@ _SLOT_BSDF = 2
 _SLOT_NEE = 3
 
 INV_FOURPI = 0.25 / math.pi
-BDPT_KINDS = (AREA, POINT, SPOT, DIRECTIONAL, CONSTANT, ENVMAP)
+BDPT_KINDS = (AREA, POINT, SPOT, DIRECTIONAL, COLLIMATED, CONSTANT,
+              ENVMAP)
 INFINITE_KINDS = (CONSTANT, ENVMAP)
 
 
@@ -419,7 +421,7 @@ def _sample_light_vertex(pack, lane, sidx, seed):
             hittable=jnp.ones((r,), bool))
         med0 = jnp.where(kind == AREA, med_a, med0)
 
-    if POINT in kinds or SPOT in kinds:
+    if POINT in kinds or SPOT in kinds or COLLIMATED in kinds:
         em_pos, em_dir, cc, cb = take_fused(
             e, pack.em_pos, pack.em_dir, pack.em_cos_cutoff, pack.em_cos_beam
         )
@@ -440,6 +442,14 @@ def _sample_light_vertex(pack, lane, sidx, seed):
             put(kind == SPOT, p0=em_pos, n0=em_dir, beta0=b0_p,
                 pdf_pos=pmf, d1=d_s, pdf_w1=pw_s,
                 beta1=b0_p * (fall / jnp.maximum(pw_s, 1e-12))[..., None])
+        # ---- collimated beam: Dirac position AND direction; only
+        # light-transport strategies (s>=2, t=1) can reach it, like the
+        # reference whose sampleDirect always fails
+        # (src/emitters/collimated.cpp:126-135) ----
+        if COLLIMATED in kinds:
+            put(kind == COLLIMATED, p0=em_pos, n0=em_dir, beta0=b0_p,
+                pdf_pos=pmf, d1=em_dir, pdf_w1=jnp.ones((r,)),
+                beta1=b0_p, delta1=jnp.ones((r,), bool))
 
     # ---- directional: disk position at the scene bound.  The delta
     # direction is NOT flagged as a Dirac transition: the disk position

@@ -29,7 +29,15 @@ from mitsuba_tpu.accel.intersect import fill_interaction, intersect, occluded
 from mitsuba_tpu.bsdf.eval import bsdf_eval, bsdf_sample
 from mitsuba_tpu.core import math as mm
 from mitsuba_tpu.core import rng, warp
-from mitsuba_tpu.emitter.plugins import AREA, POINT
+from mitsuba_tpu.emitter.plugins import (
+    AREA,
+    COLLIMATED,
+    CONSTANT,
+    DIRECTIONAL,
+    ENVMAP,
+    POINT,
+    SPOT,
+)
 from mitsuba_tpu.integrator import path as _path
 from mitsuba_tpu.scene.texture_eval import shading_frame, shading_params
 
@@ -37,13 +45,17 @@ _SLOTS = 4
 
 
 def _sample_emitter_ray(pack, lane, sidx, seed):
-    """Sample (position, normal, direction, power-throughput beta).
+    """Sample (position, normal, direction, power-throughput beta) for
+    particle/photon emission — every emitter kind (reference:
+    AbstractEmitter::samplePosition/sampleDirection + each emitter's
+    sampleRay: area.cpp cosine, point.cpp uniform sphere, spot.cpp
+    uniform cone x falloff, directional.cpp + constant.cpp + envmap.cpp
+    bounding-sphere disk origins, collimated.cpp delta/delta).
 
-    Area lights: uniform area position + cosine direction
-    (reference: AbstractEmitter::samplePosition/sampleDirection).
-    Point lights: uniform sphere direction.
+    Per-kind branches are statically gated on meta emitter_kinds.
     """
     r = lane.shape[0]
+    kinds = pack.meta.get("emitter_kinds", ())
     # Light-subpath randomness has its own stream (core/rng.py partition)
     seed = rng.stream_seed(seed, rng.STREAM_LIGHT)
     u = rng.rand4(lane, sidx, 0, seed)
@@ -93,16 +105,107 @@ def _sample_emitter_ray(pack, lane, sidx, seed):
         d = jnp.where(sel[..., None], d_a, d)
         beta = jnp.where(sel[..., None], beta_a, beta)
 
+    inv_pmf = 1.0 / jnp.maximum(pmf, 1e-12)
+
     # --- point emitters ---
-    d_p = warp.square_to_uniform_sphere(u2[..., 0:2])
-    beta_p = pack.em_rgb[e] * (
-        4.0 * jnp.pi / jnp.maximum(pmf, 1e-12)
-    )[..., None]
-    sel = kind == POINT
-    p = jnp.where(sel[..., None], pack.em_pos[e], p)
-    n = jnp.where(sel[..., None], d_p, n)
-    d = jnp.where(sel[..., None], d_p, d)
-    beta = jnp.where(sel[..., None], beta_p, beta)
+    if not kinds or POINT in kinds:
+        d_p = warp.square_to_uniform_sphere(u2[..., 0:2])
+        beta_p = pack.em_rgb[e] * (4.0 * jnp.pi * inv_pmf)[..., None]
+        sel = kind == POINT
+        p = jnp.where(sel[..., None], pack.em_pos[e], p)
+        n = jnp.where(sel[..., None], d_p, n)
+        d = jnp.where(sel[..., None], d_p, d)
+        beta = jnp.where(sel[..., None], beta_p, beta)
+
+    # --- spot: uniform cone within the cutoff, linear falloff ---
+    if SPOT in kinds:
+        axis = pack.em_dir[e]
+        cc = pack.em_cos_cutoff[e]
+        cb = pack.em_cos_beam[e]
+        local = warp.square_to_uniform_cone(u2[..., 0:2], cc)
+        d_s = mm.Frame.from_normal(axis).to_world(local)
+        cos_f = mm.dot(d_s, axis)
+        fall = jnp.clip((cos_f - cc) / jnp.maximum(cb - cc, 1e-6), 0.0, 1.0)
+        fall = jnp.where(cos_f >= cb, 1.0, fall)
+        pdf_cone = warp.square_to_uniform_cone_pdf(cc)
+        beta_s = pack.em_rgb[e] * (
+            fall / jnp.maximum(pdf_cone, 1e-12) * inv_pmf
+        )[..., None]
+        sel = kind == SPOT
+        p = jnp.where(sel[..., None], pack.em_pos[e], p)
+        n = jnp.where(sel[..., None], d_s, n)
+        d = jnp.where(sel[..., None], d_s, d)
+        beta = jnp.where(sel[..., None], beta_s, beta)
+
+    # --- collimated beam: delta position AND direction ---
+    if COLLIMATED in kinds:
+        sel = kind == COLLIMATED
+        d_b = pack.em_dir[e]
+        p = jnp.where(sel[..., None], pack.em_pos[e], p)
+        n = jnp.where(sel[..., None], d_b, n)
+        d = jnp.where(sel[..., None], d_b, d)
+        beta = jnp.where(sel[..., None], pack.em_rgb[e] * inv_pmf[..., None],
+                         beta)
+
+    # infinite lights launch from a scene-bounding-sphere disk
+    # perpendicular to the emission direction (pdf_pos = 1/(pi R^2))
+    center = jnp.asarray(pack.meta["scene_center"], jnp.float32)
+    radius = jnp.float32(pack.meta["scene_radius"])
+
+    def disk_origin(d_emit, uv):
+        fr = mm.Frame.from_normal(d_emit)
+        xy = warp.square_to_uniform_disk(uv) * radius
+        offs = fr.to_world(
+            jnp.stack(
+                [xy[..., 0], xy[..., 1], jnp.zeros_like(xy[..., 0])],
+                axis=-1,
+            )
+        )
+        return center[None, :] - d_emit * (1.1 * radius) + offs
+
+    disk_area = jnp.pi * radius * radius
+
+    if DIRECTIONAL in kinds:
+        sel = kind == DIRECTIONAL
+        d_dir = pack.em_dir[e]
+        p_dir = disk_origin(d_dir, u[..., 1:3])
+        beta_d = pack.em_rgb[e] * (disk_area * inv_pmf)[..., None]
+        p = jnp.where(sel[..., None], p_dir, p)
+        n = jnp.where(sel[..., None], d_dir, n)
+        d = jnp.where(sel[..., None], d_dir, d)
+        beta = jnp.where(sel[..., None], beta_d, beta)
+
+    if CONSTANT in kinds:
+        sel = kind == CONSTANT
+        d_c = warp.square_to_uniform_sphere(u2[..., 0:2])
+        p_c = disk_origin(d_c, u[..., 1:3])
+        beta_c = pack.em_rgb[e] * (
+            4.0 * jnp.pi * disk_area * inv_pmf
+        )[..., None]
+        p = jnp.where(sel[..., None], p_c, p)
+        n = jnp.where(sel[..., None], d_c, n)
+        d = jnp.where(sel[..., None], d_c, d)
+        beta = jnp.where(sel[..., None], beta_c, beta)
+
+    if pack.has_envmap:
+        from mitsuba_tpu.emitter.eval import (
+            _env_bilinear,
+            _env_uv_from_dir,
+            _sample_env_dir,
+        )
+
+        sel = kind == ENVMAP
+        d_to_env, pdf_env = _sample_env_dir(pack, u2)
+        le = _env_bilinear(pack, _env_uv_from_dir(pack, d_to_env))
+        d_e = -d_to_env  # photons travel INTO the scene
+        p_e = disk_origin(d_e, u[..., 1:3])
+        beta_e = le * (
+            disk_area / jnp.maximum(pdf_env, 1e-12) * inv_pmf
+        )[..., None]
+        p = jnp.where(sel[..., None], p_e, p)
+        n = jnp.where(sel[..., None], d_e, n)
+        d = jnp.where(sel[..., None], d_e, d)
+        beta = jnp.where(sel[..., None], beta_e, beta)
 
     is_area = kind == AREA
     return p, n, d, beta, is_area, e
