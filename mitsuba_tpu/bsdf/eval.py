@@ -39,6 +39,7 @@ from mitsuba_tpu.bsdf.plugins import (
     NULL_BSDF,
     PHONG_BSDF,
     PLASTIC,
+    ROUGHCOATING,
     ROUGHCONDUCTOR,
     ROUGHDIELECTRIC,
     ROUGHDIFFUSE,
@@ -655,6 +656,143 @@ def _coating_sample(sp, spB, wi, u2, ulobe, present):
     return BSDFSample(wo, weight, pdf, delta, eta_out)
 
 
+# ---------------------------------------------------------------------------
+# rough dielectric coating: microfacet boundary over a nested BSDF
+# (reference src/bsdfs/roughcoating.cpp — glossy D*F*G reflection lobe
+# + nested BSDF through smooth-refracted directions weighted by the
+# fitted rough transmittance T(cos, alpha), rtrans.h:44-186)
+# ---------------------------------------------------------------------------
+
+def _rcoating_probs(sp, cos_i):
+    """Lobe-selection probability 1-T12 reallocated by the specular
+    sampling weight (roughcoating.cpp:sample probSpecular)."""
+    si = 1.0 - _rt_eval(sp, jnp.abs(cos_i))
+    sw = sp["spec_w"]
+    prob = (si * sw) / jnp.maximum(
+        si * sw + (1.0 - si) * (1.0 - sw), 1e-8
+    )
+    return si, prob
+
+
+def _rcoating_spec_eval(sp, wi, wo):
+    """Microfacet reflection off the rough boundary (same hemisphere)."""
+    ci, co = mm.cos_theta(wi), mm.cos_theta(wo)
+    same = ci * co > 0
+    h = mm.normalize(wi + wo) * mm.sign(co)[..., None]
+    d = mf.microfacet_D(sp["dist"], sp["alpha_u"], sp["alpha_v"], h)
+    g = mf.smith_g(sp["dist"], sp["alpha_u"], sp["alpha_v"], wi, wo, h)
+    fh, _, _ = mm.fresnel_dielectric(jnp.abs(mm.dot(wi, h)), sp["eta"])
+    val = sp["cB"] * (
+        fh * d * g / jnp.maximum(4.0 * jnp.abs(ci), 1e-8)
+    )[..., None]
+    return _mask3(same, val)
+
+
+def _rcoating_nested_factor(sp, wi_r, wo_r, ci, co):
+    """T12*T21 boundary transmittances, Beer absorption, and the
+    solid-angle compression shared by eval and the delta-child sample
+    path (roughcoating.cpp:294-315)."""
+    t = (_rt_eval(sp, jnp.abs(ci)) * _rt_eval(sp, jnp.abs(co)))[..., None]
+    ct_ir = jnp.maximum(jnp.abs(mm.cos_theta(wi_r)), 1e-4)
+    ct_or = jnp.maximum(jnp.abs(mm.cos_theta(wo_r)), 1e-4)
+    absorb = jnp.exp(-sp["cD"] * (1.0 / ct_ir + 1.0 / ct_or)[..., None])
+    return t * absorb, ct_or
+
+
+def _rcoating_eval_nf(sp, spB, wi, wo, present):
+    eta = sp["eta"]
+    ci, co = mm.cos_theta(wi), mm.cos_theta(wo)
+    wi_r = _coating_refract_in(wi, eta)
+    wo_r = _coating_refract_in(wo, eta)
+    f_n = _eval_single(spB, wi_r, wo_r, present)
+    fac, ct_or = _rcoating_nested_factor(sp, wi_r, wo_r, ci, co)
+    nested = f_n * fac * (
+        (1.0 / (eta * eta)) * jnp.abs(co) / ct_or
+    )[..., None]
+    return _rcoating_spec_eval(sp, wi, wo) + nested
+
+
+def _rcoating_pdf_nf(sp, spB, wi, wo, present):
+    eta = sp["eta"]
+    ci, co = mm.cos_theta(wi), mm.cos_theta(wo)
+    _, prob = _rcoating_probs(sp, ci)
+    same = ci * co > 0
+    h = mm.normalize(wi + wo) * mm.sign(co)[..., None]
+    pm = mf.pdf_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], h)
+    spec_pdf = jnp.where(
+        same, pm / jnp.maximum(4.0 * jnp.abs(mm.dot(wo, h)), 1e-8), 0.0
+    )
+    wi_r = _coating_refract_in(wi, eta)
+    wo_r = _coating_refract_in(wo, eta)
+    p_n = _pdf_single(spB, wi_r, wo_r, present)
+    ct_or = jnp.maximum(jnp.abs(mm.cos_theta(wo_r)), 1e-4)
+    jac = (1.0 / (eta * eta)) * jnp.abs(co) / ct_or
+    return prob * spec_pdf + (1.0 - prob) * p_n * jac
+
+
+def _rcoating_eval(sp, spB, wi, wo, present):
+    _, (wi, wo) = _flip_twosided(sp, wi, wo)
+    return _rcoating_eval_nf(sp, spB, wi, wo, present)
+
+
+def _rcoating_pdf(sp, spB, wi, wo, present):
+    _, (wi, wo) = _flip_twosided(sp, wi, wo)
+    return _rcoating_pdf_nf(sp, spB, wi, wo, present)
+
+
+def _rcoating_sample(sp, spB, wi, u2, ulobe, present):
+    """Sample the rough-coated BSDF (roughcoating.cpp:sample)."""
+    flip_vec, (wi,) = _flip_twosided(sp, wi)
+    eta = sp["eta"]
+    ci = mm.cos_theta(wi)
+    _, prob = _rcoating_probs(sp, ci)
+    spec_sel = ulobe <= prob
+
+    # glossy boundary reflection: sample a microfacet normal
+    m = mf.sample_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], u2)
+    wo_spec = mm.normalize(
+        2.0 * mm.dot(wi, m)[..., None] * m - wi
+    )
+
+    # nested sample with the refracted incident direction
+    wi_r = _coating_refract_in(wi, eta)
+    ul2 = jnp.clip(
+        (ulobe - prob) / jnp.maximum(1.0 - prob, 1e-8),
+        0.0,
+        mm.ONE_MINUS_EPS,
+    )
+    bs_n = bsdf_sample(spB, wi_r, u2, ul2, present)
+    wo_nest, tir = _coating_refract_out(bs_n.wo, eta)
+    child_ok = (jnp.max(bs_n.weight, axis=-1) > 0) & ~tir
+
+    wo = jnp.where(spec_sel[..., None], wo_spec, wo_nest)
+
+    # smooth lobes (either side): re-weight with the full layered f/pdf
+    f_c = _rcoating_eval_nf(sp, spB, wi, wo, present)
+    p_c = _rcoating_pdf_nf(sp, spB, wi, wo, present)
+    ok_smooth = spec_sel | child_ok
+    w_smooth = jnp.where(
+        (ok_smooth & (p_c > 1e-10))[..., None],
+        f_c / jnp.maximum(p_c, 1e-10)[..., None],
+        0.0,
+    )
+    # delta child (e.g. rough-coated mirror): carry the child weight
+    # with the boundary/absorption factors
+    co = mm.cos_theta(wo)
+    fac, _ = _rcoating_nested_factor(sp, wi_r, bs_n.wo, ci, co)
+    w_delta = bs_n.weight * fac / jnp.maximum(
+        1.0 - prob, 1e-8
+    )[..., None]
+    w_delta = jnp.where(child_ok[..., None], w_delta, 0.0)
+
+    use_delta = ~spec_sel & bs_n.delta
+    weight = jnp.where(use_delta[..., None], w_delta, w_smooth)
+    pdf = jnp.where(use_delta, (1.0 - prob) * bs_n.pdf, p_c)
+    wo = wo * flip_vec
+    eta_out = jnp.where(spec_sel, 1.0, bs_n.eta)
+    return BSDFSample(wo, weight, pdf, use_delta, eta_out)
+
+
 def _eval_single(sp, wi, wo, present):
     _, (wi, wo) = _flip_twosided(sp, wi, wo)
     out = jnp.zeros(wi.shape[:-1] + (3,), jnp.float32)
@@ -689,6 +827,11 @@ def bsdf_eval(sp, wi, wo, present):
         if COATING in present:
             fc = _coating_eval(sp, mix["spB"], wi, wo, present)
             out = jnp.where((sp["type"] == COATING)[..., None], fc, out)
+        if ROUGHCOATING in present:
+            fr = _rcoating_eval(sp, mix["spB"], wi, wo, present)
+            out = jnp.where(
+                (sp["type"] == ROUGHCOATING)[..., None], fr, out
+            )
         return out
     return _eval_single(sp, wi, wo, present)
 
@@ -704,6 +847,9 @@ def bsdf_pdf(sp, wi, wo, present):
         if COATING in present:
             pc = _coating_pdf(sp, mix["spB"], wi, wo, present)
             out = jnp.where(sp["type"] == COATING, pc, out)
+        if ROUGHCOATING in present:
+            pr = _rcoating_pdf(sp, mix["spB"], wi, wo, present)
+            out = jnp.where(sp["type"] == ROUGHCOATING, pr, out)
         return out
     return _pdf_single(sp, wi, wo, present)
 
@@ -774,6 +920,16 @@ def bsdf_sample(sp, wi, u2, ulobe, present):
                 jnp.where(is_c, bc.pdf, bs.pdf),
                 jnp.where(is_c, bc.delta, bs.delta),
                 jnp.where(is_c, bc.eta, bs.eta),
+            )
+        if ROUGHCOATING in present:
+            br = _rcoating_sample(sp, spB, wi, u2, ulobe, present)
+            is_r = sp["type"] == ROUGHCOATING
+            bs = BSDFSample(
+                jnp.where(is_r[..., None], br.wo, bs.wo),
+                jnp.where(is_r[..., None], br.weight, bs.weight),
+                jnp.where(is_r, br.pdf, bs.pdf),
+                jnp.where(is_r, br.delta, bs.delta),
+                jnp.where(is_r, br.eta, bs.eta),
             )
         return bs
 

@@ -40,6 +40,7 @@ NULL_BSDF = 12
 MIXTURE = 13
 COATING = 14
 HK = 15
+ROUGHCOATING = 16
 
 TYPE_NAMES = {
     DIFFUSE: "diffuse",
@@ -57,6 +58,7 @@ TYPE_NAMES = {
     NULL_BSDF: "null",
     MIXTURE: "mixture",
     COATING: "coating",
+    ROUGHCOATING: "roughcoating",
 }
 
 _DISTS = {"beckmann": BECKMANN, "ggx": GGX, "phong": PHONG, "as": BECKMANN}
@@ -476,6 +478,36 @@ class Coating(_BSDFBase):
         rec.children = [nested[0]]
         # specular sampling weight = sAvg/(sAvg+dAvg)
         # (coating.cpp:configure)
+        d_avg = float(np.asarray(nested[0].cA).mean())
+        rec.spec_sampling_weight = 1.0 / max(1.0 + d_avg, 1e-8)
+        return rec
+
+
+@register("bsdf", "roughcoating")
+class RoughCoating(_BSDFBase):
+    """reference: src/bsdfs/roughcoating.cpp — MICROFACET dielectric
+    layer over a nested BSDF: glossy boundary reflection (D*F*G) plus
+    the nested BSDF seen through Snell-refracted directions, weighted
+    by the fitted rough-transmittance table T(cos, alpha)
+    (bsdf/rtrans.py, reference rtrans.h:44-186) and Beer absorption
+    (eval.py _rcoating_*).  Isotropic alpha only, like the reference
+    (roughcoating.cpp:144-146 errors on anisotropy)."""
+
+    def _build(self, props):
+        nested = _nested_bsdfs(props)
+        if not nested:
+            raise ValueError("roughcoating: requires a nested BSDF")
+        rec = BSDFRecord(type=ROUGHCOATING)
+        rec.eta = _ior_pair(props)
+        rec.cB = props.get_spectrum(
+            "specularReflectance", np.ones(3)
+        ).astype(np.float32)
+        thickness = props.get_float("thickness", 1.0)
+        sigma_a = props.get_spectrum("sigmaA", np.zeros(3))
+        rec.cD = (np.asarray(sigma_a) * thickness).astype(np.float32)
+        _alpha(props, rec, default=0.1)
+        rec.alpha_v = rec.alpha_u  # isotropic only
+        rec.children = [nested[0]]
         d_avg = float(np.asarray(nested[0].cA).mean())
         rec.spec_sampling_weight = 1.0 / max(1.0 + d_avg, 1e-8)
         return rec

@@ -45,13 +45,81 @@ from mitsuba_tpu.scene.texture_eval import (
 
 _CHUNK = 128
 _STRIDE = 4  # overture pixel subgrid stride
-_GATHER_K = 32  # hemisphere rays per record
+# stratified hemisphere grid (theta x phi) per record — the gradient
+# formulas need the cell structure (reference irrcache.cpp
+# HemisphereSampler; Ward & Heckbert 1992 "Irradiance Gradients")
+_GRID_M = 8
+_GRID_N = 16
+_GATHER_K = _GRID_M * _GRID_N
+
+
+def _hemisphere_gradients(li, rdist, t1, t2, nrm):
+    """Irradiance + Ward-Heckbert gradients from a cosine-stratified
+    MxN hemisphere sample set (reference irrcache.h:128
+    (rot|trans)Gradient; Ward & Heckbert, EGWR 1992).
+
+    li    [m, M, N, 3]: incoming radiance per cell
+    rdist [m, M, N]:    hit distance per cell ray
+    t1/t2/nrm [m, 3]:   record tangent frame
+
+    Returns (E [m,3], grad_t [m,3,3], grad_r [m,3,3]) — gradients are
+    (spatial axis, channel):  E(p,n) ~ E_i + grad_t.(p-p_i)
+    + grad_r.(n_i x n)."""
+    m_rec = li.shape[0]
+    j = jnp.arange(_GRID_M, dtype=jnp.float32)
+    k = jnp.arange(_GRID_N, dtype=jnp.float32)
+    sin_lo = jnp.sqrt(j / _GRID_M)  # sin(theta_j-)
+    sin_hi = jnp.sqrt((j + 1.0) / _GRID_M)
+    cos2_lo = 1.0 - sin_lo * sin_lo
+    theta_c = jnp.arcsin(jnp.sqrt((j + 0.5) / _GRID_M))
+    phi_c = 2.0 * jnp.pi * (k + 0.5) / _GRID_N
+    # cell-center azimuth directions in the tangent frame
+    u_k = (
+        jnp.cos(phi_c)[None, :, None] * t1[:, None, :]
+        + jnp.sin(phi_c)[None, :, None] * t2[:, None, :]
+    )  # [m, N, 3]
+    v_k = (
+        -jnp.sin(phi_c)[None, :, None] * t1[:, None, :]
+        + jnp.cos(phi_c)[None, :, None] * t2[:, None, :]
+    )
+
+    e = (jnp.pi / _GATHER_K) * li.sum(axis=(1, 2))
+
+    # translational gradient: radial (theta-neighbor) + tangential
+    # (phi-neighbor) cell-boundary terms, each divided by the nearer of
+    # the two adjacent cells' hit distances
+    r_safe = jnp.maximum(rdist, 1e-4)
+    dl_th = li[:, 1:] - li[:, :-1]  # [m, M-1, N, 3]
+    rmin_th = jnp.minimum(r_safe[:, 1:], r_safe[:, :-1])
+    coef_th = (2.0 * jnp.pi / _GRID_N) * (sin_lo * cos2_lo)[1:]
+    rad = (
+        (coef_th[None, :, None] / rmin_th)[..., None] * dl_th
+    ).sum(axis=1)  # [m, N, 3]
+    dl_ph = li - jnp.roll(li, 1, axis=2)
+    rmin_ph = jnp.minimum(r_safe, jnp.roll(r_safe, 1, axis=2))
+    coef_ph = sin_hi - sin_lo
+    tan_g = (
+        (coef_ph[None, :, None] / rmin_ph)[..., None] * dl_ph
+    ).sum(axis=1)  # [m, N, 3]
+    grad_t = (
+        u_k[..., None] * rad[:, :, None, :]
+        + v_k[..., None] * tan_g[:, :, None, :]
+    ).sum(axis=1)  # [m, 3(spatial), 3(channel)]
+
+    # rotational gradient: pi/(MN) * sum tan(theta_j) L_jk about v_k
+    wt = jnp.tan(theta_c)
+    rot = (wt[None, :, None, None] * li).sum(axis=1)  # [m, N, 3]
+    grad_r = (jnp.pi / _GATHER_K) * (
+        v_k[..., None] * rot[:, :, None, :]
+    ).sum(axis=1)
+    return e, grad_t, grad_r
 
 
 def _overture(pack, integ, cam_rays, seed):
     """Build the record set from a subgrid of camera rays.
 
-    Returns (pos [M,3], nrm [M,3], e_ind [M,3], r_i [M], valid [M])."""
+    Returns (pos [M,3], nrm [M,3], e_ind [M,3], r_i [M], valid [M],
+    grad_t [M,3,3], grad_r [M,3,3])."""
     o, d = cam_rays
     hit = intersect(pack, o, d)
     its = fill_interaction(pack, o, d, hit)
@@ -65,29 +133,63 @@ def _overture(pack, integ, cam_rays, seed):
     p_l = jnp.repeat(its.p, _GATHER_K, axis=0)
     n_l = jnp.repeat(its.ns, _GATHER_K, axis=0)
 
+    # cosine-stratified cells: cell (j, k) jittered within its bounds
+    cell = jnp.tile(jnp.arange(_GATHER_K, dtype=jnp.uint32), m)
+    cj = (cell // _GRID_N).astype(jnp.float32)
+    ck = (cell % _GRID_N).astype(jnp.float32)
     u2 = rng.rand4(lane, sidx, 0, sseed)[..., :2]
+    xi1 = (cj + u2[..., 0]) / _GRID_M
+    xi2 = (ck + u2[..., 1]) / _GRID_N
+    sin_t = jnp.sqrt(xi1)
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - xi1, 0.0))
+    phi = 2.0 * jnp.pi * xi2
     fr = mm.Frame.from_normal(n_l)
-    dirs = fr.to_world(warp.square_to_cosine_hemisphere(u2))
+    dirs = fr.to_world(
+        jnp.stack(
+            [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1
+        )
+    )
     o_g = p_l + n_l * 1e-4
     integ_ind = _dc_replace(integ, hide_emitters=True, max_depth=6)
     li = path_trace(
         pack, integ_ind, o_g, dirs, lane, sidx, None, seed=sseed
     )
-    # E_indirect = pi * mean(Li) under cosine sampling
-    e_ind = jnp.pi * li.reshape(m, _GATHER_K, 3).mean(axis=1)
+
+    g_hit = intersect(pack, o_g, dirs)
+    g_t = jnp.where(g_hit.t < 1e6, g_hit.t, 1e6)
+
+    li_g = li.reshape(m, _GRID_M, _GRID_N, 3)
+    r_g = g_t.reshape(m, _GRID_M, _GRID_N)
+    fr_rec = mm.Frame.from_normal(its.ns)
+    e_ind, grad_t, grad_r = _hemisphere_gradients(
+        li_g, r_g, fr_rec.s, fr_rec.t, its.ns
+    )
 
     # validity radius: harmonic mean of gather-ray hit distances
     # (irrcache.h:44 record radius)
-    g_hit = intersect(pack, o_g, dirs)
-    g_t = jnp.where(g_hit.t < 1e6, g_hit.t, 1e6)
     r_i = _GATHER_K / jnp.sum(
         1.0 / jnp.maximum(g_t, 1e-4).reshape(m, _GATHER_K), axis=1
     )
-    return its.p, its.ns, e_ind, r_i, diffuse
+    # invalid records carry NaN frames; zero them so the w=0 gating in
+    # _interp cannot produce 0*NaN
+    ok = diffuse[..., None, None]
+    grad_t = jnp.where(ok, jnp.nan_to_num(grad_t), 0.0)
+    grad_r = jnp.where(ok, jnp.nan_to_num(grad_r), 0.0)
+    # invalid records may carry inf positions (missed camera rays);
+    # the w=0 gate cannot neutralize inf*0 in the gradient extrapolation
+    p_rec = jnp.where(
+        diffuse[..., None],
+        jnp.nan_to_num(its.p, posinf=0.0, neginf=0.0),
+        0.0,
+    )
+    return p_rec, its.ns, e_ind, r_i, diffuse, grad_t, grad_r
 
 
-def _interp(pos, nrm, e_ind, r_i, valid, p, n):
-    """Ward-weighted irradiance blend over the record set."""
+def _interp(pos, nrm, e_ind, r_i, valid, p, n, grad_t=None, grad_r=None):
+    """Ward-weighted irradiance blend over the record set, with the
+    Ward-Krivanek first-order correction E_i + grad_t.(p-p_i)
+    + grad_r.(n_i x n) per record (reference irrcache.cpp:~interpolate,
+    irrcache.h:44,128)."""
     m = pos.shape[0]
     n_chunks = (m + _CHUNK - 1) // _CHUNK
     pad = n_chunks * _CHUNK - m
@@ -98,14 +200,23 @@ def _interp(pos, nrm, e_ind, r_i, valid, p, n):
         n_chunks, _CHUNK
     )
     v_c = jnp.pad(valid, (0, pad)).reshape(n_chunks, _CHUNK)
+    if grad_t is None:
+        grad_t = jnp.zeros((m, 3, 3), jnp.float32)
+    if grad_r is None:
+        grad_r = jnp.zeros((m, 3, 3), jnp.float32)
+    gt_c = jnp.pad(grad_t, ((0, pad), (0, 0), (0, 0))).reshape(
+        n_chunks, _CHUNK, 3, 3
+    )
+    gr_c = jnp.pad(grad_r, ((0, pad), (0, 0), (0, 0))).reshape(
+        n_chunks, _CHUNK, 3, 3
+    )
 
     r_lanes = p.shape[0]
 
     def step(acc, chunk):
-        cp, cn, ce, cr, cv = chunk
-        dist = jnp.sqrt(
-            jnp.sum((p[:, None, :] - cp[None, :, :]) ** 2, axis=-1)
-        )
+        cp, cn, ce, cr, cv, cgt, cgr = chunk
+        dvec = p[:, None, :] - cp[None, :, :]
+        dist = jnp.sqrt(jnp.sum(dvec * dvec, axis=-1))
         ndot = jnp.clip(
             jnp.sum(n[:, None, :] * cn[None, :, :], axis=-1), -1.0, 1.0
         )
@@ -117,9 +228,18 @@ def _interp(pos, nrm, e_ind, r_i, valid, p, n):
             + 1e-3
         )
         w = jnp.where((cv[None, :]) & (ndot > 0.1), w, 0.0)
+        # first-order extrapolation to (p, n); clamped at zero
+        cross = jnp.cross(
+            jnp.broadcast_to(cn[None, :, :], dvec.shape),
+            jnp.broadcast_to(n[:, None, :], dvec.shape),
+        )
+        e_corr = ce[None, :, :] + jnp.einsum(
+            "lcs,csk->lck", dvec, cgt
+        ) + jnp.einsum("lcs,csk->lck", cross, cgr)
+        e_corr = jnp.maximum(e_corr, 0.0)
         acc_e, acc_w = acc
         return (
-            acc_e + jnp.sum(w[..., None] * ce[None, :, :], axis=1),
+            acc_e + jnp.sum(w[..., None] * e_corr, axis=1),
             acc_w + w.sum(axis=1),
         ), None
 
@@ -129,7 +249,7 @@ def _interp(pos, nrm, e_ind, r_i, valid, p, n):
             jnp.zeros((r_lanes, 3), jnp.float32),
             jnp.zeros((r_lanes,), jnp.float32),
         ),
-        (pos_c, nrm_c, e_c, r_c, v_c),
+        (pos_c, nrm_c, e_c, r_c, v_c, gt_c, gr_c),
     )
     return num / jnp.maximum(den, 1e-6)[..., None], den
 
@@ -146,7 +266,7 @@ def irrcache_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0,
     if cache is None:
         # caller did not provide a record set — pure pass-through
         return path_trace(pack, sub, o, d, lane, sample_idx, sampler, seed)
-    pos, nrm, e_ind, r_i, valid = cache
+    pos, nrm, e_ind, r_i, valid, grad_t, grad_r = cache
 
     hit = intersect(pack, o, d)
     its = fill_interaction(pack, o, d, hit)
@@ -189,7 +309,9 @@ def irrcache_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0,
         )
 
     # indirect: interpolated irradiance * albedo/pi
-    e_interp, w_sum = _interp(pos, nrm, e_ind, r_i, valid, its.p, its.ns)
+    e_interp, w_sum = _interp(
+        pos, nrm, e_ind, r_i, valid, its.p, its.ns, grad_t, grad_r
+    )
     L = L + jnp.where(
         diffuse[..., None],
         sp["cA"] * (1.0 / jnp.pi) * e_interp,

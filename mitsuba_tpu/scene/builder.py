@@ -763,11 +763,14 @@ def pack_scene(scene) -> ScenePack:
 
     # coating rows: the nested BSDF rides in the mix-B slot so
     # texture_eval gathers its params as spB (bsdf/eval.py _coating_*)
-    from mitsuba_tpu.bsdf.plugins import COATING as _COATING
+    from mitsuba_tpu.bsdf.plugins import (
+        COATING as _COATING,
+        ROUGHCOATING as _RCOATING,
+    )
 
     coat_rows = []
     for i, rec in enumerate(list(materials)):
-        if rec.type == _COATING and rec.children:
+        if rec.type in (_COATING, _RCOATING) and rec.children:
             coat_rows.append((i, add_material(rec.children[0])))
 
     n_mat = max(len(materials), 1)  # add_material may have grown the list
@@ -826,11 +829,14 @@ def pack_scene(scene) -> ScenePack:
         np.array([0.0, 0.0, 0.0, 1.0], np.float32), (n_mat, 1)
     )
     mt["mat_rt_fdr"] = mt["mat_fdr_int"].copy()
-    if (mt["mat_type"] == ROUGHPLASTIC).any():
+    _needs_rt = (mt["mat_type"] == ROUGHPLASTIC) | (
+        mt["mat_type"] == _RCOATING
+    )
+    if _needs_rt.any():
         from mitsuba_tpu.bsdf.rtrans import fit_rtrans_poly
 
         rt_cache = {}
-        for i in np.nonzero(mt["mat_type"] == ROUGHPLASTIC)[0]:
+        for i in np.nonzero(_needs_rt)[0]:
             key = (
                 int(mt["mat_dist"][i]),
                 round(max(float(mt["mat_alpha_u"][i]), 1e-3), 4),

@@ -18,18 +18,41 @@ from tests.chi2 import chi2_test
 
 
 def make_sp(n, type_name, **props):
-    """Build per-lane shading params from a plugin instance."""
+    """Build per-lane shading params from a plugin instance.  A
+    "nested" prop (child_name, child_props) attaches a child BSDF the
+    way the XML loader does — coating/roughcoating rows then carry it
+    in the mix-B slot like scene/builder.py coat_rows."""
+    props = dict(props)
+    nested = props.pop("nested", None)
     p = Properties(plugin_name=type_name)
     for k, v in props.items():
         p.set(k, v)
+    if nested is not None:
+        cname, cprops = nested
+        cp = Properties(plugin_name=cname)
+        for k, v in cprops.items():
+            cp.set(k, v)
+        p.children.append(("bsdf", create("bsdf", cname, cp)))
     rec = create("bsdf", type_name, p).record
+    sp, present = _sp_from_rec(n, rec)
+    if rec.children:
+        spB, presB = _sp_from_rec(n, rec.children[0])
+        sp["mix"] = {
+            "spB": spB,
+            "wa": jnp.ones((n,), jnp.float32),
+            "wb": jnp.zeros((n,), jnp.float32),
+        }
+        present = tuple(sorted(set(present) | set(presB)))
+    return sp, present
 
+
+def _sp_from_rec(n, rec):
     def tile(x):
         return jnp.broadcast_to(jnp.asarray(x, jnp.float32), (n, 3)) if np.ndim(x) else jnp.full((n,), float(x), jnp.float32)
 
     rt = np.array([0.0, 0.0, 0.0, 1.0], np.float32)
     rt_fdr = rec.fdr_int
-    if rec.type == bp.ROUGHPLASTIC:
+    if rec.type in (bp.ROUGHPLASTIC, bp.ROUGHCOATING):
         from mitsuba_tpu.bsdf.rtrans import fit_rtrans_poly
 
         rt, _ = fit_rtrans_poly(rec.dist, max(rec.alpha_u, 1e-3), rec.eta)
@@ -99,6 +122,13 @@ SMOOTH_CASES = [
     ("hk", {"thickness": 0.6, "g": 0.5}, WI),
     ("hk", {"thickness": 2.0}, WI),
     ("hk", {"thickness": 1.0, "g": -0.4}, WI_GRAZE),
+    ("coating", {"nested": ("diffuse", {})}, WI),
+    ("coating", {"nested": ("roughconductor", {"alpha": 0.3})}, WI),
+    ("roughcoating", {"alpha": 0.3, "nested": ("diffuse", {})}, WI),
+    ("roughcoating",
+     {"alpha": 0.15, "distribution": "ggx",
+      "nested": ("roughconductor", {"alpha": 0.3})}, WI),
+    ("roughcoating", {"alpha": 0.25, "nested": ("diffuse", {})}, WI_GRAZE),
 ]
 
 
@@ -151,6 +181,7 @@ def test_bsdf_chi2(name, props, wi_vec):
         ("phong", {"exponent": 20.0}),
         ("ward", {"alpha": 0.25}),
         ("roughdielectric", {"alpha": 0.3}),
+        ("roughcoating", {"alpha": 0.3, "nested": ("diffuse", {})}),
     ],
 )
 def test_sample_weight_consistency(name, props):
@@ -187,6 +218,9 @@ def test_sample_weight_consistency(name, props):
         ("thindielectric", {}),
         ("roughdielectric", {"alpha": 0.3}),
         ("conductor", {}),
+        ("coating", {"nested": ("diffuse", {"reflectance": 1.0})}),
+        ("roughcoating",
+         {"alpha": 0.3, "nested": ("diffuse", {"reflectance": 1.0})}),
     ],
 )
 def test_white_furnace_energy(name, props):
