@@ -36,6 +36,7 @@ class Hit(NamedTuple):
     is_sphere: jnp.ndarray  # [R] bool
     u: jnp.ndarray  # [R] barycentric
     v: jnp.ndarray  # [R]
+    inst: jnp.ndarray | None = None  # [R] int32 instance id (-1 none)
 
 
 def _moller_trumbore(o, d, v0, e1, e2, t_max):
@@ -88,10 +89,11 @@ def _brute_tiles(pack):
     n_tris = _static_tris(pack)
     n_tiles = max((n_tris + TRI_TILE - 1) // TRI_TILE, 1)
     pad_to = n_tiles * TRI_TILE
-    # triangles are padded in the pack only by LEAF_SIZE; slice-pad here
-    v0 = _pad_rows(pack.tri_v0, pad_to, 1e30)
-    e1 = _pad_rows(pack.tri_e1, pad_to, 0.0)
-    e2 = _pad_rows(pack.tri_e2, pad_to, 0.0)
+    # slice to the STATIC prefix first — animated and instance-template
+    # rows live past n_static and must not leak into the static tiles
+    v0 = _pad_rows(pack.tri_v0[:n_tris], pad_to, 1e30)
+    e1 = _pad_rows(pack.tri_e1[:n_tris], pad_to, 0.0)
+    e2 = _pad_rows(pack.tri_e2[:n_tris], pad_to, 0.0)
     return n_tiles, (
         v0.reshape(n_tiles, TRI_TILE, 3),
         e1.reshape(n_tiles, TRI_TILE, 3),
@@ -588,6 +590,14 @@ def intersect(pack, o, d, t_max=jnp.inf, sort=False, time=None) -> Hit:
             pack, o, d, time, best_t, prim, u, v
         )
 
+    inst = jnp.full((o.shape[0],), -1, jnp.int32)
+    if pack.meta.get("has_instances", False):
+        from mitsuba_tpu.accel.tlas import inst_closest
+
+        best_t, prim, u, v, inst = inst_closest(
+            pack, o, d, best_t, prim, u, v, inst
+        )
+
     is_sphere = jnp.zeros(o.shape[0], bool)
     if pack.n_spheres > 0:
         sh, st, sid = _intersect_spheres(pack, o, d, best_t)
@@ -595,9 +605,11 @@ def intersect(pack, o, d, t_max=jnp.inf, sort=False, time=None) -> Hit:
         best_t = jnp.where(take, st, best_t)
         prim = jnp.where(take, sid, prim)
         is_sphere = take
+        inst = jnp.where(take, -1, inst)
 
     valid = prim >= 0
-    return Hit(valid=valid, t=best_t, prim=prim, is_sphere=is_sphere, u=u, v=v)
+    return Hit(valid=valid, t=best_t, prim=prim, is_sphere=is_sphere,
+               u=u, v=v, inst=inst)
 
 
 def occluded(pack, o, d, t_max, sort=False, time=None) -> jnp.ndarray:
@@ -631,6 +643,10 @@ def occluded(pack, o, d, t_max, sort=False, time=None) -> jnp.ndarray:
             occ = occ | sh
         if anim:
             occ = occ | _anim_any(pack, o, d, time, t_max)
+        if pack.meta.get("has_instances", False):
+            from mitsuba_tpu.accel.tlas import inst_any
+
+            occ = occ | inst_any(pack, o, d, t_max)
         return occ
     hit = intersect(pack, o, d, t_max, time=time)
     return hit.valid
@@ -709,6 +725,21 @@ def fill_interaction(pack, o, d, hit: Hit) -> SurfaceInteraction:
     else:
         ng, ns, uv, mat, emit = ng_tri, ns_tri, uv_tri, mat_tri, emit_tri
 
+    # instanced hits: attributes were gathered in the group's LOCAL
+    # space; rotate normals into the world by the instance's
+    # inverse-transpose (accel/tlas.py; reference instance.cpp
+    # fillIntersectionRecord applies the same frame transform)
+    if pack.meta.get("has_instances", False) and hit.inst is not None:
+        im = jnp.maximum(hit.inst, 0)
+        sel = (hit.inst >= 0)[:, None]
+        Ln = pack.inst_nrm[im].reshape(-1, 3, 3)
+        ns = jnp.where(
+            sel, mm.normalize(jnp.einsum("rij,rj->ri", Ln, ns)), ns
+        )
+        ng = jnp.where(
+            sel, mm.normalize(jnp.einsum("rij,rj->ri", Ln, ng)), ng
+        )
+
     # orient the geometric normal to the shading normal's hemisphere
     flip = mm.dot(ng, ns) < 0.0
     ng = jnp.where(flip[:, None], -ng, ng)
@@ -727,6 +758,14 @@ def fill_interaction(pack, o, d, hit: Hit) -> SurfaceInteraction:
 
     if pack.meta.get("has_bumpmaps", False):
         dpdu = take_fused(prim, pack.tri_dpdu)[0]
+        if pack.meta.get("has_instances", False) and hit.inst is not None:
+            imf = jnp.maximum(hit.inst, 0)
+            Lf = pack.inst_fwd[imf].reshape(-1, 3, 3)
+            dpdu = jnp.where(
+                (hit.inst >= 0)[:, None],
+                jnp.einsum("rij,rj->ri", Lf, dpdu),
+                dpdu,
+            )
         if pack.n_spheres > 0:
             # spherical tangent along +phi
             t_sph = mm.normalize(

@@ -350,7 +350,81 @@ def pack_scene(scene) -> ScenePack:
     anim_ranges = []
     anim_m1 = []
 
-    for inst in _static_i + _anim_i:
+    # ---- instancing: expand small totals flat; above the threshold
+    # the group templates pack once (LAST, excluded from all static
+    # accelerators) and instances go through the two-level TLAS
+    # (accel/tlas.py; reference shapegroup.h:34 + instance.cpp) ----
+    _tmpl_children = []
+    _tmpl_ids = set()
+    _tmpl_marks = {}
+    inst_defer = []  # (group_key, [children], [Transform, ...])
+    if getattr(scene, "instances", None):
+        from mitsuba_tpu.scene.shapes import (
+            ShapeInstance,
+            SphereData,
+            _apply_transform,
+        )
+
+        by_group: dict = {}
+        for key, t in scene.instances:
+            by_group.setdefault(key, []).append(t)
+        expand_max = int(
+            os.environ.get("MTS_INSTANCE_EXPAND_MAX", "100000")
+        )
+        total_extra = sum(
+            len(ts) * sum(
+                len(s.meshes[k_].indices)
+                for s in scene.shape_groups[key]
+                for k_ in range(len(s.meshes))
+            )
+            for key, ts in by_group.items()
+        )
+        if total_extra <= expand_max:
+            for key, ts in by_group.items():
+                for t in ts:
+                    for src in scene.shape_groups[key]:
+                        out = ShapeInstance(id=src.id)
+                        out.bsdf = src.bsdf
+                        out.emitter = src.emitter
+                        out.interior_medium = src.interior_medium
+                        out.exterior_medium = src.exterior_medium
+                        out.subsurface = src.subsurface
+                        for mesh in src.meshes:
+                            out.meshes.append(
+                                _apply_transform(mesh, t, False)
+                            )
+                        for sph in src.spheres:
+                            out.spheres.append(SphereData(
+                                center=t.transform_point_np(
+                                    sph.center
+                                ).astype(np.float32),
+                                radius=sph.radius,
+                                flip_normals=sph.flip_normals,
+                            ))
+                        _static_i.append(out)
+        else:
+            for key, ts in by_group.items():
+                children = scene.shape_groups[key]
+                for src in children:
+                    if (
+                        src.emitter is not None
+                        or src.interior_medium is not None
+                        or src.exterior_medium is not None
+                        or getattr(src, "subsurface", None) is not None
+                        or src.spheres
+                    ):
+                        raise ValueError(
+                            "instanced shapegroup (above "
+                            "MTS_INSTANCE_EXPAND_MAX) supports plain "
+                            "surface meshes only — no emitters, media, "
+                            "subsurface, or spheres"
+                        )
+                inst_defer.append((key, children, ts))
+                for src in children:
+                    _tmpl_children.append(src)
+                    _tmpl_ids.add(id(src))
+
+    for inst in _static_i + _anim_i + _tmpl_children:
         _anim_start = _row_cursor[0]
         if getattr(inst, "subsurface", None) is not None:
             import copy
@@ -374,9 +448,10 @@ def pack_scene(scene) -> ScenePack:
                 from mitsuba_tpu.core.logging import logger
 
                 logger.warn(
-                    "subsurface: point density capped at 4096 samples "
-                    f"for shape '{inst.id}' (raise sampleMultiplier "
-                    "accuracy ceiling)"
+                    "subsurface: point density capped at "
+                    "MTS_SSS_MAX_POINTS samples for shape "
+                    f"'{inst.id}' (raise the env knob for a denser "
+                    "cache)"
                 )
             sss_mat_rows.append((mat_id, len(sss_objs)))
             sss_objs.append((inst.subsurface, pts, nrm, a_pt))
@@ -497,6 +572,8 @@ def pack_scene(scene) -> ScenePack:
             anim_m1.append(np.concatenate(
                 [m_rel[:, :3].reshape(-1), m_rel[:, 3]]
             ).astype(np.float32))
+        if id(inst) in _tmpl_ids:
+            _tmpl_marks[id(inst)] = (int(_anim_start), int(_row_cursor[0]))
 
     def cat(parts, shape_tail, dtype=np.float32):
         if parts:
@@ -518,7 +595,8 @@ def pack_scene(scene) -> ScenePack:
     tri_med_ex = cat(tmed_ex, (), np.int32)
     n_tris = len(tri_v0)
     n_anim_tris = sum(c for _, c in anim_ranges)
-    n_static = n_tris - n_anim_tris
+    n_tmpl_tris = sum(e - s for s, e in _tmpl_marks.values())
+    n_static = n_tris - n_anim_tris - n_tmpl_tris
 
     # geometry-driven textures (vertexcolors / wireframe / curvature):
     # per-corner attribute columns, packed only when the scene uses them
@@ -677,6 +755,24 @@ def pack_scene(scene) -> ScenePack:
         cl = pack_clusters(bvh, tri_v0, tri_e1, tri_e2, n_tris)
         if cl is not None:
             cluster_arrays, cluster_meta = cl
+
+    # two-level instancing: TLAS + per-instance BLAS splice over the
+    # template rows (accel/tlas.py).  Template ranges sit past
+    # n_static + anim so neither permcat nor the static accelerators
+    # touch them.
+    inst_arrays: dict = {}
+    inst_meta: dict = {"has_instances": False, "n_instances": 0}
+    if inst_defer:
+        from mitsuba_tpu.accel.tlas import build_instance_accel
+
+        tlas_groups = []
+        for key, children, ts in inst_defer:
+            lo_r = min(_tmpl_marks[id(c)][0] for c in children)
+            hi_r = max(_tmpl_marks[id(c)][1] for c in children)
+            tlas_groups.append((lo_r, hi_r, ts))
+        inst_arrays, inst_meta = build_instance_accel(
+            tlas_groups, tri_v0, tri_e1, tri_e2
+        )
 
     # UV-aligned tangent per triangle (dp/du, for bump/normal mapping —
     # reference intersection partials, trimesh.cpp getNormalDerivative)
@@ -1203,6 +1299,7 @@ def pack_scene(scene) -> ScenePack:
             else np.zeros((1, 12), np.float32)
         ),
         **cluster_arrays,
+        **inst_arrays,
         **geom_tex_arrays,
         **mt,
         **tex_arrays,
@@ -1226,9 +1323,13 @@ def pack_scene(scene) -> ScenePack:
     # scene bounding sphere (static meta: directional/env emission
     # sampling and bdpt light subpaths need a finite stand-in origin)
     pts = []
-    if n_tris > 0:
-        v = tri_v0[:n_tris]
-        pts += [v, v + tri_e1[:n_tris], v + tri_e2[:n_tris]]
+    n_world = n_tris - n_tmpl_tris  # template rows are LOCAL space
+    if n_world > 0:
+        v = tri_v0[:n_world]
+        pts += [v, v + tri_e1[:n_world], v + tri_e2[:n_world]]
+    if inst_meta.get("has_instances"):
+        root = np.asarray(inst_arrays["inst_nodes"][0])
+        pts += [root[None, 0:3], root[None, 3:6]]
     if n_sph > 0:
         pts += [sph_center - sph_radius[:, None],
                 sph_center + sph_radius[:, None]]
@@ -1263,6 +1364,7 @@ def pack_scene(scene) -> ScenePack:
         "bvh_nodes": int(len(bvh.skip)),
         "bvh_depth": int(bvh.depth),
         **cluster_meta,
+        **inst_meta,
         "env_idx": env_idx,
         "has_env": env_idx >= 0,
         "has_envmap": env_idx >= 0 and (

@@ -145,9 +145,10 @@ def sample_surface_points(meshes, spheres, rec: SubsurfaceRecord):
 
     Equivalent of the reference's blueNoisePointSet at actualRadius =
     min_mfp / sqrt(sampleMultiplier * 20) (dipole.cpp:preprocess); the
-    static point count follows the same density, capped at 4096 points
-    (the dense TPU gather replaces the octree; the cap is logged by the
-    builder when hit).
+    static point count follows the same density, capped at
+    MTS_SSS_MAX_POINTS (default 16384; the dense chunked TPU reduction
+    replaces the octree, so the cap is a compute knob, not a memory
+    one — the builder logs when it binds).
 
     Returns (pts [N,3], nrm [N,3], area_per_point, capped: bool).
     """
@@ -177,8 +178,11 @@ def sample_surface_points(meshes, spheres, rec: SubsurfaceRecord):
     if sa <= 0:
         raise ValueError("subsurface: shape has zero surface area")
 
+    import os
+
+    cap = int(os.environ.get("MTS_SSS_MAX_POINTS", "16384"))
     n_want = int(sa / (np.pi * r_act * r_act) * 2.0)
-    n = int(np.clip(n_want, 256, 4096))
+    n = int(np.clip(n_want, 256, cap))
     n = ((n + 63) // 64) * 64
     rng = np.random.default_rng(0x5551F)
 
@@ -210,7 +214,7 @@ def sample_surface_points(meshes, spheres, rec: SubsurfaceRecord):
         radii = np.array([spheres[k].radius for k in s_idx])[:, None]
         pts[~is_tri] = (centers + d * radii).astype(np.float32)
         nrm[~is_tri] = d.astype(np.float32)
-    return pts, nrm, sa / n, n_want > 4096
+    return pts, nrm, sa / n, n_want > cap
 
 
 @register("subsurface", "dipole")

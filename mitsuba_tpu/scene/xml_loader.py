@@ -60,6 +60,11 @@ class SceneDescription:
     media: dict = field(default_factory=dict)
     ids: dict = field(default_factory=dict)
     path: str = ""
+    # two-level instancing (reference shapegroup.h:34): instances are
+    # (group_key, Transform); groups map key -> [ShapeInstance].  The
+    # expand-vs-TLAS decision happens at pack time (builder.py).
+    instances: list = field(default_factory=list)
+    shape_groups: dict = field(default_factory=dict)
 
 
 def _parse_float_list(s):
@@ -298,39 +303,22 @@ class SceneLoader:
             ]
             return
         if isinstance(shape_obj, InstanceShape):
-            # round 1: expand instances (two-level BVH planned)
+            # defer to pack time: small totals expand flat, large ones
+            # go through the two-level TLAS (scene/builder.py)
             group = None
             for _, child in shape_obj.props.children:
                 if isinstance(child, ShapeGroup):
                     group = child
             if group is None:
                 raise ValueError("instance: requires a shapegroup reference")
-            from mitsuba_tpu.scene.shapes import ShapeInstance, _apply_transform
-
-            t = shape_obj.to_world
-            for child in group.children:
-                self._attach_shape_children(child)
-                src = child.instance
-                out = ShapeInstance(id=src.id)
-                out.bsdf = src.bsdf
-                out.emitter = src.emitter
-                out.interior_medium = src.interior_medium
-                out.exterior_medium = src.exterior_medium
-                out.subsurface = src.subsurface
-                for mesh in src.meshes:
-                    out.meshes.append(_apply_transform(mesh, t, False))
-                for sph in src.spheres:
-                    c = t.transform_point_np(sph.center)
-                    from mitsuba_tpu.scene.shapes import SphereData
-
-                    out.spheres.append(
-                        SphereData(
-                            center=c.astype("float32"),
-                            radius=sph.radius,
-                            flip_normals=sph.flip_normals,
-                        )
-                    )
-                scene.shapes.append(out)
+            key = id(group)
+            if key not in scene.shape_groups:
+                for child in group.children:
+                    self._attach_shape_children(child)
+                scene.shape_groups[key] = [
+                    child.instance for child in group.children
+                ]
+            scene.instances.append((key, shape_obj.to_world))
             return
 
         self._attach_shape_children(shape_obj)

@@ -206,13 +206,18 @@ def test_instancing_expansion():
       </shape>
     """
     )
-    # 2 instances x 2 shapes each
-    assert len(s.shapes) == 4
-    spheres = [sh for sh in s.shapes if sh.spheres]
-    assert len(spheres) == 2
-    centers = sorted(float(sh.spheres[0].center[0]) for sh in spheres)
+    # the loader DEFERS instancing; pack_scene expands small totals
+    # (two-level TLAS above MTS_INSTANCE_EXPAND_MAX — builder.py)
+    assert len(s.shapes) == 0
+    assert len(s.instances) == 2
+    assert len(s.shape_groups) == 1
+    from mitsuba_tpu.scene.builder import pack_scene
+
+    pack = pack_scene(s)
+    assert pack.meta["n_spheres"] == 2
+    centers = sorted(np.asarray(pack.arrays["sph_center"])[:, 0].tolist())
     assert centers == [-3.0, 3.0]
-    assert np.allclose(spheres[0].bsdf.cA, [0.8, 0.1, 0.1])
+    assert pack.meta["n_tris"] >= 4  # two transformed rectangles
 
 
 def test_heightfield_shape():
