@@ -536,6 +536,117 @@ def _anim_any(pack, o, d, time, t_max):
     return occ
 
 
+def _deform_time(time, r):
+    return (
+        jnp.broadcast_to(time, (r,)).astype(jnp.float32)
+        if time is not None else jnp.full((r,), 0.5, jnp.float32)
+    )
+
+
+def _deform_closest(pack, o, d, time, best_t, best_prim, best_u, best_v):
+    """Deformable shapes (reference deformable.cpp SpaceTimeKDTree):
+    per keyframe SEGMENT, lerp the triangle rows at each lane's time
+    and run masked tiled brute force — segments are a static python
+    loop, so no per-lane vertex gathers."""
+    r = o.shape[0]
+    tt = _deform_time(time, r)
+    for rr_, (first, count, times) in enumerate(
+        pack.meta["deform_ranges"]
+    ):
+        frames = pack.arrays[f"deform_tri9_{rr_}"]  # [K, T, 9]
+        for seg in range(len(times) - 1):
+            t0_, t1_ = times[seg], times[seg + 1]
+            in_seg = (tt >= t0_) & (
+                (tt <= t1_) if seg == len(times) - 2 else (tt < t1_)
+            )
+            if seg == 0:
+                in_seg = in_seg | (tt < t0_)
+            w = jnp.clip(
+                (tt - t0_) / max(t1_ - t0_, 1e-9), 0.0, 1.0
+            )
+            a = frames[seg]
+            b = frames[seg + 1]
+            n_tiles = (count + TRI_TILE - 1) // TRI_TILE
+            pad_to = n_tiles * TRI_TILE
+            ap = _pad_rows(a, pad_to, 0.0)
+            bp = _pad_rows(b, pad_to, 0.0)
+            ap = ap.at[count:, 0:3].set(1e30) if pad_to > count else ap
+            for ti in range(n_tiles):
+                sl = slice(ti * TRI_TILE, (ti + 1) * TRI_TILE)
+                tri = (
+                    ap[None, sl]
+                    + w[:, None, None] * (bp[None, sl] - ap[None, sl])
+                )
+                hit, t, u, v = _moller_trumbore(
+                    o[:, None, :], d[:, None, :],
+                    tri[..., 0:3], tri[..., 3:6], tri[..., 6:9],
+                    best_t[:, None],
+                )
+                hit = hit & in_seg[:, None]
+                t = jnp.where(hit, t, jnp.inf)
+                k = jnp.argmin(t, axis=-1)
+                tk = jnp.take_along_axis(t, k[:, None], -1)[:, 0]
+                better = tk < best_t
+                best_prim = jnp.where(
+                    better,
+                    first + ti * TRI_TILE + k.astype(jnp.int32),
+                    best_prim,
+                )
+                best_u = jnp.where(
+                    better,
+                    jnp.take_along_axis(u, k[:, None], -1)[:, 0],
+                    best_u,
+                )
+                best_v = jnp.where(
+                    better,
+                    jnp.take_along_axis(v, k[:, None], -1)[:, 0],
+                    best_v,
+                )
+                best_t = jnp.minimum(best_t, tk)
+    return best_t, best_prim, best_u, best_v
+
+
+def _deform_any(pack, o, d, time, t_max):
+    r = o.shape[0]
+    tt = _deform_time(time, r)
+    occ = jnp.zeros((r,), bool)
+    tm = jnp.broadcast_to(t_max, (r,)).astype(jnp.float32)
+    for rr_, (first, count, times) in enumerate(
+        pack.meta["deform_ranges"]
+    ):
+        frames = pack.arrays[f"deform_tri9_{rr_}"]
+        for seg in range(len(times) - 1):
+            t0_, t1_ = times[seg], times[seg + 1]
+            in_seg = (tt >= t0_) & (
+                (tt <= t1_) if seg == len(times) - 2 else (tt < t1_)
+            )
+            if seg == 0:
+                in_seg = in_seg | (tt < t0_)
+            w = jnp.clip(
+                (tt - t0_) / max(t1_ - t0_, 1e-9), 0.0, 1.0
+            )
+            a = frames[seg]
+            b = frames[seg + 1]
+            n_tiles = (count + TRI_TILE - 1) // TRI_TILE
+            pad_to = n_tiles * TRI_TILE
+            ap = _pad_rows(a, pad_to, 0.0)
+            bp = _pad_rows(b, pad_to, 0.0)
+            ap = ap.at[count:, 0:3].set(1e30) if pad_to > count else ap
+            for ti in range(n_tiles):
+                sl = slice(ti * TRI_TILE, (ti + 1) * TRI_TILE)
+                tri = (
+                    ap[None, sl]
+                    + w[:, None, None] * (bp[None, sl] - ap[None, sl])
+                )
+                hit, _, _, _ = _moller_trumbore(
+                    o[:, None, :], d[:, None, :],
+                    tri[..., 0:3], tri[..., 3:6], tri[..., 6:9],
+                    tm[:, None],
+                )
+                occ = occ | (jnp.any(hit, axis=-1) & in_seg)
+    return occ
+
+
 def intersect(pack, o, d, t_max=jnp.inf, sort=False, time=None) -> Hit:
     """Closest-hit query (= Scene::rayIntersect, reference scene.h:187).
 
@@ -587,6 +698,11 @@ def intersect(pack, o, d, t_max=jnp.inf, sort=False, time=None) -> Hit:
 
     if pack.meta.get("anim_ranges", ()):
         best_t, prim, u, v = _anim_closest(
+            pack, o, d, time, best_t, prim, u, v
+        )
+
+    if pack.meta.get("deform_ranges", ()):
+        best_t, prim, u, v = _deform_closest(
             pack, o, d, time, best_t, prim, u, v
         )
 
@@ -643,6 +759,8 @@ def occluded(pack, o, d, t_max, sort=False, time=None) -> jnp.ndarray:
             occ = occ | sh
         if anim:
             occ = occ | _anim_any(pack, o, d, time, t_max)
+        if pack.meta.get("deform_ranges", ()):
+            occ = occ | _deform_any(pack, o, d, time, t_max)
         if pack.meta.get("has_instances", False):
             from mitsuba_tpu.accel.tlas import inst_any
 

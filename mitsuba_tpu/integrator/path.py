@@ -62,7 +62,9 @@ def shutter_time(pack, lane, sample_idx, seed=0):
     """Per-lane shutter time in [0,1] for animated scenes, or None.
     (= Sensor::sampleTime, reference sensor.h:275-281; the uniform
     comes from the camera stream so regen lanes stay deterministic.)"""
-    if not pack.meta.get("anim_ranges", ()):
+    if not pack.meta.get("anim_ranges", ()) and not pack.meta.get(
+        "deform_ranges", ()
+    ):
         return None
     u = rng.rand4(
         lane, sample_idx, 911, rng.stream_seed(seed, rng.STREAM_CAMERA)
@@ -598,12 +600,96 @@ def field_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
     return jnp.where(its.valid[..., None], v, 0.0)
 
 
+def motion_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
+    """First-hit screen-space motion vectors in pixels (reference
+    src/integrators/misc/motion.cpp, config "d": the primary-hit
+    component; specular chain configs are not implemented).  The scene
+    is intersected at shutter time 0; each hit point advances to the
+    target time through its shape's animation (rigid keyframe M1 or
+    deformable keyframe lerp) and both positions project through the
+    camera — channels = (dx_pixels, dy_pixels, 0)."""
+    t_target = float(getattr(integ, "motion_time", 1.0))
+    r = o.shape[0]
+    hit = intersect(pack, o, d, time=jnp.zeros((r,), jnp.float32))
+    its = fill_interaction(pack, o, d, hit)
+    p0 = its.p
+    p1 = p0
+    prim = its.prim
+    tri_hit = its.valid & ~hit.is_sphere
+
+    for a, (first, count) in enumerate(pack.meta.get("anim_ranges", ())):
+        in_r = tri_hit & (prim >= first) & (prim < first + count)
+        m1 = pack.anim_m1[a]
+        L1 = m1[:9].reshape(3, 3)
+        b1 = m1[9:12]
+        # M(t) = I + t (M1 - I)
+        pt = p0 + t_target * ((p0 @ L1.T + b1[None]) - p0)
+        p1 = jnp.where(in_r[..., None], pt, p1)
+
+    for rr_, (first, count, times) in enumerate(
+        pack.meta.get("deform_ranges", ())
+    ):
+        frames = pack.arrays[f"deform_tri9_{rr_}"]  # [K, T, 9]
+        # bracket the target time (static python: times is a tuple)
+        import bisect as _bisect
+
+        seg = max(
+            0, min(
+                _bisect.bisect_right(times, t_target) - 1,
+                len(times) - 2,
+            )
+        )
+        w = (t_target - times[seg]) / max(
+            times[seg + 1] - times[seg], 1e-9
+        )
+        row = jnp.clip(prim - first, 0, count - 1)
+        tri = frames[seg][row] + w * (
+            frames[seg + 1][row] - frames[seg][row]
+        )
+        uu, vv = hit.u[..., None], hit.v[..., None]
+        pt = (
+            tri[..., 0:3] + uu * tri[..., 3:6] + vv * tri[..., 6:9]
+        )
+        in_r = tri_hit & (prim >= first) & (prim < first + count)
+        p1 = jnp.where(in_r[..., None], pt, p1)
+
+    w2c = pack.cam_w2c
+    th = pack.meta.get("cam_tan_half", 0.0) or 1.0
+    fw, fh = pack.meta.get("cam_film", (1, 1))
+    aspect = fw / max(fh, 1)
+
+    from mitsuba_tpu.sensor.plugins import ORTHOGRAPHIC, TELECENTRIC
+
+    ortho = pack.meta.get("cam_kind", 0) in (ORTHOGRAPHIC, TELECENTRIC)
+
+    def project(p):
+        v = p @ w2c[:3, :3].T + w2c[:3, 3]
+        if ortho:
+            # extent [-1,1] x aspect (sensor/plugins.py ORTHOGRAPHIC)
+            sx = 0.5 * (1.0 - v[..., 0])
+            sy = 0.5 * (1.0 - v[..., 1] * aspect)
+        else:
+            z = jnp.maximum(v[..., 2], 1e-6)
+            sx = 0.5 * (1.0 - v[..., 0] / z / th)
+            sy = 0.5 * (1.0 - v[..., 1] * aspect / z / th)
+        return sx, sy
+
+    sx0, sy0 = project(p0)
+    sx1, sy1 = project(p1)
+    out = jnp.stack(
+        [(sx1 - sx0) * fw, (sy1 - sy0) * fh, jnp.zeros_like(sx0)],
+        axis=-1,
+    )
+    return jnp.where(its.valid[..., None], out, 0.0)
+
+
 TRACE_FNS = {
     "path": path_trace,
     "volpath": None,  # filled by integrator/volpath.py on import
     "direct": direct_trace,
     "ao": ao_trace,
     "field": field_trace,
+    "motion": motion_trace,
     # bdpt/pssmlt/mlt/erpt/ptracer/sppm/ppm/photonmapper/vpl have real
     # single-chip implementations (integrator/{bdpt,pssmlt,mlt,ptracer,
     # sppm,vpl}.py) AND real sharded dispatch (parallel/mesh.py

@@ -30,6 +30,8 @@ class IntegratorRecord:
     shading_samples: int = 1
     # field
     field_name: str = "position"
+    # motion
+    motion_time: float = 1.0
     # bdpt / mlt family
     light_image: bool = True
     sample_direct: bool = True
@@ -122,6 +124,18 @@ class DepthIntegrator(_IntBase):
 
     def _finish(self, props):
         self.record.field_name = "distance"
+
+
+@register("integrator", "motion")
+class MotionIntegrator(_IntBase):
+    """reference: src/integrators/misc/motion.cpp — first-hit
+    screen-space motion vectors (config "d"; specular-chain configs
+    unimplemented).  `time` is the target frame."""
+
+    kind = "motion"
+
+    def _finish(self, props):
+        self.record.motion_time = props.get_float("time", 1.0)
 
 
 @register("integrator", "bdpt")

@@ -177,6 +177,36 @@ def _pack_textures(textures: list[TextureDesc]):
     }
 
 
+def _cam_tan_half(scene):
+    """tan(xfov/2) of the scene camera (0 when absent) — screen
+    projection for the motion-vector integrator."""
+    try:
+        import math as _math
+
+        return float(_math.tan(
+            _math.radians(scene.sensor.record.xfov_deg) / 2.0
+        ))
+    except (AttributeError, TypeError):
+        return 0.0
+
+
+def _cam_film(scene):
+    try:
+        f = scene.sensor.record.film
+        return (int(f.width), int(f.height))
+    except (AttributeError, TypeError):
+        return (1, 1)
+
+
+def _cam_w2c(scene):
+    try:
+        return np.asarray(
+            scene.sensor.record.to_world.inv, np.float32
+        )
+    except (AttributeError, TypeError):
+        return np.eye(4, dtype=np.float32)
+
+
 def _cam_pix_angle(scene):
     """Per-pixel ray-cone angle of the scene camera (radians); the
     texture-LOD footprint driver (reference mipmap.h eval(..., d0, d1)
@@ -338,14 +368,22 @@ def pack_scene(scene) -> ScenePack:
     # sahkdtree4.h's 4D tree is replaced by per-shape relative-motion
     # ray transforms)
     _insts = list(scene.shapes)
+    _deform_i = [
+        i for i in _insts if getattr(i, "deform_frames", None)
+    ]
+    _deform_ids = {id(i) for i in _deform_i}
     _static_i = [
         i for i in _insts
-        if not getattr(i, "animation", None)
-        or len(i.animation) < 2
+        if id(i) not in _deform_ids
+        and (not getattr(i, "animation", None) or len(i.animation) < 2)
     ]
     _static_ids = {id(i) for i in _static_i}
-    _anim_i = [i for i in _insts if id(i) not in _static_ids]
+    _anim_i = [
+        i for i in _insts
+        if id(i) not in _static_ids and id(i) not in _deform_ids
+    ]
     _anim_ids = {id(i) for i in _anim_i}
+    _deform_marks = {}
     _row_cursor = [0]
     anim_ranges = []
     anim_m1 = []
@@ -424,7 +462,7 @@ def pack_scene(scene) -> ScenePack:
                     _tmpl_children.append(src)
                     _tmpl_ids.add(id(src))
 
-    for inst in _static_i + _anim_i + _tmpl_children:
+    for inst in _static_i + _anim_i + _deform_i + _tmpl_children:
         _anim_start = _row_cursor[0]
         if getattr(inst, "subsurface", None) is not None:
             import copy
@@ -574,6 +612,10 @@ def pack_scene(scene) -> ScenePack:
             ).astype(np.float32))
         if id(inst) in _tmpl_ids:
             _tmpl_marks[id(inst)] = (int(_anim_start), int(_row_cursor[0]))
+        if id(inst) in _deform_ids:
+            _deform_marks[id(inst)] = (
+                int(_anim_start), int(_row_cursor[0])
+            )
 
     def cat(parts, shape_tail, dtype=np.float32):
         if parts:
@@ -596,7 +638,39 @@ def pack_scene(scene) -> ScenePack:
     n_tris = len(tri_v0)
     n_anim_tris = sum(c for _, c in anim_ranges)
     n_tmpl_tris = sum(e - s for s, e in _tmpl_marks.values())
-    n_static = n_tris - n_anim_tris - n_tmpl_tris
+    n_deform_tris = sum(e - s for s, e in _deform_marks.values())
+    n_static = n_tris - n_anim_tris - n_tmpl_tris - n_deform_tris
+
+    # deformable keyframe stacks [K, T, 9] per range (reference
+    # deformable.cpp SpaceTimeKDTree; intersected by per-segment masked
+    # brute force, accel/intersect.py)
+    deform_arrays: dict = {}
+    deform_ranges = []
+    for r, inst in enumerate(_deform_i):
+        s_, e_ = _deform_marks[id(inst)]
+        stack = []
+        for fs in inst.deform_frames:
+            v0l_, e1l_, e2l_ = [], [], []
+            for mesh in fs:
+                p_ = mesh.positions
+                i_ = mesh.indices.astype(np.int64)
+                a_, b_, c_ = p_[i_[:, 0]], p_[i_[:, 1]], p_[i_[:, 2]]
+                v0l_.append(a_)
+                e1l_.append(b_ - a_)
+                e2l_.append(c_ - a_)
+            stack.append(np.concatenate(
+                [np.concatenate(v0l_), np.concatenate(e1l_),
+                 np.concatenate(e2l_)], axis=-1,
+            ).astype(np.float32))
+        deform_arrays[f"deform_tri9_{r}"] = np.stack(stack)
+        deform_ranges.append((s_, e_ - s_, inst.deform_times))
+        if inst.emitter is not None:
+            from mitsuba_tpu.core.logging import logger
+
+            logger.warn(
+                f"deformable '{inst.id}': area emission is sampled at "
+                "keyframe 0"
+            )
 
     # geometry-driven textures (vertexcolors / wireframe / curvature):
     # per-corner attribute columns, packed only when the scene uses them
@@ -1300,6 +1374,7 @@ def pack_scene(scene) -> ScenePack:
         ),
         **cluster_arrays,
         **inst_arrays,
+        **deform_arrays,
         **geom_tex_arrays,
         **mt,
         **tex_arrays,
@@ -1308,6 +1383,7 @@ def pack_scene(scene) -> ScenePack:
         "area_tri_cdf": area_tri_cdf,
         "emitter_pmf": pmf.astype(np.float32),
         "emitter_cdf": emitter_cdf,
+        "cam_w2c": _cam_w2c(scene),
         "env_image": np.asarray(env_image, np.float32),
         "env_to_world": env_to_world,
         "env_to_local": np.linalg.inv(env_to_world.astype(np.float64)).astype(
@@ -1330,6 +1406,9 @@ def pack_scene(scene) -> ScenePack:
     if inst_meta.get("has_instances"):
         root = np.asarray(inst_arrays["inst_nodes"][0])
         pts += [root[None, 0:3], root[None, 3:6]]
+    for arr in deform_arrays.values():
+        v = arr.reshape(-1, 9)
+        pts += [v[:, 0:3], v[:, 0:3] + v[:, 3:6], v[:, 0:3] + v[:, 6:9]]
     if n_sph > 0:
         pts += [sph_center - sph_radius[:, None],
                 sph_center + sph_radius[:, None]]
@@ -1353,6 +1432,7 @@ def pack_scene(scene) -> ScenePack:
         "use_bvh": use_bvh,
         "n_static_tris": int(n_static),
         "anim_ranges": tuple(anim_ranges),
+        "deform_ranges": tuple(deform_ranges),
         "shutter_open": float(
             getattr(scene.sensor.record, "shutter_open", 0.0)
             if scene.sensor is not None else 0.0
@@ -1381,6 +1461,12 @@ def pack_scene(scene) -> ScenePack:
         "has_mips": any(t.kind == TEX_BITMAP for t in textures)
         and os.environ.get("MTS_TPU_NO_MIPS", "0") != "1",
         "cam_pix_angle": _cam_pix_angle(scene),
+        "cam_tan_half": _cam_tan_half(scene),
+        "cam_film": _cam_film(scene),
+        "cam_kind": (
+            int(getattr(scene.sensor.record, "kind", 0))
+            if scene.sensor is not None else 0
+        ),
         "has_mixtures": bool(mix_rows or coat_rows),
         "has_bumpmaps": has_bumpmaps,
         "has_media": len(media) > 0,

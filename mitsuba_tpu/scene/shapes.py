@@ -49,6 +49,8 @@ class ShapeInstance:
     exterior_medium = None
     subsurface = None  # SubsurfaceRecord (dipole)
     animation = None  # [(time, Transform), ...] rigid keyframes
+    deform_frames = None  # [[MeshData,...] per keyframe] (deformable)
+    deform_times = None  # tuple of keyframe times
     id: str = ""
 
 
@@ -320,6 +322,54 @@ class InstanceShape(_ShapeBase):
     def _build(self, props):
         self.to_world = props.get_transform("toWorld")
         self.group = None  # resolved by the XML loader
+
+
+@register("shape", "deformable")
+class DeformableShape(_ShapeBase):
+    """reference: src/shapes/deformable.cpp — per-vertex keyframe
+    animation.  Nested child shapes supply one mesh set per keyframe
+    (identical topology); a ray at shutter time t intersects the
+    linearly interpolated mesh between the bracketing frames.  The
+    reference's 4D space-time kd-tree becomes per-segment masked brute
+    force over the (accelerator-excluded) frame-0 rows
+    (accel/intersect.py _deform_closest).  Shading normals come from
+    frame 0, like rigid rotation keyframes (builder.py warning)."""
+
+    def _build(self, props):
+        import re as _re
+
+        frames = []
+        for _name, child in props.children:
+            inst = getattr(child, "instance", None)
+            if inst is not None and inst.meshes:
+                frames.append(inst.meshes)
+        if len(frames) < 2:
+            raise ValueError(
+                "deformable: needs >=2 nested keyframe shapes"
+            )
+        times_str = props.get_string("times", "")
+        if times_str.strip():
+            times = [
+                float(x)
+                for x in _re.split(r"[,;\s]+", times_str.strip())
+                if x
+            ]
+        else:
+            times = np.linspace(0.0, 1.0, len(frames)).tolist()
+        if len(times) != len(frames):
+            raise ValueError(
+                "deformable: times count must match keyframe count"
+            )
+        sizes = [
+            tuple(len(m.indices) for m in fs) for fs in frames
+        ]
+        if len(set(sizes)) != 1:
+            raise ValueError(
+                "deformable: keyframes must share topology"
+            )
+        self.instance.meshes = frames[0]
+        self.instance.deform_frames = frames
+        self.instance.deform_times = tuple(float(t) for t in times)
 
 
 @register("shape", "heightfield")
