@@ -244,7 +244,11 @@ def render_mlt(scene, spp=None, seed=0, pack=None, chains=None, mesh=None):
             )
         )(lanes_all, U_cur, pos_cur, L_cur, I_cur)
     scale = b_norm * n_px / (n_steps * n_chains)
-    return np.asarray(film * scale)
+    from mitsuba_tpu.integrator.pssmlt import add_direct_component
+
+    return add_direct_component(
+        np.asarray(film * scale), scene, pack, integ, seed
+    )
 
 
 def render_erpt(scene, spp=None, seed=0, pack=None, chains=None, mesh=None):
@@ -380,4 +384,8 @@ def render_erpt(scene, spp=None, seed=0, pack=None, chains=None, mesh=None):
         film = run(film, lanes_all, jnp.uint32(ri))
     # each seed represents 1/(seeds per pixel) of the estimator
     scale = n_px / (n_seed_rounds * n_lanes)
-    return np.asarray(film * scale)
+    from mitsuba_tpu.integrator.pssmlt import add_direct_component
+
+    return add_direct_component(
+        np.asarray(film * scale), scene, pack, integ, seed
+    )

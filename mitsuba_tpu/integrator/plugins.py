@@ -36,6 +36,7 @@ class IntegratorRecord:
     light_image: bool = True
     sample_direct: bool = True
     # pssmlt / mlt / erpt
+    direct_samples: int = -1
     bidirectional: bool = False
     luminance_samples: int = 100000
     two_stage: bool = False
@@ -165,6 +166,10 @@ class PSSMLTIntegrator(_IntBase):
         )
         self.record.two_stage = props.get_bool("twoStage", False)
         self.record.p_large = props.get_float("pLarge", 0.3)
+        # >= 0: render the direct component with this many ordinary
+        # samples and keep MLT for indirect-only (reference
+        # directSamples; -1 keeps everything in the chain target)
+        self.record.direct_samples = props.get_int("directSamples", -1)
 
 
 @register("integrator", "mlt")

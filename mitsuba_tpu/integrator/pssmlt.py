@@ -67,6 +67,11 @@ def path_from_primary(pack, integ, cam, w, h, U):
     present = pack.present_types
     max_depth = integ.max_depth if integ.max_depth > 0 else 16
     rr_depth = max(integ.rr_depth, 1)
+    # directSamples >= 0: the direct component (path length <= 2)
+    # renders separately with ordinary sampling and the MLT target
+    # covers only longer paths (reference BidirectionalUtils::
+    # renderDirectComponent, mlt.cpp/pssmlt.cpp directSamples)
+    split_direct = getattr(integ, "direct_samples", -1) >= 0
 
     pos01 = U[:, 0:2]
     o, d = generate_rays(cam, pos01, U[:, 2:4])
@@ -104,6 +109,8 @@ def path_from_primary(pack, integ, cam, w, h, U):
 
         if pack.has_env:
             escape = active & ~its.valid
+            if split_direct:
+                escape = escape & (depth >= 2)
             env_l = em.eval_env(pack, d)
             w_env = jnp.where(
                 s["prev_delta"],
@@ -116,6 +123,8 @@ def path_from_primary(pack, integ, cam, w, h, U):
         if pack.has_area:
             cos_l = mm.dot(its.ns, its.wi_world)
             emissive = found & (its.emit >= 0) & (cos_l > 0)
+            if split_direct:
+                emissive = emissive & (depth >= 2)
             le = take_rows(pack.em_rgb, jnp.maximum(its.emit, 0))
             p_direct = em.pdf_direct_area(pack, its.emit, its.t, cos_l)
             w_hit = jnp.where(
@@ -146,8 +155,11 @@ def path_from_primary(pack, integ, cam, w, h, U):
             )
             w_nee = jnp.where(ds.delta, 1.0, _path.mi_weight(ds.pdf, b_pdf))
             # reference maxDepth gate (see path_trace)
+            nee_on = active & ~occ & (depth + 2 <= max_depth)
+            if split_direct:
+                nee_on = nee_on & (depth >= 1)
             L = L + jnp.where(
-                (active & ~occ & (depth + 2 <= max_depth))[..., None],
+                nee_on[..., None],
                 thr * ds.value * f * w_nee[..., None],
                 0.0,
             )
@@ -268,6 +280,34 @@ def bootstrap_chains(trace, D, n_chains, n_boot_batches, seed, seed_mlt):
         ).reshape(n_chains, D)
         U_cur[mask] = Ub[rows]
     return jnp.asarray(U_cur), b_norm
+
+
+
+
+def add_direct_component(img, scene, pack, integ, seed):
+    """directSamples >= 0: add the separately rendered direct component
+    (emitted + single scattering, the paths path_from_primary excluded)
+    with ordinary MC sampling (reference BidirectionalUtils::
+    renderDirectComponent, libbidir/util.cpp)."""
+    n = getattr(integ, "direct_samples", -1)
+    if n < 0:
+        return img
+    import copy
+
+    import numpy as _np
+
+    from mitsuba_tpu.integrator.plugins import IntegratorRecord
+    from mitsuba_tpu.renderer import render as _render
+
+    s2 = copy.copy(scene)
+    s2.integrator = IntegratorRecord(
+        kind="direct", emitter_samples=1, bsdf_samples=1
+    )
+    direct = _np.asarray(_render(
+        s2, spp=max(n, 1), seed=seed ^ 0xD17EC7, pack=pack,
+        _spectral_inner=True,
+    ))
+    return img + direct
 
 
 def render_pssmlt(scene, spp=None, seed=0, pack=None, chains=None,
@@ -393,4 +433,6 @@ def render_pssmlt(scene, spp=None, seed=0, pack=None, chains=None,
     # contribution; E[sum] = steps*chains * E_pi[h f / I]; scale so the
     # image equals the path-traced mean
     scale = b_norm * n_px / (n_steps * n_chains)
-    return np.asarray(film * scale)
+    return add_direct_component(
+        np.asarray(film * scale), scene, pack, integ, seed
+    )

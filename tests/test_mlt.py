@@ -92,3 +92,21 @@ def test_mutation_moves_are_structured():
     expect[base:base + 3] = True
     assert (moved[expect] > 0).all()
     assert (moved[~expect] == 0).all()
+
+
+def test_pssmlt_direct_split_matches_path(small_cbox, path_ref):
+    """directSamples >= 0: the direct component renders with ordinary
+    sampling and the chains cover only indirect paths (reference
+    BidirectionalUtils::renderDirectComponent); the sum must still
+    reproduce the path-traced image."""
+    from mitsuba_tpu.integrator.plugins import IntegratorRecord
+    from mitsuba_tpu.integrator.pssmlt import render_pssmlt
+
+    scene = small_cbox
+    scene.integrator = IntegratorRecord(
+        kind="pssmlt", max_depth=4, luminance_samples=4096,
+        mutations_per_pixel=600, direct_samples=32,
+    )
+    img = render_pssmlt(scene, seed=9, chains=2048)
+    ratio = img.mean(axis=(0, 1)) / path_ref.mean(axis=(0, 1))
+    assert np.all(np.abs(ratio - 1.0) < 0.12), ratio
