@@ -129,6 +129,49 @@ SMOOTH_CASES = [
      {"alpha": 0.15, "distribution": "ggx",
       "nested": ("roughconductor", {"alpha": 0.3})}, WI),
     ("roughcoating", {"alpha": 0.25, "nested": ("diffuse", {})}, WI_GRAZE),
+    # ---- breadth sweep: every family x distribution x incidence
+    # (reference data/tests/test_bsdf.xml enumerates ~130 configs) ----
+    ("diffuse", {}, WI_GRAZE),
+    ("diffuse", {}, WI_STEEP),
+    ("roughdiffuse", {"alpha": 0.1}, WI),
+    ("roughdiffuse", {"alpha": 0.7}, WI_GRAZE),
+    ("roughconductor", {"alpha": 0.05, "distribution": "ggx"}, WI),
+    ("roughconductor", {"alpha": 0.6, "distribution": "ggx"}, WI),
+    ("roughconductor", {"alpha": 0.3, "distribution": "beckmann"},
+     WI_GRAZE),
+    ("roughconductor", {"alpha": 0.2, "distribution": "phong"},
+     WI_GRAZE),
+    ("roughconductor", {"alpha": 0.3, "distribution": "ggx"}, WI_STEEP),
+    ("roughconductor",
+     {"alphaU": 0.05, "alphaV": 0.5, "distribution": "beckmann"}, WI),
+    ("roughplastic", {"alpha": 0.1, "distribution": "ggx"}, WI),
+    ("roughplastic", {"alpha": 0.4, "distribution": "ggx"}, WI_GRAZE),
+    ("roughplastic", {"alpha": 0.3, "nonlinear": True}, WI),
+    ("roughplastic", {"alpha": 0.2, "intIOR": "water"}, WI_STEEP),
+    ("phong", {"exponent": 1.0}, WI),
+    ("phong", {"exponent": 50.0}, WI_GRAZE),
+    ("ward", {"alpha": 0.6}, WI),
+    ("ward", {"alpha": 0.15}, WI_STEEP),
+    ("ward", {"alphaU": 0.4, "alphaV": 0.1}, WI_STEEP),
+    ("difftrans", {}, WI_GRAZE),
+    ("difftrans", {"transmittance": 0.9}, WI_STEEP),
+    ("roughdielectric", {"alpha": 0.1, "distribution": "ggx"}, WI),
+    ("roughdielectric", {"alpha": 0.45, "distribution": "ggx"}, WI),
+    ("roughdielectric",
+     {"alpha": 0.3, "distribution": "ggx", "intIOR": "water"}, WI),
+    ("roughdielectric", {"alpha": 0.25, "distribution": "beckmann"},
+     WI_STEEP),
+    ("plastic", {"intIOR": "water"}, WI),
+    ("plastic", {"nonlinear": True}, WI_STEEP),
+    ("hk", {"thickness": 0.2, "g": 0.8}, WI),
+    ("hk", {"thickness": 5.0, "g": 0.0}, WI_STEEP),
+    ("coating", {"nested": ("roughplastic", {"alpha": 0.3})}, WI),
+    ("coating", {"nested": ("phong", {"exponent": 30.0})}, WI_GRAZE),
+    ("roughcoating",
+     {"alpha": 0.1, "distribution": "beckmann",
+      "nested": ("diffuse", {})}, WI_STEEP),
+    ("roughcoating",
+     {"alpha": 0.35, "nested": ("roughdiffuse", {"alpha": 0.3})}, WI),
 ]
 
 
