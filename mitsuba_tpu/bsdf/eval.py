@@ -36,6 +36,7 @@ from mitsuba_tpu.bsdf.plugins import (
     DIFFTRANS,
     DIFFUSE,
     HK,
+    IRAWAN,
     NULL_BSDF,
     PHONG_BSDF,
     PLASTIC,
@@ -455,6 +456,30 @@ def _hk_pdf(sp, wi, wo):
 
 
 # ---------------------------------------------------------------------------
+# Irawan-Marschner woven cloth (reference src/bsdfs/irawan.cpp; model
+# math + per-lane yarn params in bsdf/irawan.py — shading_params stashes
+# the yarn lookup in sp["iw"])
+# ---------------------------------------------------------------------------
+
+def _irawan_eval(sp, wi, wo):
+    from mitsuba_tpu.bsdf import irawan as _iw
+
+    iw = sp.get("iw")
+    if iw is None:  # irawan inside a mixture/coating child: unsupported
+        return jnp.zeros(wi.shape[:-1] + (3,), jnp.float32)
+    return _iw.irawan_f(jnp, iw, wi, wo)
+
+
+def _irawan_pdf(sp, wi, wo):
+    """Cosine-hemisphere sampling density, front side only
+    (irawan.cpp pdf:321-334)."""
+    front = (mm.cos_theta(wi) > 0) & (mm.cos_theta(wo) > 0)
+    return jnp.where(
+        front, warp.square_to_cosine_hemisphere_pdf(wo), 0.0
+    )
+
+
+# ---------------------------------------------------------------------------
 # public dispatch
 # ---------------------------------------------------------------------------
 
@@ -469,6 +494,7 @@ _EVAL_FNS = {
     PHONG_BSDF: _phong_eval,
     WARD: _ward_eval,
     DIFFTRANS: _difftrans_eval,
+    IRAWAN: _irawan_eval,
 }
 
 _PDF_FNS = {
@@ -482,6 +508,7 @@ _PDF_FNS = {
     PHONG_BSDF: _phong_pdf,
     WARD: _ward_pdf,
     DIFFTRANS: _difftrans_pdf,
+    IRAWAN: _irawan_pdf,
 }
 
 
@@ -892,6 +919,8 @@ def bsdf_sample(sp, wi, u2, ulobe, present):
             )
             for k in spB
         }
+        if "iw" in sp:
+            sp_sel["iw"] = sp["iw"]
         bs = bsdf_sample(sp_sel, wi, u2, ul, present)
         # smooth lobes: re-weight with the blended f/pdf (delta lobes
         # keep the child weight — the selection probability cancels).
@@ -1157,6 +1186,17 @@ def bsdf_sample(sp, wi, u2, ulobe, present):
             ok = (pdf_t > 1e-10) & (mm.cos_theta(wo_t) > 0) & (ci > 0)
             w_t = jnp.where(
                 ok[..., None], f / jnp.maximum(pdf_t, 1e-10)[..., None], 0.0
+            )
+            put(tm, wo_t, w_t, pdf_t, False, 1.0)
+        elif t == IRAWAN:
+            # cosine-weighted sampling, weight = f/pdf (the reference
+            # has no better sampler either, irawan.cpp sample:336-371)
+            wo_t = _sample_cosine(sp, wi, u2)
+            pdf_t = warp.square_to_cosine_hemisphere_pdf(wo_t)
+            f = _irawan_eval(sp, wi, wo_t)
+            ok = (pdf_t > 1e-8) & (ci > 0)
+            w_t = jnp.where(
+                ok[..., None], f / jnp.maximum(pdf_t, 1e-8)[..., None], 0.0
             )
             put(tm, wo_t, w_t, pdf_t, False, 1.0)
         elif t == DIFFTRANS:

@@ -41,6 +41,7 @@ MIXTURE = 13
 COATING = 14
 HK = 15
 ROUGHCOATING = 16
+IRAWAN = 17
 
 TYPE_NAMES = {
     DIFFUSE: "diffuse",
@@ -59,6 +60,7 @@ TYPE_NAMES = {
     MIXTURE: "mixture",
     COATING: "coating",
     ROUGHCOATING: "roughcoating",
+    IRAWAN: "irawan",
 }
 
 _DISTS = {"beckmann": BECKMANN, "ggx": GGX, "phong": PHONG, "as": BECKMANN}
@@ -98,6 +100,11 @@ class BSDFRecord:
     # mixture: children records + weights
     children: list = field(default_factory=list)
     weights: list = field(default_factory=list)
+    # irawan: parsed WeavePattern + tiling + precomputed normalization
+    weave: object = None
+    repeat_u: float = 1.0
+    repeat_v: float = 1.0
+    iw_norm: float = 0.0
     id: str = ""
 
     def is_emitter_compatible(self):
@@ -546,13 +553,44 @@ class HanrahanKrueger(_BSDFBase):
 
 @register("bsdf", "irawan")
 class IrawanCloth(_BSDFBase):
-    """PLACEHOLDER for src/bsdfs/irawan.cpp (woven cloth): renders as
-    rough diffuse until the yarn model lands."""
+    """reference src/bsdfs/irawan.{h,cpp} — Irawan-Marschner woven
+    cloth.  Loads a weave-pattern DSL file (`filename`, with `$name`
+    parameter substitution from the plugin's properties) or a built-in
+    `preset`, Monte-Carlos the specular normalization at load time
+    (irawan.cpp configure), and ships the pattern to the packed device
+    tables (bsdf/irawan.py)."""
 
     def _build(self, props):
-        rec = BSDFRecord(type=ROUGHDIFFUSE)
-        rec.cA = props.get_spectrum("kdMultiplier", None)
-        if rec.cA is None:
-            rec.cA = _gray(0.5)
-        rec.alpha_u = rec.alpha_v = 0.4
+        from mitsuba_tpu.bsdf import irawan as iw
+
+        if "filename" in props:
+            path = props.resolve_path(props.get_string("filename"))
+            with open(path, "r") as f:
+                text = f.read()
+        else:
+            preset = props.get_string("preset", "plain")
+            if preset not in iw.PRESETS:
+                raise ValueError(
+                    "irawan: unknown preset %r (have %s); pass filename= "
+                    "for a weave pattern file" % (preset, list(iw.PRESETS))
+                )
+            text = iw.PRESETS[preset]
+        pattern = iw.parse_weave(text, props)
+        rec = BSDFRecord(type=IRAWAN)
+        rec.weave = pattern
+        rec.repeat_u = props.get_float("repeatU", 1.0)
+        rec.repeat_v = props.get_float("repeatV", 1.0)
+        rec.iw_norm = iw.compute_normalization(
+            pattern, rec.repeat_u, rec.repeat_v
+        )
+        if "ksMultiplier" in props or "kdMultiplier" in props:
+            raise ValueError(
+                "irawan: ksMultiplier/kdMultiplier were replaced by the "
+                "normalization scheme; set yarn kd/ks instead "
+                "(irawan.cpp:115-118)"
+            )
+        # average diffuse color for tools that need a flat approximation
+        rec.cA = np.mean(
+            [np.asarray(y.kd, np.float32) for y in pattern.yarns], axis=0
+        )
         return rec

@@ -40,6 +40,8 @@ STREAM_MEDIUM_TRANS = 3  # shadow-ray ratio tracking (transmittance)
 STREAM_LIGHT = 4  # light-subpath walks (ptracer / bdpt light paths)
 STREAM_MLT = 5  # pssmlt/mlt chain mutations & control decisions
 STREAM_SSS = 6  # subsurface irradiance-point sampling (dipole preprocess)
+STREAM_WEAVE = 7  # irawan weave noise: DETERMINISTIC texture hash keyed
+# on lattice indices, not a sampling decision stream (bsdf/irawan.py)
 
 
 def stream_seed(seed, stream):

@@ -24,6 +24,7 @@ from mitsuba_tpu.accel.bvh import build_bvh, LEAF_SIZE, BVH
 from mitsuba_tpu.bsdf.plugins import (
     BSDFRecord,
     DIFFUSE,
+    IRAWAN,
     MIXTURE,
     ROUGHPLASTIC,
 )
@@ -922,6 +923,11 @@ def pack_scene(scene) -> ScenePack:
                 leaves.append((r, w))
 
         flatten(rec, 1.0)
+        if any(r.type == IRAWAN for r, _ in leaves):
+            raise ValueError(
+                "irawan cannot be a mixture/blend component (its yarn "
+                "lookup is keyed on the surface material row)"
+            )
         leaves.sort(key=lambda lw: -lw[1])
         a_rec, w_a = leaves[0]
         if len(leaves) > 1:
@@ -941,6 +947,11 @@ def pack_scene(scene) -> ScenePack:
     coat_rows = []
     for i, rec in enumerate(list(materials)):
         if rec.type in (_COATING, _RCOATING) and rec.children:
+            if rec.children[0].type == IRAWAN:
+                raise ValueError(
+                    "irawan cannot be nested under a coating (its yarn "
+                    "lookup is keyed on the surface material row)"
+                )
             coat_rows.append((i, add_material(rec.children[0])))
 
     n_mat = max(len(materials), 1)  # add_material may have grown the list
@@ -1018,6 +1029,27 @@ def pack_scene(scene) -> ScenePack:
                 rt_cache[key] = (c_ext, 1.0 - tdiff_int)
             mt["mat_rt"][i] = rt_cache[key][0]
             mt["mat_rt_fdr"][i] = rt_cache[key][1]
+
+    # Irawan woven-cloth tables (reference src/bsdfs/irawan.cpp; the
+    # weave pattern + yarn set become device gathers, bsdf/irawan.py —
+    # texture_eval.shading_params resolves them per lane into sp["iw"])
+    mt["mat_iw"] = np.full(n_mat, -1, np.int32)
+    iw_entries = []
+    for i, rec in enumerate(materials):
+        if rec.type == IRAWAN and rec.weave is not None:
+            mt["mat_iw"][i] = len(iw_entries)
+            iw_entries.append(
+                (rec.weave, rec.repeat_u, rec.repeat_v, rec.iw_norm)
+            )
+    if iw_entries:
+        from mitsuba_tpu.bsdf.irawan import pack_tables, tables_have_noise
+
+        _iw_t = pack_tables(iw_entries)
+        iw_tabs = {"iw_" + k: v for k, v in _iw_t.items()}
+        iw_meta = {"has_irawan": True,
+                   "iw_noise": tables_have_noise(_iw_t)}
+    else:
+        iw_tabs, iw_meta = {}, {}
 
     # subsurface dipole tables (reference dipole.cpp:configure + the
     # IrradianceSample point set; sss_E is filled by the renderer's
@@ -1393,6 +1425,7 @@ def pack_scene(scene) -> ScenePack:
         "env_conditional_cdf": env_dist.conditional_cdf,
         "env_density": env_dist.density,
         **sss_tabs,
+        **iw_tabs,
     }
     arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
 
@@ -1481,6 +1514,7 @@ def pack_scene(scene) -> ScenePack:
         "het_super_b": SUPER_B,
         "camera_medium": -1,
         **sss_meta,
+        **iw_meta,
     }
     return ScenePack(arrays, meta)
 
@@ -1500,6 +1534,7 @@ _SPECTRAL_LEAVES = (
     "med_sigma_s", "med_sigma_a", "het_albedo",
     "med_ph_ks", "med_ph_kd",
     "tri_c0", "tri_c1", "tri_c2",
+    "iw_y_kd", "iw_y_ks",
 )
 
 # emission leaves carry D65-shaped illuminant spectra so their RGB

@@ -250,6 +250,18 @@ def shading_params(pack, mat_id, uv, fp=None, its=None):
     if its is not None and pack.meta.get("geom_tex_kinds", ()):
         geom = (its.prim, its.bary)
     sp = _gather_params(pack, m, uv, fp, geom)
+    if pack.meta.get("has_irawan", False):
+        from mitsuba_tpu.bsdf import irawan as _iw
+        from mitsuba_tpu.core import rng as _rng
+
+        row = jnp.maximum(pack.mat_iw[m], 0)
+        tabs = {k: getattr(pack, "iw_" + k) for k in _iw.TABLE_KEYS}
+        seed = _rng.stream_seed(0, _rng.STREAM_WEAVE)
+        sp["iw"] = _iw.lane_params(
+            jnp, tabs, row, uv,
+            lambda i, j: _rng.rand1(i, j, 0, seed),
+            with_noise=pack.meta.get("iw_noise", False),
+        )
     if pack.meta.get("has_mixtures", False):
         mix_b, mix_wa, mix_wb = take_fused(
             m, pack.mat_mix_b, pack.mat_mix_wa, pack.mat_mix_wb
