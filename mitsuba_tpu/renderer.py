@@ -382,7 +382,7 @@ def render(
                     progress(b * n_passes + i + 1, n_bands * n_passes)
             rows.append(band[pad:pad + hb])
         film = jnp.concatenate(rows, axis=0)[:h]
-        img = develop(film)
+        img = develop(film) * sensor_rec.ray_weight
         img.block_until_ready()
         if return_film:
             return np.asarray(img), film
@@ -432,7 +432,8 @@ def render(
         if progress:
             film.block_until_ready()
             progress(i + 1, n_passes)
-    img = develop(film)
+    # constant sampleRay importance (irradiancemeter's pi; 1 otherwise)
+    img = develop(film) * sensor_rec.ray_weight
     img.block_until_ready()
     if return_film:
         return np.asarray(img), film

@@ -324,6 +324,18 @@ class SceneLoader:
         self._attach_shape_children(shape_obj)
         scene.shapes.append(shape_obj.instance)
 
+        # a sensor nested in a shape is attached to it (the reference's
+        # irradiancemeter inherits the parent shape,
+        # src/sensors/irradiancemeter.cpp:80-83)
+        from mitsuba_tpu.sensor.plugins import SensorRecord
+
+        for _, child in shape_obj.props.children:
+            rec = getattr(child, "record", None)
+            if isinstance(rec, SensorRecord):
+                rec.parent_shape = shape_obj.instance
+                self._finalize_sensor(child)
+                scene.sensor = child
+
     def _attach_shape_children(self, shape_obj):
         inst = shape_obj.instance
         for name, child in shape_obj.props.children:

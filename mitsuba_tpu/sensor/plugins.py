@@ -31,6 +31,8 @@ SPHERICAL = 3
 RADIANCEMETER = 4
 TELECENTRIC = 5
 RDIST = 6
+FLUENCEMETER = 7
+IRRADIANCEMETER = 8
 
 
 @dataclass
@@ -45,6 +47,8 @@ class SensorRecord:
     shutter_open: float = 0.0
     shutter_close: float = 0.0
     kc: tuple = (0.0, 0.0)  # radial distortion (perspective_rdist)
+    ray_weight: float = 1.0  # constant sampleRay importance (meters)
+    parent_shape: object = None  # irradiancemeter's host shape
     film = None  # attached by the XML loader
     sampler = None
 
@@ -52,13 +56,16 @@ class SensorRecord:
         """Device-side parameter dict for generate_rays."""
         aspect = width / height
         tan_half = math.tan(math.radians(self.xfov_deg) / 2.0)
-        return {
+        cam = {
             # static python ints/bools: only the scene's actual camera
             # model is traced into the render loop
             "kind": int(self.kind),
             "use_lens": bool(
                 self.kind in (THINLENS, TELECENTRIC)
                 and self.aperture_radius > 0
+                # irradiancemeter: the lens stream supplies the
+                # reference's `otherSample` (cosine direction draw)
+                or self.kind == IRRADIANCEMETER
             ),
             "kc": (float(self.kc[0]), float(self.kc[1])),
             "to_world": jnp.asarray(self.to_world.m, jnp.float32),
@@ -68,6 +75,51 @@ class SensorRecord:
             "focus_dist": jnp.float32(self.focus_distance),
             "aperture": jnp.float32(self.aperture_radius),
         }
+        if self.kind == IRRADIANCEMETER:
+            cam.update(self._pack_irr())
+        return cam
+
+    def _pack_irr(self):
+        """Position-sampling tables for the parent shape
+        (reference irradiancemeter.cpp sampleRay -> samplePosition)."""
+        inst = self.parent_shape
+        if inst is None:
+            raise ValueError(
+                "irradiancemeter must be attached to a shape "
+                "(reference irradiancemeter.cpp:80-83)"
+            )
+        if inst.spheres:
+            s = inst.spheres[0]
+            return {
+                "irr_mode": "sphere",
+                "irr_center": jnp.asarray(s.center, jnp.float32),
+                "irr_radius": jnp.float32(s.radius),
+                "irr_eps": jnp.float32(1e-4 * max(s.radius, 1e-3)),
+            }
+        if inst.meshes:
+            v0l, e1l, e2l = [], [], []
+            for m in inst.meshes:
+                p = np.asarray(m.positions, np.float32)
+                idx = np.asarray(m.indices, np.int64)
+                v0l.append(p[idx[:, 0]])
+                e1l.append(p[idx[:, 1]] - p[idx[:, 0]])
+                e2l.append(p[idx[:, 2]] - p[idx[:, 0]])
+            v0 = np.concatenate(v0l)
+            e1 = np.concatenate(e1l)
+            e2 = np.concatenate(e2l)
+            area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+            total = max(float(area.sum()), 1e-12)
+            cdf = np.cumsum(area / total).astype(np.float32)
+            cdf[-1] = 1.0
+            return {
+                "irr_mode": "mesh",
+                "irr_v0": jnp.asarray(v0),
+                "irr_e1": jnp.asarray(e1),
+                "irr_e2": jnp.asarray(e2),
+                "irr_cdf": jnp.asarray(cdf),
+                "irr_eps": jnp.float32(1e-4 * max(math.sqrt(total), 1e-3)),
+            }
+        raise ValueError("irradiancemeter: parent shape has no geometry")
 
 
 def _resolve_xfov(props, aspect):
@@ -277,6 +329,52 @@ def generate_rays(cam, pos01, u_lens):
         d_cam = jnp.broadcast_to(
             jnp.array([0.0, 0.0, 1.0], jnp.float32), o_cam.shape
         )
+    elif kind == FLUENCEMETER:
+        # isotropic point probe: uniform-sphere directions, the film
+        # averages the radiance through the point (reference
+        # fluencemeter.cpp sampleRay — weight 1)
+        z = 1.0 - 2.0 * sy
+        r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+        phi = 2.0 * jnp.pi * sx
+        d_cam = jnp.stack(
+            [r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1
+        )
+        o_cam = jnp.zeros_like(d_cam)
+    elif kind == IRRADIANCEMETER:
+        # surface probe: origin sampled on the parent shape (pixel
+        # sample -> area CDF), direction cosine-weighted about the
+        # normal, constant weight pi applied at develop time
+        # (reference irradiancemeter.cpp sampleRay:105-121).  The
+        # parent geometry is already world space, so to_world is the
+        # identity here.
+        if cam["irr_mode"] == "sphere":
+            z = 1.0 - 2.0 * sy
+            r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+            phi = 2.0 * jnp.pi * sx
+            n = jnp.stack(
+                [r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1
+            )
+            p = cam["irr_center"] + cam["irr_radius"] * n
+        else:
+            cdf = cam["irr_cdf"]
+            ti = jnp.clip(
+                jnp.searchsorted(cdf, sx, side="right"), 0, cdf.shape[0] - 1
+            )
+            lo = jnp.where(ti > 0, cdf[jnp.maximum(ti - 1, 0)], 0.0)
+            hi = cdf[ti]
+            u1 = jnp.clip((sx - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
+            t = jnp.sqrt(jnp.maximum(u1, 0.0))
+            b1 = 1.0 - t
+            b2 = sy * t
+            v0 = cam["irr_v0"][ti]
+            e1 = cam["irr_e1"][ti]
+            e2 = cam["irr_e2"][ti]
+            p = v0 + b1[..., None] * e1 + b2[..., None] * e2
+            n = mm.normalize(jnp.cross(e1, e2))
+        local = warp.square_to_cosine_hemisphere(u_lens)
+        frame = mm.Frame.from_normal(n)
+        d_cam = frame.to_world(local)
+        o_cam = p + n * cam["irr_eps"]
     else:
         raise ValueError(f"generate_rays: unknown sensor kind {kind}")
 
@@ -287,9 +385,11 @@ def generate_rays(cam, pos01, u_lens):
 
 @register("sensor", "fluencemeter")
 class FluenceMeter(_SensorBase):
-    """reference: src/sensors/fluencemeter.cpp — isotropic point probe."""
+    """reference: src/sensors/fluencemeter.cpp — isotropic point probe
+    measuring the average radiance through its position (uniform-sphere
+    ray directions, unit importance)."""
 
-    kind = SPHERICAL
+    kind = FLUENCEMETER
 
     def resolve_fov(self, width, height):
         pass
@@ -297,11 +397,22 @@ class FluenceMeter(_SensorBase):
 
 @register("sensor", "irradiancemeter")
 class IrradianceMeter(_SensorBase):
-    """reference: src/sensors/irradiancemeter.cpp — cosine-weighted
-    hemisphere probe attached to a shape (approximated by a spherical
-    capture; exact shape attachment planned)."""
+    """reference: src/sensors/irradiancemeter.cpp — measures the
+    average irradiance over the surface of its parent shape: position
+    area-sampled on the shape, direction cosine-weighted about the
+    normal, constant importance pi.  The XML loader attaches the parent
+    (sensors nested in a <shape>)."""
 
-    kind = SPHERICAL
+    kind = IRRADIANCEMETER
+
+    def _finish(self, props):
+        if "toWorld" in props:
+            raise ValueError(
+                "irradiancemeter: 'toWorld' is not allowed — the "
+                "transformation is inherited from the parent shape "
+                "(reference irradiancemeter.cpp:80-83)"
+            )
+        self.record.ray_weight = float(np.pi)
 
     def resolve_fov(self, width, height):
         pass

@@ -112,3 +112,96 @@ def test_rdist_distorts_off_axis():
     # the outer ring differs substantially (checker pattern shifted)
     border = np.abs(img_r[4] - img_p[4]).mean()
     assert border > 0.02, border
+
+
+# ---------------------------------------------------------------------------
+# measurement meters (reference src/sensors/{fluencemeter,
+# irradiancemeter}.cpp) — constant-environment closures are exact
+# (zero-variance estimators), so these pin the radiometry analytically
+# ---------------------------------------------------------------------------
+
+def _meter_scene(body, spp=64):
+    return load_scene_string(
+        f"""
+    <scene version="0.5.0">
+      <integrator type="path"><integer name="maxDepth" value="2"/></integrator>
+      {body}
+      <emitter type="constant"><rgb name="radiance" value="1,1,1"/></emitter>
+    </scene>"""
+    )
+
+
+_METER_FILM = """
+        <sampler type="independent">
+          <integer name="sampleCount" value="64"/>
+        </sampler>
+        <film type="hdrfilm">
+          <integer name="width" value="1"/>
+          <integer name="height" value="1"/>
+          <rfilter type="box"/>
+        </film>
+"""
+
+
+def test_fluencemeter_constant_env():
+    """Average radiance through a free point in a unit constant
+    environment is exactly 1."""
+    scene = _meter_scene(
+        f"""
+      <sensor type="fluencemeter">
+        <transform name="toWorld"><translate x="0.3" y="0" z="0"/></transform>
+        {_METER_FILM}
+      </sensor>
+    """
+    )
+    img = render(scene, seed=3)
+    np.testing.assert_allclose(np.asarray(img), 1.0, rtol=1e-5)
+
+
+def test_irradiancemeter_sphere():
+    """Irradiance over a convex sphere in a unit constant environment
+    is exactly pi (every cosine-hemisphere ray escapes)."""
+    scene = _meter_scene(
+        f"""
+      <shape type="sphere">
+        <float name="radius" value="0.7"/>
+        <bsdf type="diffuse"/>
+        <sensor type="irradiancemeter">
+          {_METER_FILM}
+        </sensor>
+      </shape>
+    """
+    )
+    img = render(scene, seed=3)
+    np.testing.assert_allclose(np.asarray(img), np.pi, rtol=1e-3)
+
+
+def test_irradiancemeter_mesh():
+    """Mesh parent (rectangle): the area-CDF position sampling path;
+    same closed environment gives exactly pi."""
+    scene = _meter_scene(
+        f"""
+      <shape type="rectangle">
+        <bsdf type="diffuse"/>
+        <sensor type="irradiancemeter">
+          {_METER_FILM}
+        </sensor>
+      </shape>
+    """
+    )
+    img = render(scene, seed=5)
+    np.testing.assert_allclose(np.asarray(img), np.pi, rtol=1e-3)
+
+
+def test_irradiancemeter_requires_shape():
+    import pytest
+
+    with pytest.raises(ValueError):
+        scene = _meter_scene(
+            f"""
+          <sensor type="irradiancemeter">
+            {_METER_FILM}
+          </sensor>
+        """
+        )
+        render(scene, seed=1)
