@@ -360,26 +360,43 @@ def render(
         n_bands = math.ceil(h / hb)
         spp_chunk = max(1, min(spp, max(media_lanes // (hbe * w), 1)))
         n_passes = math.ceil(spp / spp_chunk)
-        rp = jax.jit(
-            make_render_pass(
-                pack, integ, sensor_rec, film_rec, sampler_rec,
-                spp_chunk, band_rows_arg=hbe,
-            ),
-            donate_argnums=(0,),
-        )
+        def build_rp():
+            return jax.jit(
+                make_render_pass(
+                    pack, integ, sensor_rec, film_rec, sampler_rec,
+                    spp_chunk, band_rows_arg=hbe,
+                ),
+                donate_argnums=(0,),
+            )
+
+        from mitsuba_tpu.parallel import elastic
+
+        rp = build_rp()
         rows = []
         for b in range(n_bands):
-            band = new_film(hbe, w)
-            base = 0
-            for i in range(n_passes):
-                band = rp(
-                    band, jnp.uint32(base), jnp.uint32(seed),
-                    jnp.int32(b * hb - pad),
+            def run_pass(rp_, band, i, _b=b):
+                return rp_(
+                    band, jnp.uint32(i * spp_chunk), jnp.uint32(seed),
+                    jnp.int32(_b * hb - pad),
                 )
-                base += spp_chunk
+
+            def after_pass(band, i, _b=b):
                 if progress:
                     band.block_until_ready()
-                    progress(b * n_passes + i + 1, n_bands * n_passes)
+                    progress(_b * n_passes + i + 1, n_bands * n_passes)
+
+            def band_build(attempt):
+                nonlocal rp
+                if attempt:  # backend restarted — re-jit
+                    rp = build_rp()
+                return rp
+
+            # a crash re-queues only the current band's passes
+            band = elastic.run_passes(
+                band_build, run_pass, n_passes,
+                film_init=lambda: new_film(hbe, w),
+                after_pass=after_pass,
+            )
             rows.append(band[pad:pad + hb])
         film = jnp.concatenate(rows, axis=0)[:h]
         img = develop(film) * sensor_rec.ray_weight
@@ -399,29 +416,41 @@ def render(
         w, h, spp, n_passes, spp_chunk, integ.kind,
     )
 
-    rp = jax.jit(
-        make_render_pass(pack, integ, sensor_rec, film_rec, sampler_rec, spp_chunk),
-        donate_argnums=(0,),
-    )
-    film = new_film(h, w)
-    base = 0
-    start_pass = 0
-    if checkpoint and os.path.exists(checkpoint):
-        ck = np.load(checkpoint)
-        if tuple(ck["film"].shape) == tuple(film.shape) and int(
-            ck["spp_chunk"]
-        ) == spp_chunk:
-            film = jnp.asarray(ck["film"])
-            start_pass = int(ck["passes_done"])
-            base = start_pass * spp_chunk
-            logger.info(
-                "render: resumed from %s at pass %d", checkpoint, start_pass
-            )
-    for i in range(start_pass, n_passes):
-        film = rp(film, jnp.uint32(base), jnp.uint32(seed))
-        base += spp_chunk
+    from mitsuba_tpu.parallel import elastic
+
+    def build_rp(attempt=0):
+        return jax.jit(
+            make_render_pass(
+                pack, integ, sensor_rec, film_rec, sampler_rec, spp_chunk
+            ),
+            donate_argnums=(0,),
+        )
+
+    def reload_state():
+        """Checkpoint resume — also the re-queue point after a device
+        failure (work lost since the last snapshot re-renders)."""
+        if checkpoint and os.path.exists(checkpoint):
+            ck = np.load(checkpoint)
+            if tuple(ck["film"].shape) == (h, w, 4) and int(
+                ck["spp_chunk"]
+            ) == spp_chunk:
+                logger.info(
+                    "render: resumed from %s at pass %d",
+                    checkpoint, int(ck["passes_done"]),
+                )
+                return ck["film"], int(ck["passes_done"])
+        return None
+
+    def run_pass(rp, film, i):
+        return rp(
+            film, jnp.uint32(i * spp_chunk), jnp.uint32(seed)
+        )
+
+    def after_pass(film, i):
         counter("Samples rendered").add(spp_chunk * w * h)
-        if checkpoint and ((i + 1) % checkpoint_every == 0 or i + 1 == n_passes):
+        if checkpoint and (
+            (i + 1) % checkpoint_every == 0 or i + 1 == n_passes
+        ):
             film.block_until_ready()
             np.savez(
                 checkpoint,
@@ -432,6 +461,13 @@ def render(
         if progress:
             film.block_until_ready()
             progress(i + 1, n_passes)
+
+    film = elastic.run_passes(
+        build_rp, run_pass, n_passes,
+        film_init=lambda: new_film(h, w),
+        reload_state=reload_state,
+        after_pass=after_pass,
+    )
     # constant sampleRay importance (irradiancemeter's pi; 1 otherwise)
     img = develop(film) * sensor_rec.ray_weight
     img.block_until_ready()
