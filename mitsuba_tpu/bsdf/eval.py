@@ -849,7 +849,8 @@ def bsdf_eval(sp, wi, wo, present):
     if "mix" in sp:
         mix = sp["mix"]
         fa = _eval_single(sp, wi, wo, present)
-        fb = _eval_single(mix["spB"], wi, wo, present)
+        # recursive: spB may itself be a mixture chain link (N-ary)
+        fb = bsdf_eval(mix["spB"], wi, wo, present)
         out = mix["wa"][..., None] * fa + mix["wb"][..., None] * fb
         if COATING in present:
             fc = _coating_eval(sp, mix["spB"], wi, wo, present)
@@ -869,7 +870,7 @@ def bsdf_pdf(sp, wi, wo, present):
     if "mix" in sp:
         mix = sp["mix"]
         pa = _pdf_single(sp, wi, wo, present)
-        pb = _pdf_single(mix["spB"], wi, wo, present)
+        pb = bsdf_pdf(mix["spB"], wi, wo, present)
         out = mix["wa"] * pa + mix["wb"] * pb
         if COATING in present:
             pc = _coating_pdf(sp, mix["spB"], wi, wo, present)
@@ -918,7 +919,18 @@ def bsdf_sample(sp, wi, u2, ulobe, present):
                 sp[k],
             )
             for k in spB
+            if k != "mix"
         }
+        if "mix" in spB:
+            # N-ary chain: lanes that picked B continue selecting down
+            # B's own chain; lanes that picked A see degenerate weights
+            # (wa=1, wb=0) so the recursion treats them as the leaf A
+            sub = spB["mix"]
+            sp_sel["mix"] = {
+                "spB": sub["spB"],
+                "wa": jnp.where(sel_b, sub["wa"], 1.0),
+                "wb": jnp.where(sel_b, sub["wb"], 0.0),
+            }
         if "iw" in sp:
             sp_sel["iw"] = sp["iw"]
         bs = bsdf_sample(sp_sel, wi, u2, ul, present)

@@ -906,9 +906,17 @@ def pack_scene(scene) -> ScenePack:
         "mat_bump_nm": np.zeros(n_mat, np.float32),  # 1 = normal map
     }
     # mixture support: a MIXTURE row carries child A's params inline
-    # plus (child-B row id, weight-A, weight-B); deeper nesting collapses
-    # to the two largest-weight leaves
-    mix_rows = []
+    # plus (child-B row id, weight-A, weight-B).  N-ary mixtures (and
+    # arbitrarily nested ones, reference mixturebsdf.cpp) flatten to
+    # weighted leaves and pack as a CHAIN of rows: row_k holds leaf_k
+    # inline and points at row_{k+1} with the renormalized tail weight,
+    # so  f = w0 f0 + R1 (w1/R1 f1 + R2/R1 (...)) = sum w_k f_k  with
+    # the absorbed deficit 1 - sum(w) only at the top level.
+    import copy as _copy
+
+    mix_rows = []  # top rows: (row_id, inline_rec, wa, b_id, wb)
+    chain_ptrs = []  # interior rows: (row_id, wa, b_id, wb)
+    mix_chain_depth = 0
     for i, rec in enumerate(list(materials)):
         if rec.type != MIXTURE:
             continue
@@ -929,12 +937,28 @@ def pack_scene(scene) -> ScenePack:
                 "lookup is keyed on the surface material row)"
             )
         leaves.sort(key=lambda lw: -lw[1])
+        mix_chain_depth = max(mix_chain_depth, len(leaves) - 1)
+
+        def chain(tail):
+            """Register the tail [(rec, w), ...] as a row chain whose
+            blended eval is sum(w_k f_k) / sum(w_k); returns row id."""
+            r0, w0 = tail[0]
+            row_rec = _copy.copy(r0)  # fresh identity: per-chain row
+            rid = add_material(row_rec)
+            if len(tail) > 1:
+                tot = sum(wt for _, wt in tail)
+                bid = chain(tail[1:])
+                chain_ptrs.append(
+                    (rid, w0 / tot, bid, (tot - w0) / tot)
+                )
+            return rid
+
         a_rec, w_a = leaves[0]
         if len(leaves) > 1:
-            b_rec, w_b = leaves[1]
+            w_b = sum(wt for _, wt in leaves[1:])
+            b_id = chain(leaves[1:])
         else:
-            b_rec, w_b = a_rec, 0.0
-        b_id = add_material(b_rec)
+            b_id, w_b = add_material(a_rec), 0.0
         mix_rows.append((i, a_rec, w_a, b_id, w_b))
 
     # coating rows: the nested BSDF rides in the mix-B slot so
@@ -970,6 +994,10 @@ def pack_scene(scene) -> ScenePack:
         mt["mat_mix_b"][i] = b_id
         mt["mat_mix_wa"][i] = 1.0
         mt["mat_mix_wb"][i] = 0.0
+    for rid, wa, bid, wb in chain_ptrs:
+        mt["mat_mix_b"][rid] = bid
+        mt["mat_mix_wa"][rid] = wa
+        mt["mat_mix_wb"][rid] = wb
 
     present_types = set()
     for i, rec in enumerate(materials):
@@ -1501,6 +1529,8 @@ def pack_scene(scene) -> ScenePack:
             if scene.sensor is not None else 0
         ),
         "has_mixtures": bool(mix_rows or coat_rows),
+        # pointer-chain hops shading_params must follow (N-ary mixtures)
+        "mix_depth": max(mix_chain_depth, 1),
         "has_bumpmaps": has_bumpmaps,
         "has_media": len(media) > 0,
         "n_media": len(media),

@@ -263,15 +263,26 @@ def shading_params(pack, mat_id, uv, fp=None, its=None):
             with_noise=pack.meta.get("iw_noise", False),
         )
     if pack.meta.get("has_mixtures", False):
-        mix_b, mix_wa, mix_wb = take_fused(
-            m, pack.mat_mix_b, pack.mat_mix_wa, pack.mat_mix_wb
-        )
-        mb = jnp.where(mix_b >= 0, mix_b, m)
-        sp["mix"] = {
-            "spB": _gather_params(pack, mb, uv, fp, geom),
-            "wa": jnp.where(mix_b >= 0, mix_wa, 1.0),
-            "wb": jnp.where(mix_b >= 0, mix_wb, 0.0),
-        }
+        # follow the mixture row chain (N-ary mixtures pack as linked
+        # rows, scene/builder.py): each hop gathers the next component
+        # and its renormalized tail weight; static depth from meta
+        def attach(mm_ids, depth):
+            mix_b, mix_wa, mix_wb = take_fused(
+                mm_ids, pack.mat_mix_b, pack.mat_mix_wa, pack.mat_mix_wb
+            )
+            mb = jnp.where(mix_b >= 0, mix_b, mm_ids)
+            spB = _gather_params(pack, mb, uv, fp, geom)
+            if depth > 1:
+                sub = attach(mb, depth - 1)
+                if sub is not None:
+                    spB["mix"] = sub
+            return {
+                "spB": spB,
+                "wa": jnp.where(mix_b >= 0, mix_wa, 1.0),
+                "wb": jnp.where(mix_b >= 0, mix_wb, 0.0),
+            }
+
+        sp["mix"] = attach(m, pack.meta.get("mix_depth", 1))
     return sp
 
 

@@ -383,3 +383,124 @@ def test_blend_bsdf_loads_and_renders():
     img = render(scene, spp=32)
     assert np.isfinite(img).all()
     assert 0.2 < float(img.mean()) < 1.1
+
+
+def test_mixture_bsdf_three_components():
+    """N-ary mixture: .25 red + .25 green + .5 blue diffuse on a convex
+    sphere in a unit furnace gives exactly (0.25, 0.25, 0.5) — the old
+    two-leaf collapse would drop the smallest component entirely
+    (reference mixturebsdf.cpp is N-ary)."""
+    from mitsuba_tpu.scene.xml_loader import load_scene_string
+    from mitsuba_tpu.renderer import render
+
+    scene = load_scene_string(
+        """
+    <scene version="0.5.0">
+      <integrator type="path"><integer name="maxDepth" value="4"/></integrator>
+      <sensor type="perspective">
+        <float name="fov" value="30"/>
+        <transform name="toWorld">
+          <lookat origin="0,0,-4" target="0,0,0" up="0,1,0"/>
+        </transform>
+        <sampler type="independent"><integer name="sampleCount" value="256"/></sampler>
+        <film type="hdrfilm">
+          <integer name="width" value="24"/><integer name="height" value="24"/>
+          <rfilter type="box"/>
+        </film>
+      </sensor>
+      <shape type="sphere">
+        <bsdf type="mixturebsdf">
+          <string name="weights" value="0.25 0.25 0.5"/>
+          <bsdf type="diffuse"><rgb name="reflectance" value="1,0,0"/></bsdf>
+          <bsdf type="diffuse"><rgb name="reflectance" value="0,1,0"/></bsdf>
+          <bsdf type="diffuse"><rgb name="reflectance" value="0,0,1"/></bsdf>
+        </bsdf>
+      </shape>
+      <emitter type="constant"><rgb name="radiance" value="1"/></emitter>
+    </scene>"""
+    )
+    img = render(scene, spp=256)
+    center = np.asarray(img)[10:14, 10:14].mean(axis=(0, 1))
+    np.testing.assert_allclose(center, [0.25, 0.25, 0.5], atol=0.02)
+
+
+def test_mixture_bsdf_nested():
+    """Nested mixtures flatten through the chain: 0.5 white +
+    0.5 * (0.6 white + 0.4 white) keeps total albedo 1 — white
+    furnace returns exactly 1."""
+    from mitsuba_tpu.scene.xml_loader import load_scene_string
+    from mitsuba_tpu.renderer import render
+
+    scene = load_scene_string(
+        """
+    <scene version="0.5.0">
+      <integrator type="path"><integer name="maxDepth" value="4"/></integrator>
+      <sensor type="perspective">
+        <float name="fov" value="30"/>
+        <transform name="toWorld">
+          <lookat origin="0,0,-4" target="0,0,0" up="0,1,0"/>
+        </transform>
+        <sampler type="independent"><integer name="sampleCount" value="128"/></sampler>
+        <film type="hdrfilm">
+          <integer name="width" value="16"/><integer name="height" value="16"/>
+          <rfilter type="box"/>
+        </film>
+      </sensor>
+      <shape type="sphere">
+        <bsdf type="mixturebsdf">
+          <string name="weights" value="0.5 0.5"/>
+          <bsdf type="diffuse"><rgb name="reflectance" value="1"/></bsdf>
+          <bsdf type="mixturebsdf">
+            <string name="weights" value="0.6 0.4"/>
+            <bsdf type="diffuse"><rgb name="reflectance" value="1"/></bsdf>
+            <bsdf type="diffuse"><rgb name="reflectance" value="1"/></bsdf>
+          </bsdf>
+        </bsdf>
+      </shape>
+      <emitter type="constant"><rgb name="radiance" value="1"/></emitter>
+    </scene>"""
+    )
+    img = render(scene, spp=128)
+    center = float(np.asarray(img)[6:10, 6:10].mean())
+    assert abs(center - 1.0) < 0.015, center
+
+
+def test_mixture_bsdf_four_with_specular():
+    """4-component chain including a delta conductor: energy must sum
+    (0.3 white diffuse + 0.2 mirror(1) + 0.3 white + 0.2 white ->
+    furnace exactly 1)."""
+    from mitsuba_tpu.scene.xml_loader import load_scene_string
+    from mitsuba_tpu.renderer import render
+
+    scene = load_scene_string(
+        """
+    <scene version="0.5.0">
+      <integrator type="path"><integer name="maxDepth" value="8"/></integrator>
+      <sensor type="perspective">
+        <float name="fov" value="30"/>
+        <transform name="toWorld">
+          <lookat origin="0,0,-4" target="0,0,0" up="0,1,0"/>
+        </transform>
+        <sampler type="independent"><integer name="sampleCount" value="256"/></sampler>
+        <film type="hdrfilm">
+          <integer name="width" value="16"/><integer name="height" value="16"/>
+          <rfilter type="box"/>
+        </film>
+      </sensor>
+      <shape type="sphere">
+        <bsdf type="mixturebsdf">
+          <string name="weights" value="0.3 0.2 0.3 0.2"/>
+          <bsdf type="diffuse"><rgb name="reflectance" value="1"/></bsdf>
+          <bsdf type="conductor">
+            <string name="material" value="none"/>
+          </bsdf>
+          <bsdf type="diffuse"><rgb name="reflectance" value="1"/></bsdf>
+          <bsdf type="diffuse"><rgb name="reflectance" value="1"/></bsdf>
+        </bsdf>
+      </shape>
+      <emitter type="constant"><rgb name="radiance" value="1"/></emitter>
+    </scene>"""
+    )
+    img = render(scene, spp=256)
+    center = float(np.asarray(img)[6:10, 6:10].mean())
+    assert abs(center - 1.0) < 0.02, center
