@@ -51,6 +51,45 @@ def square_to_cosine_hemisphere_pdf(d):
     return jnp.maximum(d[..., 2], 0.0) * INV_PI
 
 
+def uniform_disk_concentric_to_square(p):
+    """Inverse of the Shirley-Chiu concentric mapping: disk point
+    [..., 2] -> uniform square sample [..., 2].  Used by the manifold
+    mutation to write a solved direction back into primary-sample
+    space (the reference works in path space and never needs this)."""
+    x, y = p[..., 0], p[..., 1]
+    rr = jnp.sqrt(x * x + y * y)
+    theta = jnp.arctan2(y, x)  # (-pi, pi]
+    q = jnp.pi / 4.0
+    abs_t = jnp.abs(theta)
+    # wedge 1: |theta| <= pi/4           (r1 = +r branch)
+    r1_a = rr
+    r2_a = rr * theta / q
+    # wedge 2: pi/4 < theta < 3pi/4      (r2 = +r branch)
+    r2_b = rr
+    r1_b = (jnp.pi / 2.0 - theta) * rr / q
+    # wedge 3: |theta| >= 3pi/4          (r1 = -r branch)
+    phi_c = theta - jnp.sign(theta) * jnp.pi
+    r1_c = -rr
+    r2_c = -rr * phi_c / q
+    # wedge 4: -3pi/4 < theta < -pi/4    (r2 = -r branch)
+    phi_d = theta + jnp.pi
+    r2_d = -rr
+    r1_d = (jnp.pi / 2.0 - phi_d) * (-rr) / q
+
+    in1 = abs_t <= q
+    in2 = (theta > q) & (theta < 3.0 * q)
+    in3 = abs_t >= 3.0 * q
+    r1 = jnp.where(in1, r1_a, jnp.where(in2, r1_b, jnp.where(in3, r1_c, r1_d)))
+    r2 = jnp.where(in1, r2_a, jnp.where(in2, r2_b, jnp.where(in3, r2_c, r2_d)))
+    u = jnp.stack([(r1 + 1.0) * 0.5, (r2 + 1.0) * 0.5], axis=-1)
+    return jnp.clip(u, 0.0, 1.0 - 1e-7)
+
+
+def cosine_hemisphere_to_square(d):
+    """Inverse of square_to_cosine_hemisphere for d with d_z >= 0."""
+    return uniform_disk_concentric_to_square(d[..., 0:2])
+
+
 def square_to_uniform_cone(s, cos_cutoff):
     """Uniform direction in a cone around +z with cos(angle) >= cos_cutoff."""
     z = 1.0 - s[..., 0] * (1.0 - cos_cutoff)

@@ -194,17 +194,26 @@ def render_mlt(scene, spp=None, seed=0, pack=None, chains=None, mesh=None):
     total_mutations = mutations_pp * n_px
     n_steps = max(total_mutations // n_chains, 1)
 
-    def step(carry, k):
+    # the manifold perturbation runs as every 4th step when enabled
+    # and the scene has smooth delta chains to solve (reference
+    # mlt.cpp manifoldPerturbation; integrator/mut_manifold.py)
+    from mitsuba_tpu.bsdf.plugins import CONDUCTOR, DIELECTRIC
+
+    mani_on = bool(
+        getattr(integ, "manifold_perturbation", False)
+        and any(t in (CONDUCTOR, DIELECTRIC) for t in pack.present_types)
+        and max_depth >= 3
+    )
+
+    def _mh_tail(carry, k, U_prop, corr):
         U_cur, pos_cur, L_cur, I_cur, film, lanes = carry
         u_acc = rng.rand4(lanes, k, 6, seed_mlt)
-
-        U_prop, _ = propose_veach(
-            U_cur, k, seed_mlt, w, h, max_depth, p_large, lanes=lanes
-        )
         pos_p, L_p = path_from_primary(pack, integ, cam, w, h, U_prop)
         I_p = luminance(L_p)
 
-        a = jnp.clip(I_p / jnp.maximum(I_cur, 1e-12), 0.0, 1.0)
+        a = jnp.clip(
+            I_p / jnp.maximum(I_cur, 1e-12) * corr, 0.0, 1.0
+        )
         w_cur = (1.0 - a) / jnp.maximum(I_cur, 1e-12)
         w_prop = a / jnp.maximum(I_p, 1e-12)
         film = _splat(film, pos_cur, L_cur * w_cur[:, None], w, h)
@@ -215,7 +224,32 @@ def render_mlt(scene, spp=None, seed=0, pack=None, chains=None, mesh=None):
         pos_cur = jnp.where(accept[:, None], pos_p, pos_cur)
         L_cur = jnp.where(accept[:, None], L_p, L_cur)
         I_cur = jnp.where(accept, I_p, I_cur)
-        return (U_cur, pos_cur, L_cur, I_cur, film, lanes), None
+        return (U_cur, pos_cur, L_cur, I_cur, film, lanes)
+
+    def veach_step(carry, k):
+        U_cur = carry[0]
+        lanes = carry[5]
+        U_prop, _ = propose_veach(
+            U_cur, k, seed_mlt, w, h, max_depth, p_large, lanes=lanes
+        )
+        return _mh_tail(carry, k, U_prop, 1.0)
+
+    def mani_step(carry, k):
+        from mitsuba_tpu.integrator.mut_manifold import propose_manifold
+
+        U_cur = carry[0]
+        lanes = carry[5]
+        U_prop, corr, _ = propose_manifold(
+            pack, integ, cam, w, h, U_cur, k, seed_mlt, lanes
+        )
+        return _mh_tail(carry, k, U_prop, corr)
+
+    def step(carry, k):
+        if mani_on:
+            return jax.lax.cond(
+                k % 4 == 3, mani_step, veach_step, carry, k
+            ), None
+        return veach_step(carry, k), None
 
     ks = jnp.arange(n_steps, dtype=jnp.uint32)
     lanes_all = jnp.arange(n_chains, dtype=jnp.uint32)

@@ -43,6 +43,7 @@ class IntegratorRecord:
     p_large: float = 0.3
     mutations_per_pixel: int = 100
     chain_length: int = 100
+    manifold_perturbation: bool = False
     sub_integrator: "IntegratorRecord | None" = None
     sub_integrators: "list | None" = None  # multichannel children
     # adaptive
@@ -179,6 +180,13 @@ class MLTIntegrator(PSSMLTIntegrator):
     integrator/mlt.py."""
 
     kind = "mlt"
+
+    def _finish(self, props):
+        super()._finish(props)
+        # reference mlt.cpp:194 — manifold perturbation opt-in
+        self.record.manifold_perturbation = props.get_bool(
+            "manifoldPerturbation", False
+        )
 
 
 @register("integrator", "erpt")
