@@ -28,8 +28,11 @@ import numpy as np
 
 # triangles per cluster tile; sublane-tiled VPU work is [Tc, CHUNK]
 CLUSTER_TC = int(os.environ.get("MTS_CLUSTER_TC", 128))
-# VMEM budget for the resident triangle tiles (bytes)
+# VMEM budget for the resident triangle tiles (bytes) — the VPU kernel
+# keeps cl_tri fully resident; the MXU kernel streams from HBM instead
 CLUSTER_VMEM_MAX = int(os.environ.get("MTS_CLUSTER_VMEM", 6 * 1024 * 1024))
+# HBM budget for the streamed per-cluster MT matrices (bytes)
+CLUSTER_HBM_MAX = int(os.environ.get("MTS_CLUSTER_HBM", 768 * 1024 * 1024))
 
 
 def cut_clusters(bvh, tc: int = CLUSTER_TC):
@@ -68,14 +71,45 @@ def cut_clusters(bvh, tc: int = CLUSTER_TC):
     )
 
 
+def _mt_matrices(v0, e1, e2, valid, c, tc):
+    """Per-cluster Möller-Trumbore bilinear operands [c, 16, 4*tc].
+
+    MT is bilinear in the ray feature vector F = [d, w=o×d, o, 1] (see
+    accel/pallas_kernels.py "MXU formulation"): column blocks
+    [det | u_num | v_num | t_num], each tc wide, so one
+    [16, 4tc] x [16, CHUNK] contraction on the MXU tests a whole
+    cluster against a whole chunk.  Invalid (padding) slots get zero
+    columns -> det == 0 -> never hit."""
+    n = np.cross(e1, e2)
+    c0 = np.sum(v0 * n, axis=-1)
+    m = np.zeros((c, tc, 16, 4), np.float32)
+    vr = valid.reshape(c, tc)
+    v0 = np.where(valid[:, None], v0, 0.0).reshape(c, tc, 3)
+    e1 = np.where(valid[:, None], e1, 0.0).reshape(c, tc, 3)
+    e2 = np.where(valid[:, None], e2, 0.0).reshape(c, tc, 3)
+    n = np.where(valid[:, None], n, 0.0).reshape(c, tc, 3)
+    c0 = np.where(vr, c0.reshape(c, tc), 0.0)
+    m[..., 0:3, 0] = -n                          # det (d-part)
+    m[..., 0:3, 1] = np.cross(v0, e2)            # u_num (d-part)
+    m[..., 3:6, 1] = e2                          # u_num (w-part)
+    m[..., 0:3, 2] = np.cross(e1, v0)            # v_num (d-part)
+    m[..., 3:6, 2] = -e1                         # v_num (w-part)
+    m[..., 6:9, 3] = n                           # t_num (o-part)
+    m[..., 9, 3] = -c0                           # t_num (const)
+    # [c, tc, 16, 4] -> [c, 16, 4, tc] -> [c, 16, 4*tc]
+    return np.ascontiguousarray(
+        m.transpose(0, 2, 3, 1).reshape(c, 16, 4 * tc)
+    )
+
+
 def pack_clusters(bvh, tri_v0, tri_e1, tri_e2, n_tris, tc: int = CLUSTER_TC):
-    """Build the device arrays for the cluster kernel, or None when the
-    scene exceeds the VMEM residency budget (fall back to XLA BVH)."""
+    """Build the device arrays for the cluster kernels, or None when the
+    scene exceeds even the HBM streaming budget (fall back to XLA BVH)."""
     first, cnt, lo, hi = cut_clusters(bvh, tc)
     c = len(first)
     if c == 0:
         return None
-    if 9 * c * tc * 4 > CLUSTER_VMEM_MAX:
+    if c * tc * 256 > CLUSTER_HBM_MAX:
         return None
     cp = max(((c + 7) // 8) * 8, 8)
 
@@ -86,10 +120,14 @@ def pack_clusters(bvh, tri_v0, tri_e1, tri_e2, n_tris, tc: int = CLUSTER_TC):
     # the builder pads tri arrays by LEAF_SIZE with a 1e30 triangle at
     # index n_tris — route dummies there
     tri_idx = np.where(valid, tri_idx, n_tris).reshape(-1)
+    valid = valid.reshape(-1)
     v0 = np.asarray(tri_v0, np.float32)[tri_idx]
     e1 = np.asarray(tri_e1, np.float32)[tri_idx]
     e2 = np.asarray(tri_e2, np.float32)[tri_idx]
     cl_tri = np.concatenate([v0.T, e1.T, e2.T], axis=0).astype(np.float32)
+    # streamed MXU operand, padded clusters -> zero matrices
+    cl_mt = np.zeros((cp, 16, 4 * tc), np.float32)
+    cl_mt[:c] = _mt_matrices(v0, e1, e2, valid, c, tc)
 
     cl_box = np.zeros((8, cp), np.float32)
     cl_box[0:3, :] = 1e30  # inverted default box: never hit
@@ -106,7 +144,13 @@ def pack_clusters(bvh, tri_v0, tri_e1, tri_e2, n_tris, tc: int = CLUSTER_TC):
 
     return {
         "cl_tri": cl_tri,
+        "cl_mt": cl_mt,
         "cl_box": cl_box,
         "cl_sph": cl_sph,
         "cl_pad2prim": tri_idx.astype(np.int32),
-    }, {"n_clusters": c, "cluster_tc": tc}
+    }, {
+        "n_clusters": c,
+        "cluster_tc": tc,
+        # the VPU kernel needs cl_tri fully VMEM-resident
+        "cluster_vmem_ok": 9 * c * tc * 4 <= CLUSTER_VMEM_MAX,
+    }

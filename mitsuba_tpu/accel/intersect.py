@@ -345,9 +345,17 @@ def _use_pallas():
 
 
 def _use_clusters(pack):
-    """Big-mesh scenes with a VMEM-resident cluster pack use the Pallas
-    packet-traversal kernel (accel/pallas_bvh.py) on TPU."""
+    """Big-mesh scenes with a cluster pack use the Pallas
+    packet-traversal kernels (accel/pallas_bvh.py) on TPU."""
     return pack.meta.get("n_clusters", 0) > 0 and _use_pallas()
+
+
+import os as _os
+
+# Coherence-sort every cluster-kernel batch by default: the argsort
+# costs a few ms but cuts per-chunk cluster visits ~6x on incoherent
+# bounce rays (measured bunny 2M rays: 1.9 s unsorted vs 0.31 s sorted)
+CLUSTER_SORT = int(_os.environ.get("MTS_CLUSTER_SORT", 1)) != 0
 
 
 # sorted-chunked traversal: lockstep while_loops pay the WORST lane's
@@ -661,7 +669,7 @@ def intersect(pack, o, d, t_max=jnp.inf, sort=False, time=None) -> Hit:
                 from mitsuba_tpu.accel import pallas_bvh as pb
 
                 best_t, prim, u, v = pb.cluster_closest(
-                    pack, o, d, t_max, sort=sort
+                    pack, o, d, t_max, sort=sort or CLUSTER_SORT
                 )
             elif sort:
                 best_t, prim, u, v = _sorted_chunked(
@@ -739,7 +747,9 @@ def occluded(pack, o, d, t_max, sort=False, time=None) -> jnp.ndarray:
             if _use_clusters(pack):
                 from mitsuba_tpu.accel import pallas_bvh as pb
 
-                occ = pb.cluster_any(pack, o, d, t_max, sort=sort)
+                occ = pb.cluster_any(
+                    pack, o, d, t_max, sort=sort or CLUSTER_SORT
+                )
             elif sort:
                 occ = _sorted_chunked(
                     pack, o, d, t_max, _bvh_traverse_any, 1

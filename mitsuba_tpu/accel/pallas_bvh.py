@@ -32,6 +32,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 RAY_EPS = 1e-4
 CHUNK = int(os.environ.get("MTS_CLUSTER_CHUNK", 1024))
+# "vpu": VMEM-resident Möller-Trumbore kernel (default — measured
+# faster than the matmul variant at bunny scale);
+# "mxu": HBM-streamed bilinear-MT matmul kernel — no VMEM scene cap,
+# so scenes whose tiles exceed the VPU kernel's residency budget
+# always take this path
+KERNEL = os.environ.get("MTS_CLUSTER_KERNEL", "vpu")
+# "exact": per-ray x per-cluster slab prepass; "cone": per-chunk
+# interval-arithmetic culling (only applies to sorted batches)
+PREPASS = os.environ.get("MTS_CLUSTER_PREPASS", "exact")
 BIG = 3e38
 
 
@@ -208,6 +217,201 @@ def _any_kernel(tc, cp, order_ref, entry_ref, h_ref, cb_ref,
     occ_out[0, 0:1, :] = occ
 
 
+def _mxu_closest_kernel(tc, cp, order_ref, entry_ref, h_ref, cb_ref,
+                        feats_ref, tmax_ref, mt_hbm, t_out, slot_out,
+                        scratch, sem):
+    """MXU + HBM-streaming cluster visit loop.
+
+    Per visit: the cluster's bilinear MT operand [16, 4*Tc]
+    (clusters._mt_matrices) is DMA'd from HBM into a double-buffered
+    VMEM scratch slot (prefetched one visit ahead), contracted against
+    the chunk's ray features [16, CHUNK] on the MXU, and a short VPU
+    epilogue turns the [det|u|v|t] row blocks into a masked min-update.
+    Streaming removes the VMEM residency cap of the VPU kernel, and
+    the matmul moves ~80% of the per-visit flops off the VPU."""
+    ox, oy, oz = (feats_ref[0, 6:7, :], feats_ref[0, 7:8, :],
+                  feats_ref[0, 8:9, :])
+    dx, dy, dz = (feats_ref[0, 0:1, :], feats_ref[0, 1:2, :],
+                  feats_ref[0, 2:3, :])
+    eps = 1e-20
+
+    def inv3(c):
+        return 1.0 / jnp.where(jnp.abs(c) < eps, eps, c)
+
+    ix, iy, iz = inv3(dx), inv3(dy), inv3(dz)
+    n_h = h_ref[0, 0, 0]
+    t_init = tmax_ref[0, 0:1, :]
+    feats = feats_ref[0]  # [16, CHUNK]
+
+    def get_dma(slot, hh):
+        cid = order_ref[0, 0, jnp.minimum(hh, cp - 1)]
+        return pltpu.make_async_copy(
+            mt_hbm.at[cid], scratch.at[slot], sem.at[slot]
+        )
+
+    @pl.when(n_h > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def cond(state):
+        h, best_t = state[0], state[1]
+        ent = entry_ref[0, 0, jnp.minimum(h, cp - 1)]
+        return (h < n_h) & (ent <= jnp.max(best_t))
+
+    def body(state):
+        h, best_t, best_slot = state
+        cid = order_ref[0, 0, h]
+
+        @pl.when(h + 1 < n_h)
+        def _():
+            get_dma((h + 1) % 2, h + 1).start()
+
+        get_dma(h % 2, h).wait()
+        tn, tf = _slab(cb_ref, cid, ox, oy, oz, ix, iy, iz)
+        boxhit = (tf >= jnp.maximum(tn, 0.0)) & (tn < best_t)
+
+        def visit(carry):
+            best_t, best_slot = carry
+            prod = jax.lax.dot_general(
+                scratch[h % 2], feats,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [4*Tc, CHUNK]
+            det = prod[0 * tc : 1 * tc]
+            u_n = prod[1 * tc : 2 * tc]
+            v_n = prod[2 * tc : 3 * tc]
+            t_n = prod[3 * tc : 4 * tc]
+            live = jnp.abs(det) > 1e-12
+            invd = jnp.where(live, 1.0, 0.0) / jnp.where(live, det, 1.0)
+            u = u_n * invd
+            v = v_n * invd
+            t = t_n * invd
+            t_lim = jnp.where(boxhit, best_t, 0.0)
+            hit = (
+                live
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t > RAY_EPS)
+                & (t < t_lim)
+            )
+            t = jnp.where(hit, t, BIG)
+            tmin = jnp.min(t, axis=0, keepdims=True)
+            row = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]
+            better = tmin < best_t
+            best_slot = jnp.where(better, cid * tc + row, best_slot)
+            best_t = jnp.where(better, tmin, best_t)
+            return best_t, best_slot
+
+        carry = jax.lax.cond(
+            jnp.any(boxhit), visit, lambda c: c, (best_t, best_slot)
+        )
+        return (h + 1,) + carry
+
+    h_exit, best_t, best_slot = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.int32(0),
+            t_init,
+            jnp.full(t_init.shape, -1, jnp.int32),
+        ),
+    )
+
+    # drain the prefetch the early exit left in flight
+    @pl.when(h_exit < n_h)
+    def _():
+        get_dma(h_exit % 2, h_exit).wait()
+
+    t_out[0, 0:1, :] = best_t
+    slot_out[0, 0:1, :] = best_slot
+
+
+def _mxu_any_kernel(tc, cp, order_ref, entry_ref, h_ref, cb_ref,
+                    feats_ref, tmax_ref, mt_hbm, occ_out, scratch, sem):
+    ox, oy, oz = (feats_ref[0, 6:7, :], feats_ref[0, 7:8, :],
+                  feats_ref[0, 8:9, :])
+    dx, dy, dz = (feats_ref[0, 0:1, :], feats_ref[0, 1:2, :],
+                  feats_ref[0, 2:3, :])
+    eps = 1e-20
+
+    def inv3(c):
+        return 1.0 / jnp.where(jnp.abs(c) < eps, eps, c)
+
+    ix, iy, iz = inv3(dx), inv3(dy), inv3(dz)
+    n_h = h_ref[0, 0, 0]
+    t_lim0 = tmax_ref[0, 0:1, :]
+    feats = feats_ref[0]
+
+    def get_dma(slot, hh):
+        cid = order_ref[0, 0, jnp.minimum(hh, cp - 1)]
+        return pltpu.make_async_copy(
+            mt_hbm.at[cid], scratch.at[slot], sem.at[slot]
+        )
+
+    @pl.when(n_h > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def cond(state):
+        h, occ = state
+        return (h < n_h) & (jnp.min(occ) < 1)
+
+    def body(state):
+        h, occ = state
+        cid = order_ref[0, 0, h]
+
+        @pl.when(h + 1 < n_h)
+        def _():
+            get_dma((h + 1) % 2, h + 1).start()
+
+        get_dma(h % 2, h).wait()
+        tn, tf = _slab(cb_ref, cid, ox, oy, oz, ix, iy, iz)
+        boxhit = (tf >= jnp.maximum(tn, 0.0)) & (tn < t_lim0) & (occ < 1)
+
+        def visit(occ):
+            prod = jax.lax.dot_general(
+                scratch[h % 2], feats,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            det = prod[0 * tc : 1 * tc]
+            u_n = prod[1 * tc : 2 * tc]
+            v_n = prod[2 * tc : 3 * tc]
+            t_n = prod[3 * tc : 4 * tc]
+            live = jnp.abs(det) > 1e-12
+            invd = jnp.where(live, 1.0, 0.0) / jnp.where(live, det, 1.0)
+            u = u_n * invd
+            v = v_n * invd
+            t = t_n * invd
+            t_lim = jnp.where(boxhit, t_lim0, 0.0)
+            hit = (
+                live
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t > RAY_EPS)
+                & (t < t_lim)
+            )
+            found = jnp.any(hit, axis=0, keepdims=True)
+            return jnp.maximum(occ, found.astype(jnp.int32))
+
+        occ = jax.lax.cond(jnp.any(boxhit), visit, lambda c: c, occ)
+        return h + 1, occ
+
+    h_exit, occ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), (t_lim0 <= 0.0).astype(jnp.int32))
+    )
+
+    @pl.when(h_exit < n_h)
+    def _():
+        get_dma(h_exit % 2, h_exit).wait()
+
+    occ_out[0, 0:1, :] = occ
+
+
 def _chunk_prepass(o, d, tmax, boxes):
     """EXACT per-chunk cluster culling: every ray slab-tests every
     cluster box, the per-cluster union over the chunk gives the visit
@@ -234,6 +438,60 @@ def _chunk_prepass(o, d, tmax, boxes):
     order = jnp.argsort(key).astype(jnp.int32)
     entry_sorted = jnp.sort(key).astype(jnp.float32)
     return order, entry_sorted, jnp.sum(hit).astype(jnp.int32)
+
+
+def _cone_prepass(o_s, d_s, tm_s, boxes):
+    """Conservative per-CHUNK cluster culling in O(chunks x clusters):
+    interval-arithmetic slab test of the chunk's origin box x direction
+    interval against every cluster box.  ~1000x cheaper than the exact
+    per-ray prepass (which is O(rays x clusters)); false positives are
+    caught by the kernel's per-lane slab test.  Only sensible on
+    coherence-SORTED chunks — a mixed-direction chunk degenerates to
+    "visit everything".
+
+    o_s, d_s: [nc, chunk, 3]; tm_s: [nc, chunk]; boxes: [8, Cp].
+    Returns (order [nc, Cp] i32, entry [nc, Cp] f32, h [nc] i32)."""
+    olo = o_s.min(axis=1)[:, None, :]  # [nc, 1, 3]
+    ohi = o_s.max(axis=1)[:, None, :]
+    dlo = d_s.min(axis=1)[:, None, :]
+    dhi = d_s.max(axis=1)[:, None, :]
+    tmx = tm_s.max(axis=1)[:, None]  # [nc, 1]
+    blo = boxes[0:3].T[None, :, :]  # [1, Cp, 3]
+    bhi = boxes[3:6].T[None, :, :]
+    valid_c = (boxes[3] >= boxes[0])[None, :]
+
+    eps = 1e-20
+    pos = dlo > eps
+    neg = dhi < -eps
+    mono = pos | neg  # direction sign uniform across the chunk
+    inv_lo = jnp.where(pos, 1.0 / jnp.where(pos, dhi, 1.0),
+                       1.0 / jnp.where(neg, dlo, 1.0))
+    inv_hi = jnp.where(pos, 1.0 / jnp.where(pos, dlo, 1.0),
+                       1.0 / jnp.where(neg, dhi, 1.0))
+
+    def imul_bounds(nlo, nhi):
+        p1 = nlo * inv_lo
+        p2 = nlo * inv_hi
+        p3 = nhi * inv_lo
+        p4 = nhi * inv_hi
+        return (
+            jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+            jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)),
+        )
+
+    t0_lo, t0_hi = imul_bounds(blo - ohi, blo - olo)
+    t1_lo, t1_hi = imul_bounds(bhi - ohi, bhi - olo)
+    ent_a = jnp.minimum(t0_lo, t1_lo)  # [nc, Cp, 3]
+    ext_a = jnp.maximum(t0_hi, t1_hi)
+    ent_a = jnp.where(mono, ent_a, -BIG)
+    ext_a = jnp.where(mono, ext_a, BIG)
+    tn_lo = ent_a.max(axis=-1)  # [nc, Cp]
+    tf_hi = ext_a.min(axis=-1)
+    hit = (tf_hi >= jnp.maximum(tn_lo, 0.0)) & (tn_lo < tmx) & valid_c
+    key = jnp.where(hit, jnp.maximum(tn_lo, 0.0), BIG)
+    order = jnp.argsort(key, axis=-1).astype(jnp.int32)
+    entry = jnp.sort(key, axis=-1).astype(jnp.float32)
+    return order, entry, hit.sum(axis=-1).astype(jnp.int32)
 
 
 def _sort_key(o, d, slo, shi):
@@ -302,11 +560,14 @@ def _run(pack, o, d, t_max, sort, mode, interpret):
         tm_s = tm_s.at[r:].set(0.0)  # padded duplicates: immediate miss
     tm_c = tm_s.reshape(nc, chunk)
 
-    # sequential map keeps the [CHUNK, Cp] slab intermediates bounded
-    order, entry, h = jax.lax.map(
-        lambda args: _chunk_prepass(args[0], args[1], args[2], cl_box),
-        (o_s, d_s, tm_c),
-    )
+    if PREPASS == "cone" and sort:
+        order, entry, h = _cone_prepass(o_s, d_s, tm_c, cl_box)
+    else:
+        # sequential map keeps the [CHUNK, Cp] slab intermediates bounded
+        order, entry, h = jax.lax.map(
+            lambda args: _chunk_prepass(args[0], args[1], args[2], cl_box),
+            (o_s, d_s, tm_c),
+        )
     # TPU block rule: last two block dims must divide (8, 128) or equal
     # the array dims — so per-chunk rows ride a leading grid axis with
     # full trailing dims
@@ -317,7 +578,8 @@ def _run(pack, o, d, t_max, sort, mode, interpret):
     d_t = jnp.swapaxes(d_s, 1, 2).reshape(nc, 3, chunk)
     tm3 = tm_c.reshape(nc, 1, chunk)
 
-    in_specs = [
+    use_mxu = KERNEL == "mxu" or not pack.meta.get("cluster_vmem_ok", True)
+    smem = [
         pl.BlockSpec((1, 1, cp), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, cp), lambda i: (i, 0, 0),
@@ -325,44 +587,93 @@ def _run(pack, o, d, t_max, sort, mode, interpret):
         pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((8, cp), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 3, chunk), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 3, chunk), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((9, ct), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
-    args = (order, entry, h, cl_box, o_t, d_t, tm3, cl_tri)
+    ospec = pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
 
-    if mode == "closest":
-        ospec = pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM)
-        outs = pl.pallas_call(
-            functools.partial(_closest_kernel, tc, cp),
-            grid=(nc,),
-            in_specs=in_specs,
-            out_specs=[ospec, ospec, ospec, ospec],
-            out_shape=[
-                jax.ShapeDtypeStruct((nc, 1, chunk), jnp.float32),
-                jax.ShapeDtypeStruct((nc, 1, chunk), jnp.int32),
-                jax.ShapeDtypeStruct((nc, 1, chunk), jnp.float32),
-                jax.ShapeDtypeStruct((nc, 1, chunk), jnp.float32),
+    if use_mxu:
+        # ray features F = [d, w=o x d, o, 1, 0*6]: [nc, 16, chunk]
+        w_s = jnp.cross(o_s, d_s)
+        feats = jnp.concatenate(
+            [
+                d_s, w_s, o_s,
+                jnp.ones((nc, chunk, 1), jnp.float32),
+                jnp.zeros((nc, chunk, 6), jnp.float32),
             ],
-            interpret=interpret,
-        )(*args)
+            axis=-1,
+        )
+        feats = jnp.swapaxes(feats, 1, 2)  # [nc, 16, chunk]
+        in_specs = smem + [
+            pl.BlockSpec((1, 16, chunk), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        args = (order, entry, h, cl_box, feats, tm3, pack.cl_mt)
+        scratch_shapes = [
+            pltpu.VMEM((2, 16, 4 * tc), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        if mode == "closest":
+            outs = pl.pallas_call(
+                functools.partial(_mxu_closest_kernel, tc, cp),
+                grid=(nc,),
+                in_specs=in_specs,
+                out_specs=[ospec, ospec],
+                out_shape=[
+                    jax.ShapeDtypeStruct((nc, 1, chunk), jnp.float32),
+                    jax.ShapeDtypeStruct((nc, 1, chunk), jnp.int32),
+                ],
+                scratch_shapes=scratch_shapes,
+                interpret=interpret,
+            )(*args)
+        else:
+            outs = pl.pallas_call(
+                functools.partial(_mxu_any_kernel, tc, cp),
+                grid=(nc,),
+                in_specs=in_specs,
+                out_specs=[ospec],
+                out_shape=[jax.ShapeDtypeStruct((nc, 1, chunk), jnp.int32)],
+                scratch_shapes=scratch_shapes,
+                interpret=interpret,
+            )(*args)
     else:
-        outs = pl.pallas_call(
-            functools.partial(_any_kernel, tc, cp),
-            grid=(nc,),
-            in_specs=in_specs,
-            out_specs=[
-                pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_shape=[jax.ShapeDtypeStruct((nc, 1, chunk), jnp.int32)],
-            interpret=interpret,
-        )(*args)
+        in_specs = smem + [
+            pl.BlockSpec((1, 3, chunk), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, chunk), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, ct), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = (order, entry, h, cl_box, o_t, d_t, tm3, cl_tri)
+
+        if mode == "closest":
+            outs = pl.pallas_call(
+                functools.partial(_closest_kernel, tc, cp),
+                grid=(nc,),
+                in_specs=in_specs,
+                out_specs=[ospec, ospec, ospec, ospec],
+                out_shape=[
+                    jax.ShapeDtypeStruct((nc, 1, chunk), jnp.float32),
+                    jax.ShapeDtypeStruct((nc, 1, chunk), jnp.int32),
+                    jax.ShapeDtypeStruct((nc, 1, chunk), jnp.float32),
+                    jax.ShapeDtypeStruct((nc, 1, chunk), jnp.float32),
+                ],
+                interpret=interpret,
+            )(*args)
+        else:
+            outs = pl.pallas_call(
+                functools.partial(_any_kernel, tc, cp),
+                grid=(nc,),
+                in_specs=in_specs,
+                out_specs=[ospec],
+                out_shape=[jax.ShapeDtypeStruct((nc, 1, chunk), jnp.int32)],
+                interpret=interpret,
+            )(*args)
 
     # scatter back to original ray order (pad entries -> dummy slot)
     idx = jnp.where(jnp.arange(r + pad) < r, perm, r)
@@ -375,14 +686,44 @@ def _run(pack, o, d, t_max, sort, mode, interpret):
     return res
 
 
+def _winner_uv(pack, o, d, prim):
+    """Recompute (u, v) for the winning triangle only — one [R] row
+    gather + a single per-lane Möller-Trumbore, so the MXU kernel's
+    while-loop doesn't have to carry u/v through every visit."""
+    pi = jnp.maximum(prim, 0)
+    v0 = pack.tri_v0[pi]
+    e1 = pack.tri_e1[pi]
+    e2 = pack.tri_e2[pi]
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0, 0.0) / jnp.where(
+        jnp.abs(det) > 1e-12, det, 1.0
+    )
+    tvec = o - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=-1) * inv
+    return u, v
+
+
 def cluster_closest(pack, o, d, t_max, sort=False, interpret=False):
     """Closest-hit via the cluster kernel.  Returns (t, prim, u, v) in
     the same convention as accel/intersect._bvh_traverse (t = t_max on
-    miss, prim = -1).  t/u/v come straight from the kernel's exact MT
-    (no winner-recompute gathers); only prim maps through the
-    pad-slot -> triangle-id table (one int gather)."""
-    best_t, slot, u, v = _run(pack, o, d, t_max, sort, "closest", interpret)
-    prim = jnp.where(slot >= 0, pack.cl_pad2prim[jnp.maximum(slot, 0)], -1)
+    miss, prim = -1).  The VPU kernel returns u/v directly; the MXU
+    kernel returns (t, slot) and u/v come from a winner-only
+    recompute."""
+    res = _run(pack, o, d, t_max, sort, "closest", interpret)
+    if len(res) == 2:
+        best_t, slot = res
+        prim = jnp.where(
+            slot >= 0, pack.cl_pad2prim[jnp.maximum(slot, 0)], -1
+        )
+        u, v = _winner_uv(pack, o, d, prim)
+    else:
+        best_t, slot, u, v = res
+        prim = jnp.where(
+            slot >= 0, pack.cl_pad2prim[jnp.maximum(slot, 0)], -1
+        )
     miss_t = jnp.broadcast_to(t_max, best_t.shape).astype(jnp.float32)
     hitm = prim >= 0
     return (

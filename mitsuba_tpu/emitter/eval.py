@@ -150,46 +150,35 @@ def _env_pdf_dir(pack, d):
 
 
 def _sample_env_dir(pack, u2):
-    """Importance-sample the env map's 2D luminance CDF
-    (reference envmap.cpp sampleDirection)."""
+    """Importance-sample the env map's per-pixel luminance density via
+    a Walker alias table (O(1): one table row per draw; the reference's
+    hierarchical 2D CDF inversion, envmap.cpp sampleDirection, costs
+    log2(HW) serialized per-lane gathers on TPU — measured 46 ms/pass
+    vs ~3 ms for the alias formulation at 262k lanes).  Identical
+    per-pixel density -> identical pdfs and MIS weights; only the
+    u -> pixel mapping differs."""
     h, w = pack.env_density.shape
-    row = jnp.clip(
-        jnp.searchsorted(pack.env_marginal_cdf, u2[..., 1], side="right") - 1,
-        0,
-        h - 1,
+    n = h * w
+    x = u2[..., 0] * n
+    i = jnp.clip(x.astype(jnp.int32), 0, n - 1)
+    jx = x - i.astype(jnp.float32)  # uniform, independent of i
+    p_i = pack.env_alias_prob[i]
+    accept = u2[..., 1] < p_i
+    idx = jnp.where(accept, i, pack.env_alias_idx[i])
+    # recycle the accept uniform (conditionally uniform either way)
+    jy = jnp.where(
+        accept,
+        u2[..., 1] / jnp.maximum(p_i, 1e-12),
+        (u2[..., 1] - p_i) / jnp.maximum(1.0 - p_i, 1e-12),
     )
-    lo_m = pack.env_marginal_cdf[row]
-    dv = jnp.maximum(pack.env_marginal_cdf[row + 1] - lo_m, 1e-12)
-    vfrac = jnp.clip((u2[..., 1] - lo_m) / dv, 0.0, mm.ONE_MINUS_EPS)
-    v = (row.astype(jnp.float32) + vfrac) / h
-
-    # per-lane binary search in the row's conditional CDF (point gathers
-    # only — a full row gather would be W+1 floats per lane)
-    ccdf = pack.env_conditional_cdf
-    ccdf_flat = ccdf.reshape(-1)
-    cw = ccdf.shape[1]
-    rbase = row * cw
-    left = jnp.zeros_like(row)
-    right = jnp.full_like(row, w)
-    uq = u2[..., 0]
-    iters = max(int(np_ceil_log2(w + 1)), 1)
-    for _ in range(iters):
-        mid = (left + right) // 2
-        val = ccdf_flat[rbase + jnp.minimum(mid + 1, w)]
-        go_right = uq >= val
-        left = jnp.where(go_right, jnp.minimum(mid + 1, w - 1), left)
-        right = jnp.where(go_right, right, mid)
-        left = jnp.minimum(left, right)
-    col = jnp.clip(left, 0, w - 1)
-    lo_c = ccdf_flat[rbase + col]
-    hi_c = ccdf_flat[rbase + col + 1]
-    ufrac = jnp.clip(
-        (uq - lo_c) / jnp.maximum(hi_c - lo_c, 1e-12), 0.0, mm.ONE_MINUS_EPS
-    )
-    u = (col.astype(jnp.float32) + ufrac) / w
+    jy = jnp.clip(jy, 0.0, mm.ONE_MINUS_EPS)
+    row = idx // w
+    col = idx - row * w
+    u = (col.astype(jnp.float32) + jx) / w
+    v = (row.astype(jnp.float32) + jy) / h
     uv = jnp.stack([u, v], axis=-1)
     d = _env_dir_from_uv(pack, uv)
-    dens = pack.env_density.reshape(-1)[row * w + col]
+    dens = pack.env_density.reshape(-1)[idx]
     sin_t = jnp.maximum(jnp.sin(v * jnp.pi), 1e-6)
     pdf = dens / (2.0 * jnp.pi * jnp.pi * sin_t)
     return d, pdf

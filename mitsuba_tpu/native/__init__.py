@@ -50,6 +50,22 @@ def load(name: str, sources: list[str]):
         return lib
 
 
+def alias_builder():
+    """ctypes handle to the native alias-table builder, or None."""
+    lib = load("alias", ["alias_table.cpp"])
+    if lib is None:
+        return None
+    fn = lib.mts_build_alias
+    fn.restype = ctypes.c_int
+    fn.argtypes = [
+        ctypes.POINTER(ctypes.c_double),  # weights
+        ctypes.c_longlong,  # n
+        ctypes.POINTER(ctypes.c_float),  # out prob
+        ctypes.POINTER(ctypes.c_int32),  # out alias
+    ]
+    return fn
+
+
 def bvh_builder():
     """ctypes handle to the native BVH builder, or None."""
     lib = load("bvh", ["bvh_builder.cpp"])

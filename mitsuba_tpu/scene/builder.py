@@ -28,7 +28,7 @@ from mitsuba_tpu.bsdf.plugins import (
     MIXTURE,
     ROUGHPLASTIC,
 )
-from mitsuba_tpu.core.distribution import Distribution2D
+from mitsuba_tpu.core.distribution import Distribution2D, build_alias
 from mitsuba_tpu.emitter.plugins import (
     AREA,
     CONSTANT,
@@ -1225,9 +1225,14 @@ def pack_scene(scene) -> ScenePack:
         h, w = env_image.shape[:2]
         lum = np.asarray(luminance(jnp.asarray(env_image)))
         sin_t = np.sin((np.arange(h) + 0.5) / h * np.pi)
-        env_dist = Distribution2D.from_weights(lum * sin_t[:, None] + 1e-12)
+        env_weights = lum * sin_t[:, None] + 1e-12
+        env_dist = Distribution2D.from_weights(env_weights)
     else:
-        env_dist = Distribution2D.from_weights(np.ones((1, 2)))
+        env_weights = np.ones((1, 2))
+        env_dist = Distribution2D.from_weights(env_weights)
+    # joint alias table: O(1) env draws (one row per sample) instead of
+    # log2(HW) serialized CDF gathers per lane
+    env_alias_prob, env_alias_idx = build_alias(env_weights)
 
     # ---------------- medium table ----------------
     from mitsuba_tpu.medium.plugins import HETEROGENEOUS
@@ -1452,6 +1457,8 @@ def pack_scene(scene) -> ScenePack:
         "env_marginal_cdf": env_dist.marginal_cdf,
         "env_conditional_cdf": env_dist.conditional_cdf,
         "env_density": env_dist.density,
+        "env_alias_prob": env_alias_prob,
+        "env_alias_idx": env_alias_idx,
         **sss_tabs,
         **iw_tabs,
     }

@@ -28,17 +28,31 @@ R = int(os.environ.get("PROF_LANES", 1 << 18))
 K = int(os.environ.get("PROF_ITERS", 50))
 
 here = os.path.dirname(os.path.abspath(__file__))
-scene = load_scene(os.path.join(here, "scenes", "cbox.xml"))
+SCENE = os.environ.get("PROF_SCENE", "cbox")
+scene = load_scene(os.path.join(here, "scenes", f"{SCENE}.xml"))
 pack = pack_scene(scene)
 present = pack.present_types
 
 lane = jnp.arange(R, dtype=jnp.uint32)
 key = jax.random.PRNGKey(0)
-# camera-ish rays from inside the box toward random directions
-o0 = jnp.tile(jnp.array([[278.0, 273.0, -500.0]], jnp.float32), (R, 1))
-d0 = mm.normalize(
-    jax.random.normal(key, (R, 3)) + jnp.array([0.0, 0.0, 2.0])
-)
+if SCENE == "cbox":
+    # camera-ish rays from inside the box toward random directions
+    o0 = jnp.tile(jnp.array([[278.0, 273.0, -500.0]], jnp.float32), (R, 1))
+    d0 = mm.normalize(
+        jax.random.normal(key, (R, 3)) + jnp.array([0.0, 0.0, 2.0])
+    )
+else:
+    # generic: shoot at the scene bbox center from outside
+    import numpy as _np
+
+    _v = _np.asarray(pack.tri_v0[: max(pack.n_tris, 1)])
+    _c = (_v.min(axis=0) + _v.max(axis=0)) / 2 if pack.n_tris else _np.zeros(3)
+    _r = float(_np.linalg.norm(_v.max(axis=0) - _v.min(axis=0)) / 2 + 1e-3) if pack.n_tris else 1.0
+    o0 = jnp.tile(jnp.asarray(_c + _np.array([0.0, 0.6 * _r, -2.5 * _r]),
+                              jnp.float32)[None, :], (R, 1))
+    d0 = mm.normalize(
+        jax.random.normal(key, (R, 3)) * 0.35 + jnp.asarray([0.0, -0.2, 1.0])
+    )
 
 
 def timed(name, fn):
@@ -133,6 +147,14 @@ def main():
         bs = bsdf_sample(sp0, wi0, u[..., :2], u[..., 2], present)
         return acc + bs.weight.sum() * 1e-9
     timed("bsdf_sample", loop(bs_body))
+
+    # 8b. escaped-ray env radiance (big on envmap scenes)
+    if "env" in pack.meta.get("emitter_kinds", ()):
+        def env_body(i, acc):
+            d = mm.normalize(d0 + 1e-6 * acc)
+            Le = em.eval_env(pack, d)
+            return acc + Le.sum() * 1e-9
+        timed("env_radiance (miss)", loop(env_body))
 
     # 9. full bounce body (path_trace body once per iter, regen-style)
     from mitsuba_tpu.integrator.path import path_trace

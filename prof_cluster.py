@@ -72,9 +72,27 @@ print("H: mean %.1f  p50 %d  p90 %d  max %d  (of %d clusters)" % (
     float(jnp.mean(h)), int(jnp.percentile(h, 50)),
     int(jnp.percentile(h, 90)), int(jnp.max(h)), C))
 
-timeit("full closest (sort=True)",
-       jax.jit(lambda o, d: pb.cluster_closest(pack, o, d, jnp.inf, sort=True)[0]), o, d)
-timeit("full closest (sort=False)",
+@jax.jit
+def cone(o_s, d_s, tm):
+    return pb._cone_prepass(o_s, d_s, tm, pack.cl_box)
+
+
+_, _, hc = timeit("cone prepass", cone, o_s, d_s, tm)
+print("H(cone): mean %.1f  p50 %d  p90 %d  max %d" % (
+    float(jnp.mean(hc)), int(jnp.percentile(hc, 50)),
+    int(jnp.percentile(hc, 90)), int(jnp.max(hc))))
+
+for kern in ("vpu", "mxu"):
+    for pp in ("exact", "cone"):
+        pb.KERNEL = kern
+        pb.PREPASS = pp
+        timeit(f"closest {kern}/{pp} (sorted)",
+               jax.jit(lambda o, d: pb.cluster_closest(
+                   pack, o, d, jnp.inf, sort=True)[0]), o, d)
+pb.KERNEL = "mxu"
+pb.PREPASS = "exact"
+timeit("closest mxu (sort=False)",
        jax.jit(lambda o, d: pb.cluster_closest(pack, o, d, jnp.inf, sort=False)[0]), o, d)
-timeit("full any (sort=True)",
+pb.PREPASS = "cone"
+timeit("any mxu/cone (sorted)",
        jax.jit(lambda o, d: pb.cluster_any(pack, o, d, 1e30, sort=True)), o, d)

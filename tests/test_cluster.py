@@ -4,6 +4,7 @@ validation strategy, test_kd.cpp:95-130)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from mitsuba_tpu.accel import intersect as isect
 from mitsuba_tpu.accel import pallas_bvh as pb
@@ -79,7 +80,9 @@ def _rays(n_rays=4096, seed=7):
     return o, jnp.asarray(d)
 
 
-def test_cluster_closest_matches_bvh():
+@pytest.mark.parametrize("kernel", ["vpu", "mxu"])
+def test_cluster_closest_matches_bvh(kernel, monkeypatch):
+    monkeypatch.setattr(pb, "KERNEL", kernel)
     pack = cluster_pack()
     o, d = _rays()
     ref = isect.intersect(pack, o, d)  # XLA BVH path on CPU
@@ -106,7 +109,9 @@ def test_cluster_closest_matches_bvh():
         )
 
 
-def test_cluster_any_matches_bvh():
+@pytest.mark.parametrize("kernel", ["vpu", "mxu"])
+def test_cluster_any_matches_bvh(kernel, monkeypatch):
+    monkeypatch.setattr(pb, "KERNEL", kernel)
     pack = cluster_pack(seed=1)
     o, d = _rays(seed=11)
     t_max = jnp.full((o.shape[0],), 1.5, jnp.float32)
@@ -116,7 +121,38 @@ def test_cluster_any_matches_bvh():
         assert (np.asarray(occ) == np.asarray(ref)).all()
 
 
-def test_cluster_finite_tmax_and_small_batch():
+def test_cluster_cone_prepass_matches_exact(monkeypatch):
+    """The conservative per-chunk interval prepass must not lose hits
+    vs the exact per-ray prepass (false positives are fine — the
+    kernel's per-lane slab test rejects them)."""
+    monkeypatch.setattr(pb, "PREPASS", "cone")
+    monkeypatch.setattr(pb, "KERNEL", "mxu")
+    pack = cluster_pack(seed=4)
+    o, d = _rays(seed=13)
+    ref = isect.intersect(pack, o, d)
+    t, prim, u, v = pb.cluster_closest(
+        pack, o, d, jnp.inf, sort=True, interpret=True
+    )
+    valid = np.asarray(prim) >= 0
+    rvalid = np.asarray(ref.valid)
+    assert (valid == rvalid).all()
+    assert np.allclose(
+        np.asarray(t)[valid], np.asarray(ref.t)[valid],
+        rtol=1e-4, atol=1e-5,
+    )
+    occ_ref = isect._bvh_traverse_any(
+        pack, o, d, jnp.full((o.shape[0],), 1.5, jnp.float32)
+    )
+    occ = pb.cluster_any(
+        pack, o, d, jnp.full((o.shape[0],), 1.5, jnp.float32),
+        sort=True, interpret=True,
+    )
+    assert (np.asarray(occ) == np.asarray(occ_ref)).all()
+
+
+@pytest.mark.parametrize("kernel", ["vpu", "mxu"])
+def test_cluster_finite_tmax_and_small_batch(kernel, monkeypatch):
+    monkeypatch.setattr(pb, "KERNEL", kernel)
     pack = cluster_pack(seed=2, n_tris=700)
     o, d = _rays(n_rays=37, seed=5)
     t_max = jnp.full((37,), 0.8, jnp.float32)
