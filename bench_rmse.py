@@ -91,9 +91,11 @@ def make_refs():
         np.savez_compressed(out, img=img.astype(np.float16))
 
 
-def measure():
+def measure(only=None):
     results = []
     for name, path, integ, res, _ in CONFIGS:
+        if only and name not in only:
+            continue
         ref_file = os.path.join(REF_DIR, f"{name}_{res}.npz")
         if not os.path.exists(ref_file):
             print(f"# {name}: no ref ({ref_file}); run --make-refs first",
@@ -150,8 +152,9 @@ def measure():
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--make-refs", action="store_true")
+    p.add_argument("--only", help="comma-separated scene names")
     args = p.parse_args()
     if args.make_refs:
         make_refs()
     else:
-        measure()
+        measure(args.only.split(",") if args.only else None)

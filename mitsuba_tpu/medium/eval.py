@@ -22,10 +22,12 @@ All functions operate per-lane; `med` is the per-lane medium id
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mitsuba_tpu.core import math as mm
 from mitsuba_tpu.core import warp
@@ -34,7 +36,10 @@ from mitsuba_tpu.medium.plugins import HG, HETEROGENEOUS, RAYLEIGH
 
 INV_FOURPI = 0.25 / jnp.pi
 MAX_TRACKING_STEPS = 256  # total tentative collisions (RNG slot space)
-TRACK_BATCH = 4  # tentative collisions per sequential loop iteration
+# tentative collisions per sequential loop iteration — sequential-loop
+# latency dominates tracking cost, so bigger batches trade one larger
+# corner gather for fewer iterations
+TRACK_BATCH = int(os.environ.get("MTS_TRACK_BATCH", 4))
 
 
 class MediumSample(NamedTuple):
@@ -211,18 +216,28 @@ def _het_track(pack, hp, o, d, t_max, lane, sidx, slot, seed_t, ratio):
         t, alive, step, hit_real, w = s
         return jnp.any(alive) & (step < max_iters)
 
+    n4 = (K + 3) // 4  # rand4 calls per K-batch
+
     def body(s):
         t, alive, step, hit_real, w = s
-        ua = rng.rand4(lane, sidx, slot * MAX_TRACKING_STEPS + 2 * step,
-                       seed_t)
-        ub = rng.rand4(lane, sidx, slot * MAX_TRACKING_STEPS + 2 * step + 1,
-                       seed_t)
-        u_jump = jnp.stack(
-            [ua[..., 0], ua[..., 1], ua[..., 2], ua[..., 3]], axis=-1
-        )  # [R, K]
-        u_acc = jnp.stack(
-            [ub[..., 0], ub[..., 1], ub[..., 2], ub[..., 3]], axis=-1
-        )
+
+        def draw(base):
+            parts = []
+            for j in range(n4):
+                u_ = rng.rand4(
+                    lane, sidx,
+                    slot * MAX_TRACKING_STEPS
+                    + (2 * step + base) * n4 + j,
+                    seed_t,
+                )
+                parts.append(jnp.stack(
+                    [u_[..., 0], u_[..., 1], u_[..., 2], u_[..., 3]],
+                    axis=-1,
+                ))
+            return jnp.concatenate(parts, axis=-1)[..., :K]
+
+        u_jump = draw(0)  # [R, K]
+        u_acc = draw(1)
         q = qo + qd * t[..., None]
         sig, lo, hi = _super_lookup(pack, hp, q, B)
         _, t_exit = _slab(qo, qd, lo, hi)
@@ -355,11 +370,48 @@ def sample_distance(pack, med, o, d, t_max, u3, lane, sidx, slot, seed):
     return MediumSample(is_medium=out_med, t=out_t, weight=out_w)
 
 
+QUAD_STEPS = int(os.environ.get("MTS_QUAD_STEPS", 64))
+
+
+def _het_transmittance_quad(pack, hp, o, d, dist, n_steps=None):
+    """Deterministic composite-Simpson transmittance
+    (reference heterogeneous.cpp:546-548 ESimpsonQuadrature /
+    integrateDensity).  One batched corner gather over n_steps+1
+    points replaces 10-20 sequential tracking iterations — and the
+    zero-variance Tr removes tracking noise from every NEE estimate."""
+    n_steps = n_steps or QUAD_STEPS
+    r = o.shape[0]
+    qo = _to_grid(hp, o)
+    qd = _to_grid_dir(hp, d)
+    dist = jnp.broadcast_to(dist, (r,)).astype(jnp.float32)
+    tn, tf = _slab(qo, qd, jnp.zeros_like(qo), jnp.ones_like(qo))
+    t0 = jnp.maximum(tn, 0.0)
+    t1 = jnp.minimum(dist, tf)
+    seg = jnp.maximum(t1 - t0, 0.0)
+
+    m = n_steps  # even number of Simpson intervals
+    frac = jnp.arange(m + 1, dtype=jnp.float32) / m  # [M+1]
+    ts = t0[:, None] + seg[:, None] * frac[None, :]  # [R, M+1]
+    hp_k = {
+        k: (v[:, None] if v.ndim == 1 else v[:, None, :])
+        for k, v in hp.items()
+    }
+    q = qo[:, None, :] + qd[:, None, :] * ts[..., None]  # [R, M+1, 3]
+    dens = _het_density_q(pack, hp_k, q)  # [R, M+1]
+    w = np.ones(m + 1, np.float32)
+    w[1:-1:2] = 4.0
+    w[2:-1:2] = 2.0
+    tau = (dens * jnp.asarray(w)[None, :]).sum(-1) * (seg / (3.0 * m))
+    return jnp.exp(-tau)
+
+
 def transmittance(pack, med, o, d, dist, lane, sidx, slot, seed):
     """Tr along a segment inside a single medium (shadow rays).
 
     Homogeneous: closed form.  Heterogeneous: ratio tracking with local
-    majorants (unbiased; reference heterogeneous.cpp evalTransmittance)."""
+    majorants (unbiased; reference heterogeneous.cpp evalTransmittance),
+    or deterministic Simpson quadrature when the scene's media request
+    method="simpson" (static per-scene dispatch)."""
     from mitsuba_tpu.core import rng
 
     in_medium = med >= 0
@@ -370,10 +422,13 @@ def transmittance(pack, med, o, d, dist, lane, sidx, slot, seed):
     if pack.meta.get("n_het", 0) > 0:
         hp = _het_params(pack, med)
         is_het = in_medium & (hp["slot"] >= 0)
-        seed_t = rng.stream_seed(seed, rng.STREAM_MEDIUM_TRANS)
-        _, _, w_het = _het_track(
-            pack, hp, o, d, dist, lane, sidx, slot, seed_t, ratio=True
-        )
+        if pack.meta.get("het_simpson", False):
+            w_het = _het_transmittance_quad(pack, hp, o, d, dist)
+        else:
+            seed_t = rng.stream_seed(seed, rng.STREAM_MEDIUM_TRANS)
+            _, _, w_het = _het_track(
+                pack, hp, o, d, dist, lane, sidx, slot, seed_t, ratio=True
+            )
         tr = jnp.where(is_het[..., None], w_het[..., None], tr)
 
     return jnp.where(in_medium[..., None], tr, 1.0)

@@ -349,6 +349,10 @@ class MediumRecord:
     density: VolumeRecord | None = None  # heterogeneous
     albedo: VolumeRecord | None = None
     orientation: VolumeRecord | None = None  # fiber phases
+    # transmittance integration: "woodcock" (stochastic ratio tracking)
+    # or "simpson" (deterministic composite quadrature) — reference
+    # heterogeneous.cpp EIntegrationMethod
+    method: str = "woodcock"
     id: str = ""
 
 
@@ -396,6 +400,11 @@ class HeterogeneousMedium(_MediumBase):
 
     def _finish(self, props):
         self.record.scale = props.get_float("scale", 1.0)
+        self.record.method = props.get_string("method", "woodcock")
+        if self.record.method not in ("woodcock", "simpson"):
+            raise ValueError(
+                f"heterogeneous: unknown method '{self.record.method}'"
+            )
         for name, child in props.children:
             if isinstance(getattr(child, "record", None), VolumeRecord):
                 if name == "density":

@@ -1548,6 +1548,14 @@ def pack_scene(scene) -> ScenePack:
                                     | {int(k) for k in med_phase_b if k >= 0}))
         if len(media) else (),
         "n_het": n_het,
+        # deterministic Simpson transmittance iff every heterogeneous
+        # medium requests method="simpson" (reference heterogeneous.cpp
+        # EIntegrationMethod; the dispatch is static per scene)
+        "het_simpson": n_het > 0 and all(
+            getattr(m, "method", "woodcock") == "simpson"
+            for m in media
+            if m.kind == HETEROGENEOUS
+        ),
         "het_super_b": SUPER_B,
         "camera_medium": -1,
         **sss_meta,

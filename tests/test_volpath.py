@@ -248,3 +248,100 @@ def test_scattering_furnace_rayleigh():
     img = render(scene)
     m = float(img.mean())
     assert abs(m - 1.0) < 0.03, m
+
+def test_simpson_transmittance_matches_tracking():
+    """Deterministic Simpson transmittance (method="simpson") must
+    match a fine-grained reference integral over the same in-grid
+    segment, and the expectation of unbiased ratio tracking
+    (reference heterogeneous.cpp ESimpsonQuadrature vs Woodcock)."""
+    import tempfile, os as _os
+    import jax.numpy as jnp
+    from mitsuba_tpu.medium import eval as med_eval
+    from mitsuba_tpu.medium.eval import (
+        _het_density_q, _het_params, _slab, _to_grid, _to_grid_dir,
+    )
+    from mitsuba_tpu.medium.plugins import save_vol
+    from mitsuba_tpu.scene.builder import pack_scene
+    from mitsuba_tpu.scene.xml_loader import load_scene_string
+
+    tmp = tempfile.mkdtemp()
+    vol_path = _os.path.join(tmp, "smooth.vol")
+    z, y, x = np.meshgrid(
+        np.linspace(0, 1, 16), np.linspace(0, 1, 16),
+        np.linspace(0, 1, 16), indexing="ij",
+    )
+    dens = (0.5 + 2.0 * np.sin(3 * x) * np.sin(2 * y) ** 2 * z).astype(
+        np.float32
+    )
+    save_vol(vol_path, dens, aabb_min=(-1, -1, -1), aabb_max=(1, 1, 1))
+
+    def scene(method):
+        return load_scene_string(f"""
+        <scene version="0.5.0">
+          <integrator type="volpath"/>
+          <sensor type="perspective">
+            <film type="hdrfilm">
+              <integer name="width" value="8"/>
+              <integer name="height" value="8"/></film>
+          </sensor>
+          <shape type="cube">
+            <bsdf type="null"/>
+            <medium name="interior" type="heterogeneous">
+              <string name="method" value="{method}"/>
+              <volume name="density" type="gridvolume">
+                <string name="filename" value="{vol_path}"/>
+              </volume>
+            </medium>
+          </shape>
+        </scene>""")
+
+    pack_s = pack_scene(scene("simpson"))
+    pack_w = pack_scene(scene("woodcock"))
+    assert pack_s.meta["het_simpson"] and not pack_w.meta["het_simpson"]
+
+    n = 256
+    r = np.random.default_rng(5)
+    o = jnp.asarray(
+        np.stack([r.uniform(-0.9, 0.9, n), r.uniform(-0.9, 0.9, n),
+                  np.full(n, -2.5)], axis=-1).astype(np.float32)
+    )
+    d = np.stack([r.normal(0, 0.1, n), r.normal(0, 0.1, n),
+                  np.ones(n)], axis=-1)
+    d = jnp.asarray((d / np.linalg.norm(d, axis=-1, keepdims=True))
+                    .astype(np.float32))
+    dist = jnp.full((n,), 5.0, jnp.float32)
+    med = jnp.zeros((n,), jnp.int32)
+    lane = jnp.arange(n, dtype=jnp.uint32)
+
+    tr_q = np.asarray(med_eval.transmittance(
+        pack_s, med, o, d, dist, lane, 0, 0, 0))[:, 0]
+
+    # fine deterministic reference over the identical in-grid segment
+    hp = _het_params(pack_s, med)
+    qo = _to_grid(hp, o)
+    qd = _to_grid_dir(hp, d)
+    tn, tf = _slab(qo, qd, jnp.zeros_like(qo), jnp.ones_like(qo))
+    t0 = jnp.maximum(tn, 0.0)
+    seg = jnp.maximum(jnp.minimum(dist, tf) - t0, 0.0)
+    M = 4096
+    ts = t0[:, None] + seg[:, None] * (
+        (jnp.arange(M, dtype=jnp.float32) + 0.5) / M
+    )[None, :]
+    hp_k = {
+        k: (v[:, None] if v.ndim == 1 else v[:, None, :])
+        for k, v in hp.items()
+    }
+    q = qo[:, None, :] + qd[:, None, :] * ts[..., None]
+    dref = np.asarray(_het_density_q(pack_s, hp_k, q))
+    tr_ref = np.exp(-(dref.mean(axis=1) * np.asarray(seg)))
+    err = np.abs(tr_q - tr_ref)
+    assert err.max() < 5e-3, (err.mean(), err.max())
+
+    # tracking expectation agrees within its Monte-Carlo noise
+    acc = np.zeros(n)
+    reps = 32
+    for s in range(reps):
+        acc += np.asarray(med_eval.transmittance(
+            pack_w, med, o, d, dist, lane, jnp.uint32(s), 0, 3))[:, 0]
+    tr_w = acc / reps
+    assert np.abs(tr_q - tr_w).mean() < 0.05
