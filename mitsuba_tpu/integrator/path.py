@@ -150,16 +150,29 @@ def path_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
 
         active = found
 
-        # ---- subsurface (dipole) exitant radiance ----
+        # ---- subsurface exitant radiance ----
         # (reference path.cpp:153-154 its.LoSub at every surface hit)
         if pack.meta.get("has_sss", False):
-            from mitsuba_tpu.integrator.sss import sss_lo
+            from mitsuba_tpu.integrator.sss import single_scatter_lo, sss_lo
 
             sid = take_rows(pack.mat_sss, jnp.maximum(its.mat, 0))
+            s_kind = take_rows(pack.sss_kind, jnp.maximum(sid, 0))
             cos_o = mm.dot(its.ns, its.wi_world)
             is_sss = found & (sid >= 0) & (cos_o > 0)
-            lo_sss = sss_lo(pack, its.p, cos_o, sid)
-            L = L + jnp.where(is_sss[..., None], thr * lo_sss, 0.0)
+            if pack.meta.get("sss_has_dipole", True):
+                lo_sss = sss_lo(pack, its.p, cos_o, sid)
+                L = L + jnp.where(
+                    (is_sss & (s_kind == 0))[..., None], thr * lo_sss, 0.0
+                )
+            if pack.meta.get("sss_has_single", False):
+                lo_ss = single_scatter_lo(
+                    pack, its.p, d, its.ng,
+                    jnp.where(is_sss & (s_kind == 1), sid, -1),
+                    lane, sample_idx, depth, seed,
+                )
+                L = L + jnp.where(
+                    (is_sss & (s_kind == 1))[..., None], thr * lo_ss, 0.0
+                )
 
         # ---- local frame + shading params ----
         frame = shading_frame(pack, its)
@@ -372,15 +385,28 @@ def path_trace_regen(
 
         active = found
 
-        # subsurface dipole hit radiance (see path_trace)
+        # subsurface hit radiance (see path_trace)
         if pack.meta.get("has_sss", False):
-            from mitsuba_tpu.integrator.sss import sss_lo
+            from mitsuba_tpu.integrator.sss import single_scatter_lo, sss_lo
 
             sid = take_rows(pack.mat_sss, jnp.maximum(its.mat, 0))
+            s_kind = take_rows(pack.sss_kind, jnp.maximum(sid, 0))
             cos_o = mm.dot(its.ns, its.wi_world)
             is_sss = found & (sid >= 0) & (cos_o > 0)
-            lo_sss = sss_lo(pack, its.p, cos_o, sid)
-            L = L + jnp.where(is_sss[..., None], thr * lo_sss, 0.0)
+            if pack.meta.get("sss_has_dipole", True):
+                lo_sss = sss_lo(pack, its.p, cos_o, sid)
+                L = L + jnp.where(
+                    (is_sss & (s_kind == 0))[..., None], thr * lo_sss, 0.0
+                )
+            if pack.meta.get("sss_has_single", False):
+                lo_ss = single_scatter_lo(
+                    pack, its.p, -its.wi_world, its.ng,
+                    jnp.where(is_sss & (s_kind == 1), sid, -1),
+                    lane_v, sidx, depth, seed,
+                )
+                L = L + jnp.where(
+                    (is_sss & (s_kind == 1))[..., None], thr * lo_ss, 0.0
+                )
 
         frame = shading_frame(pack, its)
         wi_l = frame.to_local(its.wi_world)

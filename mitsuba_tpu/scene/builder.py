@@ -1095,12 +1095,17 @@ def pack_scene(scene) -> ScenePack:
             [np.full(len(o[1]), k, np.int32) for k, o in enumerate(sss_objs)]
         )
         zr_l, zv_l, str_l, eta_l = [], [], [], []
+        sigs_l, sigt_l, g_l, kind_l = [], [], [], []
         for rec_s, _, _, _ in sss_objs:
             zr, zv, s_tr, _ = rec_s.dipole_coefficients()
             zr_l.append(zr)
             zv_l.append(zv)
             str_l.append(s_tr)
             eta_l.append(rec_s.eta)
+            sigs_l.append(rec_s.sigma_s * rec_s.scale)
+            sigt_l.append((rec_s.sigma_s + rec_s.sigma_a) * rec_s.scale)
+            g_l.append(rec_s.g)
+            kind_l.append(1 if rec_s.kind == "singlescatter" else 0)
         sss_tabs = {
             "sss_p": sss_p,
             "sss_n": sss_n,
@@ -1110,12 +1115,22 @@ def pack_scene(scene) -> ScenePack:
             "sss_zv": np.stack(zv_l),
             "sss_str": np.stack(str_l),
             "sss_eta": np.asarray(eta_l, np.float32),
+            "sss_sigs": np.stack(sigs_l).astype(np.float32),
+            "sss_sigt": np.stack(sigt_l).astype(np.float32),
+            "sss_g": np.asarray(g_l, np.float32),
+            "sss_kind": np.asarray(kind_l, np.int32),
             "sss_E": np.zeros_like(sss_p),
         }
         sss_meta = {
             "has_sss": True,
             "sss_irr_samples": max(o[0].irr_samples for o in sss_objs),
             "sss_indirect": any(o[0].indirect for o in sss_objs),
+            # static: any singlescatter objects -> compile that branch
+            "sss_has_single": any(kind_l),
+            "sss_has_dipole": any(k == 0 for k in kind_l),
+            "sss_ss_samples": max(
+                (o[0].ss_samples for o in sss_objs), default=2
+            ),
         }
     else:
         sss_tabs = {
@@ -1127,6 +1142,10 @@ def pack_scene(scene) -> ScenePack:
             "sss_zv": np.ones((1, 3), np.float32),
             "sss_str": np.ones((1, 3), np.float32),
             "sss_eta": np.ones(1, np.float32),
+            "sss_sigs": np.ones((1, 3), np.float32),
+            "sss_sigt": np.ones((1, 3), np.float32),
+            "sss_g": np.zeros(1, np.float32),
+            "sss_kind": np.zeros(1, np.int32),
             "sss_E": np.zeros((1, 3), np.float32),
         }
         sss_meta = {"has_sss": False}

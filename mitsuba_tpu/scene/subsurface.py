@@ -18,8 +18,10 @@ flat, fixed-size layout:
   and the VPU eats the dense sum), Lo = Ft/pi * Mo
   (dipole.cpp:Lo, IsotropicDipoleQuery).
 
-`singlescatter` is approximated by the same dipole (the reference's
-single-scatter term is a small correction; noted in README).
+`singlescatter` is a real plugin (integrator/sss.py
+single_scatter_lo): refracted-ray exponential sampling with
+Beer-Lambert attenuation and boundary Fresnel, the reference's
+fastSingleScatter mode.
 """
 
 from __future__ import annotations
@@ -78,6 +80,10 @@ class SubsurfaceRecord:
     irr_samples: int = 16
     indirect: bool = True
     sample_multiplier: float = 1.0
+    # "dipole" (diffusion query) or "singlescatter" (refracted-ray
+    # single scattering, reference singlescatter.cpp fastSingleScatter)
+    kind: str = "dipole"
+    ss_samples: int = 2  # samples along the internal refracted ray
 
     def dipole_coefficients(self):
         """(zr[3], zv[3], sigma_tr[3], min_mfp) after `scale`."""
@@ -224,4 +230,16 @@ class Dipole(_SubsurfaceBase):
 
 @register("subsurface", "singlescatter")
 class SingleScatter(_SubsurfaceBase):
-    pass
+    """Classical single scattering along the refracted camera ray
+    (reference src/subsurface/singlescatter.cpp, fastSingleScatter
+    branch LoSingle:1415-1480): exponential distance samples inside
+    the object, straight-line light connections with boundary Fresnel
+    and Beer-Lambert attenuation.  Internal-reflection recursion and
+    the exact refracted-connection solver are not ported."""
+
+    def __init__(self, props):
+        super().__init__(props)
+        self.record.kind = "singlescatter"
+        self.record.ss_samples = props.get_int(
+            "fastSingleScatterSamples", 2
+        )

@@ -108,3 +108,47 @@ def test_dipole_end_to_end():
     assert float(img[20:28, 20:28].mean()) > 50 * float(
         img0[20:28, 20:28].mean() + 1e-9
     )
+
+
+def test_singlescatter_end_to_end():
+    """Real single scattering (reference singlescatter.cpp
+    fastSingleScatter): the translucent sphere glows, brightness grows
+    with sigmaS in the optically-thin regime, and the plugin no longer
+    aliases the dipole (different estimator, different image)."""
+    def scene(sigs, spp=24):
+        return _sss_scene(
+            f"""
+            <subsurface type="singlescatter">
+              <rgb name="sigmaS" value="{sigs},{sigs},{sigs}"/>
+              <rgb name="sigmaA" value="0.005,0.005,0.005"/>
+              <float name="intIOR" value="1.4"/>
+              <integer name="fastSingleScatterSamples" value="2"/>
+            </subsurface>
+        """,
+            spp=spp,
+        )
+
+    img = render(scene(0.4), spp=24)
+    assert np.isfinite(img).all()
+    glow = float(img[20:28, 20:28].mean())
+    assert glow > 1e-4, glow
+
+    # optically-thin regime: brightness ~ sigmaS (attenuation cancels
+    # the sigmaS factor once optical depth is O(1), so probe at low
+    # densities where the linear term dominates)
+    thin1 = float(render(scene(0.05), spp=24)[20:28, 20:28].mean())
+    thin2 = float(render(scene(0.15), spp=24)[20:28, 20:28].mean())
+    assert thin2 > 1.8 * thin1, (thin1, thin2)
+
+    dip = _sss_scene(
+        """
+        <subsurface type="dipole">
+          <rgb name="sigmaS" value="0.4,0.4,0.4"/>
+          <rgb name="sigmaA" value="0.02,0.02,0.02"/>
+          <float name="intIOR" value="1.4"/>
+        </subsurface>
+    """
+    )
+    img_d = render(dip, spp=24)
+    rel = np.abs(img - img_d).mean() / max(img.mean(), 1e-9)
+    assert rel > 0.05, rel
