@@ -448,17 +448,20 @@ def _phase_eval_one(kind, g, wo_dot_wi):
 
 def _phase_eval_dot(pack, med, wo_dot_wi):
     """Scalar-kind phase value AND pdf (they coincide for normalized
-    phases; a two-component mixturephase blends by its weights).
+    phases; an N-ary mixturephase blends by its leaf weights).
 
     wo_dot_wi = cos of the angle between the incoming propagation
     direction and the outgoing direction (reference hg.cpp eval uses
     dot(wi, wo) with wi pointing along propagation)."""
     m = jnp.maximum(med, 0)
-    pa = _phase_eval_one(pack.med_phase[m], pack.med_g[m], wo_dot_wi)
-    kind_b = pack.med_phase_b[m]
-    pb = _phase_eval_one(kind_b, pack.med_g_b[m], wo_dot_wi)
-    wa = pack.med_phase_wa[m]
-    return jnp.where(kind_b >= 0, wa * pa + (1.0 - wa) * pb, pa)
+    kinds = pack.med_ph_kinds[m]  # [R, C]
+    gs = pack.med_ph_gs[m]
+    ws = pack.med_ph_ws[m]
+    out = jnp.zeros_like(wo_dot_wi)
+    for ci in range(kinds.shape[-1]):
+        p_i = _phase_eval_one(kinds[..., ci], gs[..., ci], wo_dot_wi)
+        out = out + jnp.where(kinds[..., ci] >= 0, ws[..., ci] * p_i, 0.0)
+    return out
 
 
 # --- fiber phases (kkay / microflake) on orientation volumes ----------------
@@ -654,19 +657,33 @@ def phase_sample(pack, med, d_in, u2, p=None):
 
     m = jnp.maximum(med, 0)
     kind = pack.med_phase[m]
-    g = pack.med_g[m]
-    kind_b = pack.med_phase_b[m]
-    wa = jnp.where(kind_b >= 0, pack.med_phase_wa[m], 1.0)
-    # stochastic component selection: remap u0 to preserve stratification
-    pick_a = u2[..., 0] < wa
-    u0 = jnp.where(
-        pick_a,
-        u2[..., 0] / jnp.maximum(wa, 1e-8),
-        (u2[..., 0] - wa) / jnp.maximum(1.0 - wa, 1e-8),
+    kinds = pack.med_ph_kinds[m]  # [R, C]
+    gs = pack.med_ph_gs[m]
+    ws = pack.med_ph_ws[m]
+    # stochastic leaf selection over the weight CDF, remapping u0 to
+    # preserve stratification within the chosen leaf
+    cum = jnp.cumsum(ws, axis=-1)  # [R, C]
+    u0 = u2[..., 0]
+    sel = jnp.sum(
+        (u0[..., None] >= cum[..., :-1]).astype(jnp.int32), axis=-1
     )
+    sel = jnp.minimum(
+        sel, jnp.maximum(jnp.sum((kinds >= 0).astype(jnp.int32), -1) - 1, 0)
+    )
+    lo_c = jnp.where(
+        sel > 0,
+        jnp.take_along_axis(
+            cum, jnp.maximum(sel - 1, 0)[..., None], -1
+        )[..., 0],
+        0.0,
+    )
+    w_sel = jnp.take_along_axis(ws, sel[..., None], -1)[..., 0]
+    u0 = (u0 - lo_c) / jnp.maximum(w_sel, 1e-8)
     u2r = jnp.stack([jnp.clip(u0, 0.0, mm.ONE_MINUS_EPS), u2[..., 1]], -1)
-    kind_sel = jnp.where(pick_a, kind, jnp.maximum(kind_b, 0))
-    g_sel = jnp.where(pick_a, g, pack.med_g_b[m])
+    kind_sel = jnp.maximum(
+        jnp.take_along_axis(kinds, sel[..., None], -1)[..., 0], 0
+    )
+    g_sel = jnp.take_along_axis(gs, sel[..., None], -1)[..., 0]
     # frame around the propagation direction (+z = forward scattering)
     fr = mm.Frame.from_normal(d_in)
     local = _phase_local_dir(kind_sel, g_sel, u2r)

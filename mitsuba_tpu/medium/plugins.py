@@ -35,11 +35,10 @@ HETEROGENEOUS = 1
 class PhaseRecord:
     kind: int = ISOTROPIC
     g: float = 0.0
-    # two-component mixture (reference src/phase/mixturephase.cpp);
-    # kind_b < 0 = single-component phase
-    kind_b: int = -1
-    g_b: float = 0.0
-    w_a: float = 1.0
+    # N-ary mixture (reference src/phase/mixturephase.cpp): list of
+    # (kind, g, weight) leaves, weights normalized to 1; None = the
+    # single component (kind, g).  Nested mixturephases flatten here.
+    components: list | None = None
     # kajiya-kay (reference src/phase/kkay.cpp)
     ks: float = 0.4
     kd: float = 0.2
@@ -155,11 +154,16 @@ class MicroflakePhase(_PhaseBase):
         )
 
 
+# leaf components a mixture may carry (static table width)
+MAX_PHASE_COMPONENTS = 4
+
+
 @register("phase", "mixturephase")
 class MixturePhase(_PhaseBase):
-    """Weighted blend of nested phases (reference
-    src/phase/mixturephase.cpp).  Collapses to the two largest-weight
-    components (same policy as the BSDF mixture)."""
+    """N-ary weighted blend of nested phases (reference
+    src/phase/mixturephase.cpp).  Nested mixturephases flatten into a
+    single leaf list (weight products), up to MAX_PHASE_COMPONENTS
+    analytic leaves (iso/hg/rayleigh); fiber phases cannot be mixed."""
 
     kind = ISOTROPIC
 
@@ -176,16 +180,34 @@ class MixturePhase(_PhaseBase):
             w = [1.0 / len(kids)] * len(kids)
         if sum(w) > 1.0 + 1e-4:
             raise ValueError("mixturephase: weights sum to more than one")
-        order = sorted(range(len(kids)), key=lambda i: -w[i])
-        a = kids[order[0]]
-        self.record.kind = a.kind
-        self.record.g = a.g
-        if len(order) > 1:
-            b = kids[order[1]]
-            tot = w[order[0]] + w[order[1]]
-            self.record.kind_b = b.kind
-            self.record.g_b = b.g
-            self.record.w_a = w[order[0]] / max(tot, 1e-8)
+
+        leaves = []  # flattened (kind, g, weight)
+
+        def add(rec, weight):
+            if rec.components is not None:
+                for k_, g_, w_ in rec.components:
+                    leaves.append((k_, g_, w_ * weight))
+            else:
+                if rec.kind in (KKAY, MICROFLAKE):
+                    raise ValueError(
+                        "mixturephase: fiber phases (kkay/microflake) "
+                        "cannot be nested in a mixture"
+                    )
+                leaves.append((rec.kind, rec.g, weight))
+
+        for rec, weight in zip(kids, w):
+            add(rec, weight)
+        if len(leaves) > MAX_PHASE_COMPONENTS:
+            raise ValueError(
+                f"mixturephase: more than {MAX_PHASE_COMPONENTS} leaf "
+                "components after flattening"
+            )
+        tot = sum(x[2] for x in leaves)
+        leaves = [(k_, g_, w_ / max(tot, 1e-8)) for k_, g_, w_ in leaves]
+        leaves.sort(key=lambda x: -x[2])
+        self.record.components = leaves
+        self.record.kind = leaves[0][0]
+        self.record.g = leaves[0][1]
 
 
 @dataclass

@@ -1261,9 +1261,15 @@ def pack_scene(scene) -> ScenePack:
     med_sigma_a = np.zeros((n_med, 3), np.float32)
     med_g = np.zeros(n_med, np.float32)
     med_phase = np.zeros(n_med, np.int32)
-    med_phase_b = np.full(n_med, -1, np.int32)
-    med_g_b = np.zeros(n_med, np.float32)
-    med_phase_wa = np.ones(n_med, np.float32)
+    # N-ary mixture leaf tables (kind < 0 = empty slot); slot 0 always
+    # holds the (primary) component
+    from mitsuba_tpu.medium.plugins import MAX_PHASE_COMPONENTS
+
+    med_ph_kinds = np.full((n_med, MAX_PHASE_COMPONENTS), -1, np.int32)
+    med_ph_gs = np.zeros((n_med, MAX_PHASE_COMPONENTS), np.float32)
+    med_ph_ws = np.zeros((n_med, MAX_PHASE_COMPONENTS), np.float32)
+    med_ph_kinds[:, 0] = 0
+    med_ph_ws[:, 0] = 1.0
     med_kind = np.zeros(n_med, np.int32)
     med_sampling_w = np.zeros(n_med, np.float32)
     # fiber phases (kkay/microflake): per-medium params + sigma_t LUT
@@ -1302,9 +1308,16 @@ def pack_scene(scene) -> ScenePack:
             med_flake_norm[i] = m.phase.flake_norm
             med_flake_stddev[i] = m.phase.stddev
             med_flake_sigt[i] = m.phase.flake_sigt
-        med_phase_b[i] = m.phase.kind_b
-        med_g_b[i] = m.phase.g_b
-        med_phase_wa[i] = m.phase.w_a
+        comps = m.phase.components or [
+            (m.phase.kind, m.phase.g, 1.0)
+        ]
+        for ci, (k_, g_, w_) in enumerate(comps):
+            med_ph_kinds[i, ci] = k_
+            med_ph_gs[i, ci] = g_ if k_ == HG else 0.0
+            med_ph_ws[i, ci] = w_
+        for ci in range(len(comps), MAX_PHASE_COMPONENTS):
+            med_ph_kinds[i, ci] = -1
+            med_ph_ws[i, ci] = 0.0
         if m.kind == HETEROGENEOUS:
             if het_med_id < 0:
                 het_med_id = i  # kept for meta back-compat
@@ -1413,9 +1426,9 @@ def pack_scene(scene) -> ScenePack:
         "med_sigma_a": med_sigma_a,
         "med_g": med_g,
         "med_phase": med_phase,
-        "med_phase_b": med_phase_b,
-        "med_g_b": med_g_b,
-        "med_phase_wa": med_phase_wa,
+        "med_ph_kinds": med_ph_kinds,
+        "med_ph_gs": med_ph_gs,
+        "med_ph_ws": med_ph_ws,
         "med_kind": med_kind,
         "med_sampling_w": med_sampling_w,
         "med_het_slot": het_slot_of_med,
@@ -1563,9 +1576,9 @@ def pack_scene(scene) -> ScenePack:
         "bvh_n_layouts": bvh_n_layouts,
         "het_med_id": het_med_id,
         "het_sigma_max": het_sigma_max,
-        "phase_kinds": tuple(sorted({int(k) for k in med_phase}
-                                    | {int(k) for k in med_phase_b if k >= 0}))
-        if len(media) else (),
+        "phase_kinds": tuple(sorted(
+            {int(k) for k in med_ph_kinds.ravel() if k >= 0}
+        )) if len(media) else (),
         "n_het": n_het,
         # deterministic Simpson transmittance iff every heterogeneous
         # medium requests method="simpson" (reference heterogeneous.cpp

@@ -198,20 +198,27 @@ def test_phase_chi2_rayleigh_and_mixture():
         jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (1, 3)
     )
 
+    def mk(kinds, gs, ws):
+        pad = 4 - len(kinds)
+        return dict(
+            med_phase=[kinds[0]], med_g=[gs[0]],
+            med_ph_kinds=[kinds + [-1] * pad],
+            med_ph_gs=[gs + [0.0] * pad],
+            med_ph_ws=[ws + [0.0] * pad],
+        )
+
     cases = [
-        ("rayleigh", dict(med_phase=[RAYLEIGH], med_g=[0.0],
-                          med_phase_b=[-1], med_g_b=[0.0],
-                          med_phase_wa=[1.0])),
-        ("mix_hg_ray", dict(med_phase=[HG], med_g=[0.6],
-                            med_phase_b=[RAYLEIGH], med_g_b=[0.0],
-                            med_phase_wa=[0.65])),
-        ("mix_hg_iso", dict(med_phase=[HG], med_g=[-0.4],
-                            med_phase_b=[ISOTROPIC], med_g_b=[0.0],
-                            med_phase_wa=[0.3])),
+        ("rayleigh", mk([RAYLEIGH], [0.0], [1.0])),
+        ("mix_hg_ray", mk([HG, RAYLEIGH], [0.6, 0.0], [0.65, 0.35])),
+        ("mix_hg_iso", mk([HG, ISOTROPIC], [-0.4, 0.0], [0.3, 0.7])),
+        # N-ary: 4 leaves incl. two HG lobes (the old code capped at 2)
+        ("mix_4ary", mk([HG, HG, RAYLEIGH, ISOTROPIC],
+                        [0.7, -0.3, 0.0, 0.0],
+                        [0.4, 0.25, 0.2, 0.15])),
     ]
     for name, fields in cases:
         pack = SimpleNamespace(**{
-            k: jnp.asarray(v, jnp.float32 if "g" in k or "wa" in k
+            k: jnp.asarray(v, jnp.float32 if "g" in k or "ws" in k
                            else jnp.int32)
             for k, v in fields.items()
         })
@@ -345,3 +352,47 @@ def test_simpson_transmittance_matches_tracking():
             pack_w, med, o, d, dist, lane, jnp.uint32(s), 0, 3))[:, 0]
     tr_w = acc / reps
     assert np.abs(tr_q - tr_w).mean() < 0.05
+
+
+def test_mixturephase_nary_nested_flattening():
+    """Nested mixturephases flatten into weighted leaves
+    (reference mixturephase.cpp is N-ary and nestable)."""
+    from mitsuba_tpu.medium.plugins import HG, ISOTROPIC, RAYLEIGH
+    from mitsuba_tpu.scene.xml_loader import load_scene_string
+
+    scene = load_scene_string("""
+    <scene version="0.5.0">
+      <integrator type="volpath"/>
+      <sensor type="perspective">
+        <film type="hdrfilm">
+          <integer name="width" value="8"/>
+          <integer name="height" value="8"/></film>
+      </sensor>
+      <shape type="sphere">
+        <bsdf type="null"/>
+        <medium name="interior" type="homogeneous">
+          <rgb name="sigmaS" value="1"/><rgb name="sigmaA" value="0.1"/>
+          <phase type="mixturephase">
+            <string name="weights" value="0.5 0.5"/>
+            <phase type="hg"><float name="g" value="0.8"/></phase>
+            <phase type="mixturephase">
+              <string name="weights" value="0.6 0.4"/>
+              <phase type="rayleigh"/>
+              <phase type="isotropic"/>
+            </phase>
+          </phase>
+        </medium>
+      </shape>
+    </scene>""")
+    comps = scene.shapes[0].interior_medium.phase.components
+    assert comps is not None and len(comps) == 3
+    d = {k: w for k, _, w in comps}
+    assert abs(d[HG] - 0.5) < 1e-6
+    assert abs(d[RAYLEIGH] - 0.3) < 1e-6
+    assert abs(d[ISOTROPIC] - 0.2) < 1e-6
+
+    from mitsuba_tpu.scene.builder import pack_scene
+    pack = pack_scene(scene)
+    import numpy as np
+    ws = np.asarray(pack.med_ph_ws)[0]
+    assert abs(ws.sum() - 1.0) < 1e-5
