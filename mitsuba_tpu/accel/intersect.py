@@ -794,6 +794,7 @@ class SurfaceInteraction(NamedTuple):
     med_in: jnp.ndarray  # interior medium id (-1 vacuum)
     med_ex: jnp.ndarray  # exterior medium id
     dpdu: jnp.ndarray  # [R, 3] uv-aligned tangent (bump/normal maps)
+    dpdv: jnp.ndarray  # [R, 3] second uv partial (anisotropic mip LOD)
     bary: jnp.ndarray  # [R, 2] triangle barycentrics (geom textures)
 
 
@@ -884,27 +885,51 @@ def fill_interaction(pack, o, d, hit: Hit) -> SurfaceInteraction:
         med_in = jnp.full(hit.t.shape, -1, jnp.int32)
         med_ex = med_in
 
-    if pack.meta.get("has_bumpmaps", False):
-        dpdu = take_fused(prim, pack.tri_dpdu)[0]
+    # uv partials: needed by bump/normal maps AND by mip LOD selection
+    # (mip_footprint divides by |dpdu| — leaving it zero on mip-only
+    # scenes used to force every bitmap to its coarsest level)
+    if pack.meta.get("has_bumpmaps", False) or pack.meta.get(
+        "has_mips", False
+    ):
+        dpdu, dpdv = take_fused(prim, pack.tri_dpdu, pack.tri_dpdv)
         if pack.meta.get("has_instances", False) and hit.inst is not None:
             imf = jnp.maximum(hit.inst, 0)
             Lf = pack.inst_fwd[imf].reshape(-1, 3, 3)
+            isel = (hit.inst >= 0)[:, None]
             dpdu = jnp.where(
-                (hit.inst >= 0)[:, None],
-                jnp.einsum("rij,rj->ri", Lf, dpdu),
-                dpdu,
+                isel, jnp.einsum("rij,rj->ri", Lf, dpdu), dpdu
+            )
+            dpdv = jnp.where(
+                isel, jnp.einsum("rij,rj->ri", Lf, dpdv), dpdv
             )
         if pack.n_spheres > 0:
-            # spherical tangent along +phi
-            t_sph = mm.normalize(
+            # lat-long parameterization partials with true magnitudes:
+            # |dp/du| = 2 pi r sin(theta), |dp/dv| = pi r
+            radius = take_fused(prim, pack.sph_radius)[0]
+            rel = mm.normalize(p - center)
+            sin_t = jnp.sqrt(
+                jnp.maximum(1.0 - rel[..., 2] * rel[..., 2], 1e-12)
+            )
+            t_phi = mm.normalize(
                 jnp.stack(
                     [-(p - center)[..., 1], (p - center)[..., 0],
                      jnp.zeros_like(hit.t)], axis=-1,
                 )
             )
-            dpdu = jnp.where(hit.is_sphere[:, None], t_sph, dpdu)
+            t_theta = mm.normalize(mm.cross(t_phi, rel))
+            dpdu = jnp.where(
+                hit.is_sphere[:, None],
+                t_phi * (2.0 * jnp.pi * radius * sin_t)[:, None],
+                dpdu,
+            )
+            dpdv = jnp.where(
+                hit.is_sphere[:, None],
+                t_theta * (jnp.pi * radius)[:, None],
+                dpdv,
+            )
     else:
         dpdu = jnp.zeros_like(ng)
+        dpdv = jnp.zeros_like(ng)
 
     return SurfaceInteraction(
         valid=hit.valid,
@@ -920,5 +945,6 @@ def fill_interaction(pack, o, d, hit: Hit) -> SurfaceInteraction:
         med_in=med_in,
         med_ex=med_ex,
         dpdu=dpdu,
+        dpdv=dpdv,
         bary=jnp.stack([hit.u, hit.v], axis=-1),
     )

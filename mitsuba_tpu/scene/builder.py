@@ -860,6 +860,10 @@ def pack_scene(scene) -> ScenePack:
         tri_e1 * duv2[:, 1:2] - tri_e2 * duv1[:, 1:2]
     ) * inv_det[:, None]
     tri_dpdu = np.where(safe[:, None], tri_dpdu, tri_e1).astype(np.float32)
+    tri_dpdv = (
+        tri_e2 * duv1[:, 0:1] - tri_e1 * duv2[:, 0:1]
+    ) * inv_det[:, None]
+    tri_dpdv = np.where(safe[:, None], tri_dpdv, tri_e2).astype(np.float32)
 
     # ---------------- spheres ----------------
     n_sph = len(spheres)
@@ -1459,6 +1463,7 @@ def pack_scene(scene) -> ScenePack:
         "tri_n0": tri_n0, "tri_n1": tri_n1, "tri_n2": tri_n2,
         "tri_uv0": tri_uv0, "tri_uv1": tri_uv1, "tri_uv2": tri_uv2,
         "tri_mat": tri_mat, "tri_emit": tri_emit, "tri_dpdu": tri_dpdu,
+        "tri_dpdv": tri_dpdv,
         "sph_center": sph_center, "sph_radius": sph_radius,
         "sph_mat": sph_mat, "sph_emit": sph_emit, "sph_flip": sph_flip,
         "sph_med_in": sph_med_in, "sph_med_ex": sph_med_ex,

@@ -2,14 +2,19 @@
 
 Dispatches over the packed texture table (scene/builder.py
 _pack_textures).  Bitmap lookups are bilinear gathers from the shared
-atlas with repeat wrapping (the reference's MIPMap EWA filtering,
-mipmap.h:56-162, is planned once ray differentials are tracked).
+atlas with repeat wrapping; trilinear mip selection from the shading
+cone, with fixed-probe anisotropic filtering along the projected
+ellipse's major axis (the TPU-shaped stand-in for the reference's EWA
+loop, mipmap.h:56-162 — probes after McCormack et al., "Feline").
 """
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
+from mitsuba_tpu.core import math as mm
 from mitsuba_tpu.core.gather import take_fused, take_rows
 from mitsuba_tpu.scene.textures import (
     TEX_BITMAP,
@@ -17,6 +22,11 @@ from mitsuba_tpu.scene.textures import (
     TEX_CONSTANT,
     TEX_GRID,
 )
+
+# anisotropic probes along the footprint's major axis (1 = isotropic
+# trilinear only); clamped anisotropy like the reference maxAnisotropy
+TEX_ANISO = int(os.environ.get("MTS_TEX_ANISO", 4))
+TEX_MAX_ANISO = float(os.environ.get("MTS_TEX_MAX_ANISO", 8.0))
 
 
 def _bitmap_fetch(pack, rect, u, v, nearest_sel):
@@ -97,16 +107,37 @@ def eval_texture(pack, tid, uv, default_rgb, fp=None, geom=None):
     out = jnp.where((kind == TEX_GRID)[..., None], grid, out)
 
     # bitmap: bilinear atlas gather, trilinear across the mip pyramid
-    # when a footprint is provided
+    # when a footprint is provided; with an anisotropic footprint the
+    # mip level comes from the MINOR axis and TEX_ANISO probes average
+    # along the major axis (Feline approximation of EWA)
     if fp is not None and pack.meta.get("has_mips", False):
         (n_lev,) = take_fused(t, pack.tex_n_lev)
         w0 = jnp.maximum(rect[..., 2], 1).astype(jnp.float32)
         h0 = jnp.maximum(rect[..., 3], 1).astype(jnp.float32)
-        # footprint in level-0 texels (uv tiling scales the density)
-        fp_tex = jnp.maximum(
-            jnp.abs(fp * uvt[..., 0]) * w0,
-            jnp.abs(fp * uvt[..., 1]) * h0,
-        )
+
+        if isinstance(fp, tuple):
+            minor_uv, major_uv = fp
+            # texel lengths through the per-texture uv tiling
+            def texel_len(vec):
+                return jnp.sqrt(
+                    (vec[..., 0] * uvt[..., 0] * w0) ** 2
+                    + (vec[..., 1] * uvt[..., 1] * h0) ** 2
+                )
+
+            min_tex = texel_len(minor_uv)
+            maj_tex = texel_len(major_uv)
+            # clamp anisotropy (reference mipmap.h maxAnisotropy), and
+            # make each probe's filter cover the inter-probe spacing
+            # (major/N) so the probes can't alias between taps
+            fp_tex = jnp.maximum(
+                jnp.maximum(min_tex, maj_tex / TEX_MAX_ANISO),
+                maj_tex / TEX_ANISO,
+            )
+        else:
+            fp_tex = jnp.maximum(
+                jnp.abs(fp * uvt[..., 0]) * w0,
+                jnp.abs(fp * uvt[..., 1]) * h0,
+            )
         lod = jnp.log2(jnp.clip(fp_tex, 1.0, 1e9))
         lod = jnp.minimum(lod, (n_lev - 1).astype(jnp.float32))
         l0 = jnp.floor(lod).astype(jnp.int32)
@@ -116,10 +147,25 @@ def eval_texture(pack, tid, uv, default_rgb, fp=None, geom=None):
         mip_flat = pack.tex_mip_rect.reshape(-1, 4)
         rect_a = take_rows(mip_flat, t * n_mips + l0)
         rect_b = take_rows(mip_flat, t * n_mips + l1)
-        bitmap = (
-            _bitmap_fetch(pack, rect_a, u, v, nearest_sel) * (1.0 - frac)
-            + _bitmap_fetch(pack, rect_b, u, v, nearest_sel) * frac
-        )
+
+        def tri_fetch(uu, vv):
+            return (
+                _bitmap_fetch(pack, rect_a, uu, vv, nearest_sel)
+                * (1.0 - frac)
+                + _bitmap_fetch(pack, rect_b, uu, vv, nearest_sel) * frac
+            )
+
+        if isinstance(fp, tuple) and TEX_ANISO > 1:
+            n_taps = TEX_ANISO
+            acc = 0.0
+            for i in range(n_taps):
+                c = (i + 0.5) / n_taps - 0.5
+                uu = u + c * major_uv[..., 0] * uvt[..., 0]
+                vv = v + c * major_uv[..., 1] * uvt[..., 1]
+                acc = acc + tri_fetch(uu, vv)
+            bitmap = acc / n_taps
+        else:
+            bitmap = tri_fetch(u, v)
     else:
         bitmap = _bitmap_fetch(pack, rect, u, v, nearest_sel)
     out = jnp.where((kind == TEX_BITMAP)[..., None], bitmap, out)
@@ -192,16 +238,55 @@ def eval_texture(pack, tid, uv, default_rgb, fp=None, geom=None):
 
 
 def mip_footprint(pack, its):
-    """Isotropic uv-space footprint of a camera-cone shading sample, or
-    None when the scene has no mip pyramids.  The cone angle is the
-    camera pixel angle (ray differentials at the first hit; secondary
-    bounces reuse the same cone — slightly over-sharp mirrors, never
-    over-blurred)."""
+    """uv-space footprint of a camera-cone shading sample, or None
+    when the scene has no mip pyramids.  The cone angle is the camera
+    pixel angle (ray differentials at the first hit; secondary bounces
+    reuse the same cone — slightly over-sharp mirrors, never
+    over-blurred).
+
+    With MTS_TEX_ANISO > 1 (default 4) the cone is projected onto the
+    surface as an ELLIPSE: minor axis = cone radius, major axis =
+    radius/cos(theta) along the projected view direction, both mapped
+    into uv space through the (dpdu, dpdv) metric — the fixed-probe
+    approximation of the reference's EWA filter (mipmap.h evalEWA;
+    probes after McCormack et al., "Feline").  Returns (minor_uv [R,2],
+    major_uv [R,2]) in that mode, else the scalar isotropic diameter."""
     ang = pack.meta.get("cam_pix_angle", 0.0)
     if not pack.meta.get("has_mips", False) or ang <= 0.0:
         return None
-    dpdu_len = jnp.linalg.norm(its.dpdu, axis=-1)
-    return its.t * ang / jnp.maximum(dpdu_len, 1e-8)
+    r = its.t * ang
+    if TEX_ANISO <= 1:
+        dpdu_len = jnp.linalg.norm(its.dpdu, axis=-1)
+        return r / jnp.maximum(dpdu_len, 1e-8)
+
+    dpdu, dpdv = its.dpdu, its.dpdv
+    E = jnp.sum(dpdu * dpdu, axis=-1)
+    F = jnp.sum(dpdu * dpdv, axis=-1)
+    G = jnp.sum(dpdv * dpdv, axis=-1)
+    det = jnp.maximum(E * G - F * F, 1e-24)
+
+    w = -its.wi_world  # unit, toward the surface
+    n = its.ns
+    cosv = jnp.clip(jnp.abs(mm.dot(w, n)), 1.0 / TEX_MAX_ANISO, 1.0)
+    m_dir = mm.cross(n, w)
+    m_len = jnp.linalg.norm(m_dir, axis=-1, keepdims=True)
+    dpdu_unit = dpdu / jnp.maximum(
+        jnp.linalg.norm(dpdu, axis=-1, keepdims=True), 1e-12
+    )
+    m_dir = jnp.where(m_len > 1e-6, m_dir / jnp.maximum(m_len, 1e-12),
+                      dpdu_unit)
+    a_dir = mm.normalize(mm.cross(m_dir, n))
+
+    def to_uv(x):
+        pu = jnp.sum(x * dpdu, axis=-1)
+        pv = jnp.sum(x * dpdv, axis=-1)
+        du = (G * pu - F * pv) / det
+        dv = (E * pv - F * pu) / det
+        return jnp.stack([du, dv], axis=-1)
+
+    minor_uv = to_uv(m_dir * r[..., None])
+    major_uv = to_uv(a_dir * (r / cosv)[..., None])
+    return (minor_uv, major_uv)
 
 
 def _gather_params(pack, m, uv, fp=None, geom=None):

@@ -81,24 +81,65 @@ def test_mip_pyramid_packed_and_trilinear_converges_to_mean():
         mid = np.asarray(eval_texture(pack, tid, uv, default, fp))
         assert mid.std() < sharp.std()
 
+def test_anisotropic_probes_average_major_axis():
+    """eval_texture with an anisotropic footprint must average the
+    texture along the ellipse's MAJOR axis (the reference's EWA role,
+    mipmap.h evalEWA) while keeping minor-axis sharpness: for stripes
+    running across the major axis the probes return the stripe mean,
+    where isotropic minor-LOD filtering aliases to the point sample."""
+    import numpy as np
+    import jax.numpy as jnp
+    import tempfile, os as _os
 
-def test_mip_level0_matches_unfiltered():
-    """fp=0 must reproduce the plain bilinear path bit-exactly."""
-    from mitsuba_tpu.scene.texture_eval import eval_texture
+    from mitsuba_tpu.io.images import write_image
+    from mitsuba_tpu.scene import texture_eval
+    from mitsuba_tpu.scene.builder import pack_scene
+    from mitsuba_tpu.scene.xml_loader import load_scene_string
 
-    with tempfile.TemporaryDirectory() as td:
-        p = os.path.join(td, "checker.png")
-        _checker_png(p)
-        pack = _bitmap_scene_pack(p)
-        tid_row = int(np.argmax(np.asarray(pack.tex_n_lev)))
-        n = 256
-        tid = jnp.full((n,), tid_row, jnp.int32)
-        uv = jnp.stack(
-            [jnp.linspace(0, 1, n), jnp.linspace(0, 1, n)], -1
-        )
-        default = jnp.zeros((n, 3), jnp.float32)
-        a = np.asarray(eval_texture(pack, tid, uv, default))
-        b = np.asarray(
-            eval_texture(pack, tid, uv, default, jnp.zeros((n,)))
-        )
-        np.testing.assert_allclose(a, b, atol=1e-6)
+    # horizontal stripes: value depends on v only, 8-texel period
+    img = np.zeros((256, 256, 3), np.float32)
+    img[(np.arange(256) // 4) % 2 == 0, :] = 1.0
+    p = _os.path.join(tempfile.mkdtemp(), "hstripes.png")
+    write_image(p, img)
+    scene = load_scene_string(f"""
+    <scene version="0.5.0"><integrator type="direct"/>
+      <sensor type="perspective">
+        <film type="hdrfilm">
+          <integer name="width" value="8"/>
+          <integer name="height" value="8"/></film></sensor>
+      <shape type="rectangle">
+        <bsdf type="diffuse">
+          <texture name="reflectance" type="bitmap">
+            <string name="filename" value="{p}"/>
+          </texture>
+        </bsdf></shape>
+      <emitter type="constant"><rgb name="radiance" value="1"/></emitter>
+    </scene>""")
+    pack = pack_scene(scene)
+    assert pack.meta.get("has_mips", False)
+
+    n = 64
+    tid = jnp.zeros((n,), jnp.int32)
+    # centers spread along v so stripe phases vary
+    uv = jnp.stack(
+        [jnp.full((n,), 0.5), jnp.linspace(0.2, 0.8, n)], axis=-1
+    )
+    default = jnp.zeros((n, 3), jnp.float32)
+    # ellipse: tiny minor along u, major spanning 32 texels along v
+    minor = jnp.tile(jnp.asarray([[1.0 / 256.0, 0.0]], jnp.float32), (n, 1))
+    major = jnp.tile(jnp.asarray([[0.0, 32.0 / 256.0]], jnp.float32), (n, 1))
+
+    out_a = np.asarray(
+        texture_eval.eval_texture(pack, tid, uv, default, fp=(minor, major))
+    )[:, 0]
+    # isotropic reference: scalar minor-sized footprint (sharp point)
+    out_i = np.asarray(
+        texture_eval.eval_texture(pack, tid, uv, default, fp=1.0 / 256.0)
+    )[:, 0]
+
+    # analytic mean of the stripe function over the major span (the
+    # probes are a 4-point midpoint rule; 32 texels = 4 full periods,
+    # so the mean is ~0.5 everywhere)
+    assert np.abs(out_a - 0.5).max() < 0.13, out_a
+    # the isotropic point samples swing across the full stripe range
+    assert out_i.max() > 0.85 and out_i.min() < 0.15
