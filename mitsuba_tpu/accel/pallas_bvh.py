@@ -560,7 +560,7 @@ def _run(pack, o, d, t_max, sort, mode, interpret):
         tm_s = tm_s.at[r:].set(0.0)  # padded duplicates: immediate miss
     tm_c = tm_s.reshape(nc, chunk)
 
-    if PREPASS == "cone" and sort:
+    if PREPASS == "cone":
         order, entry, h = _cone_prepass(o_s, d_s, tm_c, cl_box)
     else:
         # sequential map keeps the [CHUNK, Cp] slab intermediates bounded

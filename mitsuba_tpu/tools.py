@@ -86,6 +86,9 @@ def kdbench(argv):
     p.add_argument("scene")
     p.add_argument("-n", "--rays", type=int, default=10_000_000)
     p.add_argument("--best-of", type=int, default=3)
+    p.add_argument("--coherent", action="store_true",
+                   help="scanline pinhole rays instead of random "
+                        "sphere-to-sphere")
     args = p.parse_args(argv)
 
     import jax
@@ -99,22 +102,49 @@ def kdbench(argv):
     scene = load_scene(args.scene)
     pack = pack_scene(scene)
 
-    # random sphere-to-sphere rays around the scene bounds
     lo = np.asarray(pack.tri_v0[: pack.n_tris]).min(axis=0)
     hi = np.asarray(pack.tri_v0[: pack.n_tris]).max(axis=0)
     center = (lo + hi) / 2
     radius = float(np.linalg.norm(hi - lo) / 2 * 1.3)
 
     n = args.rays
-    u = rng.rand4(jnp.arange(n, dtype=jnp.uint32), 0, 0)
-    from mitsuba_tpu.core import warp
+    if args.coherent:
+        # scanline-ordered primary rays from a virtual pinhole — the
+        # packet-friendly case (already coherent, no sort needed;
+        # reference kdbench's "coherent" variant)
+        side = int(np.sqrt(n))
+        n = side * side
+        px = (jnp.arange(n, dtype=jnp.float32) % side + 0.5) / side
+        py = (jnp.arange(n, dtype=jnp.float32) // side + 0.5) / side
+        eye = jnp.asarray(
+            center + np.array([0.0, 0.25 * radius, -2.2 * radius]),
+            jnp.float32,
+        )
+        span = 1.15 * radius
+        target = jnp.stack(
+            [
+                center[0] + (px - 0.5) * 2 * span,
+                center[1] + (py - 0.5) * 2 * span,
+                jnp.full((n,), center[2], jnp.float32),
+            ],
+            axis=-1,
+        )
+        p1 = jnp.broadcast_to(eye[None, :], (n, 3))
+        d = target - p1
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        sort = False
+    else:
+        # random sphere-to-sphere rays around the scene bounds
+        u = rng.rand4(jnp.arange(n, dtype=jnp.uint32), 0, 0)
+        from mitsuba_tpu.core import warp
 
-    p1 = warp.square_to_uniform_sphere(u[..., 0:2]) * radius + center
-    p2 = warp.square_to_uniform_sphere(u[..., 2:4]) * radius + center
-    d = p2 - p1
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        p1 = warp.square_to_uniform_sphere(u[..., 0:2]) * radius + center
+        p2 = warp.square_to_uniform_sphere(u[..., 2:4]) * radius + center
+        d = p2 - p1
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        sort = pack.use_bvh
 
-    f = jax.jit(lambda o, d: intersect(pack, o, d, sort=pack.use_bvh).t)
+    f = jax.jit(lambda o, d: intersect(pack, o, d, sort=sort).t)
     f(p1, d).block_until_ready()  # compile
     best = np.inf
     for _ in range(args.best_of):
@@ -124,6 +154,7 @@ def kdbench(argv):
     print(
         f"kdbench: {n/best/1e6:.2f} MRays/s "
         f"({pack.n_tris} tris, {'BVH' if pack.use_bvh else 'brute'}, "
+        f"{'coherent' if args.coherent else 'incoherent'}, "
         f"best of {args.best_of})"
     )
 

@@ -122,3 +122,21 @@ def test_multichannel_stacks_children():
     # channel group 1 is the distance AOV: center pixel ~3 (sphere at 1
     # unit radius, camera 4 away)
     assert 2.0 < img[8, 8, 3] < 4.0
+
+
+def test_progressive_preview_headless():
+    """The preview frontend's progressive loop (mtsgui's render-view
+    role) accumulates passes into a converging running average."""
+    import numpy as np
+    from mitsuba_tpu.preview import progressive_render
+
+    frames = []
+    for acc, total, dt in progressive_render(
+        "scenes/cbox.xml", spp_chunk=2, max_spp=4,
+    ):
+        frames.append((np.asarray(acc), total))
+    assert [t for _, t in frames] == [2, 4]
+    a2, a4 = frames[0][0], frames[1][0]
+    assert a2.shape == a4.shape and np.isfinite(a4).all()
+    # the running average actually mixes both passes
+    assert not np.allclose(a2, a4)
