@@ -41,6 +41,10 @@ CONFIGS = [
     ("smoke", "scenes/smoke.xml", None, 256, 512),
     ("glass_caustics", "scenes/glass_caustics.xml", ("path", None), 256,
      16384),
+    # hard-visibility interior (BASELINE config 5): ref rendered with
+    # bdpt (finds door paths bidirectionally); measured with the
+    # scene's pssmlt
+    ("door", "scenes/door.xml", ("bdpt", None), 256, 8192),
 ]
 TARGET_RMSE = 0.01
 

@@ -39,8 +39,10 @@ CHUNK = int(os.environ.get("MTS_CLUSTER_CHUNK", 1024))
 # always take this path
 KERNEL = os.environ.get("MTS_CLUSTER_KERNEL", "vpu")
 # "exact": per-ray x per-cluster slab prepass; "cone": per-chunk
-# interval-arithmetic culling (only applies to sorted batches)
-PREPASS = os.environ.get("MTS_CLUSTER_PREPASS", "exact")
+# interval-arithmetic culling (~1000x cheaper, only tight on coherent
+# chunks); "auto": cone for unsorted batches (the caller asserts
+# coherence by skipping the sort), exact otherwise
+PREPASS = os.environ.get("MTS_CLUSTER_PREPASS", "auto")
 BIG = 3e38
 
 
@@ -560,7 +562,7 @@ def _run(pack, o, d, t_max, sort, mode, interpret):
         tm_s = tm_s.at[r:].set(0.0)  # padded duplicates: immediate miss
     tm_c = tm_s.reshape(nc, chunk)
 
-    if PREPASS == "cone":
+    if PREPASS == "cone" or (PREPASS == "auto" and not sort):
         order, entry, h = _cone_prepass(o_s, d_s, tm_c, cl_box)
     else:
         # sequential map keeps the [CHUNK, Cp] slab intermediates bounded

@@ -83,6 +83,10 @@ def _rays(n_rays=4096, seed=7):
 @pytest.mark.parametrize("kernel", ["vpu", "mxu"])
 def test_cluster_closest_matches_bvh(kernel, monkeypatch):
     monkeypatch.setattr(pb, "KERNEL", kernel)
+    # pin the exact prepass: "auto" would pick the cone prepass for
+    # the unsorted case, which visits every cluster on these
+    # incoherent test rays (correct but interpret-mode slow)
+    monkeypatch.setattr(pb, "PREPASS", "exact")
     pack = cluster_pack()
     o, d = _rays()
     ref = isect.intersect(pack, o, d)  # XLA BVH path on CPU
@@ -112,6 +116,7 @@ def test_cluster_closest_matches_bvh(kernel, monkeypatch):
 @pytest.mark.parametrize("kernel", ["vpu", "mxu"])
 def test_cluster_any_matches_bvh(kernel, monkeypatch):
     monkeypatch.setattr(pb, "KERNEL", kernel)
+    monkeypatch.setattr(pb, "PREPASS", "exact")
     pack = cluster_pack(seed=1)
     o, d = _rays(seed=11)
     t_max = jnp.full((o.shape[0],), 1.5, jnp.float32)
@@ -153,6 +158,7 @@ def test_cluster_cone_prepass_matches_exact(monkeypatch):
 @pytest.mark.parametrize("kernel", ["vpu", "mxu"])
 def test_cluster_finite_tmax_and_small_batch(kernel, monkeypatch):
     monkeypatch.setattr(pb, "KERNEL", kernel)
+    monkeypatch.setattr(pb, "PREPASS", "exact")
     pack = cluster_pack(seed=2, n_tris=700)
     o, d = _rays(n_rays=37, seed=5)
     t_max = jnp.full((37,), 0.8, jnp.float32)

