@@ -53,6 +53,14 @@ def build_parser():
         action="store_true",
         help="force the CPU backend (debugging)",
     )
+    p.add_argument(
+        "--pack-cache",
+        action="store_true",
+        help="cache the packed scene next to the XML (<scene>.mtspack) "
+             "and reuse it on later runs — skips parsing, BVH/cluster "
+             "builds, and texture packing (the serialized-scene role, "
+             "reference serialization.h)",
+    )
     return p
 
 
@@ -98,6 +106,27 @@ def main(argv=None):
             )
         t0 = time.time()
 
+        pack = None
+        if args.pack_cache and args.size:
+            print("  (pack cache skipped: --size overrides the scene)")
+        elif args.pack_cache:
+            from mitsuba_tpu.scene.builder import pack_scene
+            from mitsuba_tpu.scene.serialize import load_pack, save_pack
+
+            cache = os.path.splitext(path)[0] + ".mtspack"
+            fresh = os.path.exists(cache) and (
+                os.path.getmtime(cache) >= os.path.getmtime(path)
+            )
+            if fresh:
+                pack = load_pack(cache)
+                if not args.quiet:
+                    print(f"  (pack cache hit: {cache})")
+            else:
+                pack = pack_scene(scene)
+                save_pack(pack, cache)
+                if not args.quiet:
+                    print(f"  (pack cached: {cache})")
+
         def progress(i, n):
             if not args.quiet:
                 pct = 100.0 * i / n
@@ -105,7 +134,8 @@ def main(argv=None):
                 sys.stdout.flush()
 
         out, img = render_to_file(
-            scene, output=output, spp=spp, seed=args.seed, progress=progress
+            scene, output=output, spp=spp, seed=args.seed,
+            progress=progress, pack=pack,
         )
         dt = time.time() - t0
         if not args.quiet:

@@ -140,3 +140,32 @@ def test_progressive_preview_headless():
     assert a2.shape == a4.shape and np.isfinite(a4).all()
     # the running average actually mixes both passes
     assert not np.allclose(a2, a4)
+
+
+def test_scenepack_serialization_roundtrip(tmp_path):
+    """ScenePack save/load (the reference's serialized object-graph
+    role, serialization.h:35): arrays bit-identical, meta equal, and a
+    render from the loaded pack matches the live pack exactly."""
+    import numpy as np
+    import mitsuba_tpu
+    from mitsuba_tpu.scene.builder import pack_scene
+    from mitsuba_tpu.scene.serialize import load_pack, save_pack
+
+    scene = mitsuba_tpu.load_scene("scenes/cbox.xml")
+    scene.sensor.record.film.width = 32
+    scene.sensor.record.film.height = 32
+    pack = pack_scene(scene)
+    path = tmp_path / "cbox.mtspack"
+    save_pack(pack, str(path))
+    pack2 = load_pack(str(path))
+
+    assert pack2.meta == pack.meta
+    assert set(pack2.arrays) == set(pack.arrays)
+    for k in pack.arrays:
+        assert np.array_equal(
+            np.asarray(pack.arrays[k]), np.asarray(pack2.arrays[k])
+        ), k
+
+    a = np.asarray(mitsuba_tpu.render(scene, spp=4, seed=0, pack=pack))
+    b = np.asarray(mitsuba_tpu.render(scene, spp=4, seed=0, pack=pack2))
+    assert np.array_equal(a, b)
