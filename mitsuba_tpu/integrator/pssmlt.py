@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -362,6 +364,9 @@ def render_pssmlt(scene, spp=None, seed=0, pack=None, chains=None,
     n_steps = max(total_mutations // n_chains, 1)
 
     def step(carry, k):
+        # k >= n_steps: padding step of the last execution chunk —
+        # hold the chain state and splat nothing
+        valid = k < n_steps
         U_cur, pos_cur, L_cur, I_cur, film, lanes = carry
         u_ctl = rng.rand4(lanes, k, 1, seed_mlt)
         # per-dim mutation randomness, keyed by GLOBAL chain ids
@@ -384,50 +389,80 @@ def render_pssmlt(scene, spp=None, seed=0, pack=None, chains=None,
 
         a = jnp.clip(I_p / jnp.maximum(I_cur, 1e-12), 0.0, 1.0)
         # expected-values splatting (both states, weighted)
-        w_cur = (1.0 - a) / jnp.maximum(I_cur, 1e-12)
-        w_prop = a / jnp.maximum(I_p, 1e-12)
+        live = valid.astype(jnp.float32)
+        w_cur = (1.0 - a) / jnp.maximum(I_cur, 1e-12) * live
+        w_prop = a / jnp.maximum(I_p, 1e-12) * live
         film = _splat(
             film, pos_cur, L_cur * w_cur[:, None], w, h
         )
         film = _splat(film, pos_p, L_p * w_prop[:, None], w, h)
 
-        accept = u_ctl[:, 1] < a
+        accept = (u_ctl[:, 1] < a) & valid
         U_cur = jnp.where(accept[:, None], U_prop, U_cur)
         pos_cur = jnp.where(accept[:, None], pos_p, pos_cur)
         L_cur = jnp.where(accept[:, None], L_p, L_cur)
         I_cur = jnp.where(accept, I_p, I_cur)
         return (U_cur, pos_cur, L_cur, I_cur, film, lanes), None
 
-    ks = jnp.arange(n_steps, dtype=jnp.uint32)
     lanes_all = jnp.arange(n_chains, dtype=jnp.uint32)
 
-    def chain_run(lanes, U0, pos0, L0, I0):
-        film = jnp.zeros((h, w, 3), jnp.float32)
+    # bound the per-execution step count: one monolithic scan over all
+    # mutations can exceed the TPU worker's single-execution budget
+    # (~60 s through the tunnel, CLAUDE.md) — the door scene at 512
+    # mutations/px killed the worker.  Chunks carry chain state and a
+    # partial film across executions; padding steps self-mask in
+    # step(), so results are bit-identical to the single scan.
+    steps_per_exec = min(
+        int(os.environ.get("MTS_TPU_MLT_STEPS", 64)), n_steps
+    )
+    n_exec = -(-n_steps // steps_per_exec)
+
+    def chain_chunk(lanes, U0, pos0, L0, I0, film, k0):
+        ks = k0 + jnp.arange(steps_per_exec, dtype=jnp.uint32)
         carry = (U0, pos0, L0, I0, film, lanes)
         carry, _ = jax.lax.scan(step, carry, ks)
-        return carry[4]
+        return carry[:5]
 
     if mesh is None:
-        film = jax.jit(chain_run)(lanes_all, U_cur, pos_cur, L_cur, I_cur)
+        runner = jax.jit(chain_chunk)
+        film = jnp.zeros((h, w, 3), jnp.float32)
+        state = (U_cur, pos_cur, L_cur, I_cur, film)
+        for e in range(n_exec):
+            state = runner(
+                lanes_all, *state, jnp.uint32(e * steps_per_exec)
+            )
+        film = state[4]
     else:
         from jax.sharding import PartitionSpec as P
 
         ax = mesh.axis_names[0]
 
-        def sharded_run(lanes, U0, pos0, L0, I0):
-            return jax.lax.psum(
-                chain_run(lanes, U0, pos0, L0, I0), ax
-            )
+        def sharded_chunk(lanes, U0, pos0, L0, I0, k0):
+            # fresh per-device film each chunk; psum merges before the
+            # chunk returns, and the host accumulates across chunks
+            film0 = jnp.zeros((h, w, 3), jnp.float32)
+            out = chain_chunk(lanes, U0, pos0, L0, I0, film0, k0[0])
+            return out[:4] + (jax.lax.psum(out[4], ax),)
 
-        film = jax.jit(
+        runner = jax.jit(
             jax.shard_map(
-                sharded_run,
+                sharded_chunk,
                 mesh=mesh,
-                in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax)),
-                out_specs=P(),
+                in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax), P()),
+                out_specs=(P(ax), P(ax), P(ax), P(ax), P()),
                 check_vma=False,
             )
-        )(lanes_all, U_cur, pos_cur, L_cur, I_cur)
+        )
+        film = jnp.zeros((h, w, 3), jnp.float32)
+        state = (U_cur, pos_cur, L_cur, I_cur)
+        for e in range(n_exec):
+            *state, film_e = runner(
+                lanes_all, *state,
+                jnp.full((1,), e * steps_per_exec, jnp.uint32),
+            )
+            state = tuple(state)
+            film = film + film_e
+        film = np.asarray(film)
 
     # normalization: each splat-pair has total weight 1/I * L ~ unit
     # contribution; E[sum] = steps*chains * E_pi[h f / I]; scale so the
