@@ -362,8 +362,6 @@ CLUSTER_SORT = int(_os.environ.get("MTS_CLUSTER_SORT", 1)) != 0
 # node-visit count, so incoherent batches are sorted by direction
 # octant + quantized direction + origin morton and traversed in chunks —
 # each chunk's loop exits at its own (much smaller) maximum
-import os as _os
-
 BVH_SORT_MIN = int(_os.environ.get("MTS_BVH_SORT_MIN", 1 << 16))
 BVH_CHUNK = int(_os.environ.get("MTS_BVH_CHUNK", 1 << 15))
 
