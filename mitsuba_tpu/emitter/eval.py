@@ -162,9 +162,18 @@ def _sample_env_dir(pack, u2):
     x = u2[..., 0] * n
     i = jnp.clip(x.astype(jnp.int32), 0, n - 1)
     jx = x - i.astype(jnp.float32)  # uniform, independent of i
-    p_i = pack.env_alias_prob[i]
-    accept = u2[..., 1] < p_i
-    idx = jnp.where(accept, i, pack.env_alias_idx[i])
+    if pack.meta.get("env_alias_fused_ok", False):
+        # one 16B row: [prob, alias_idx, dens_self, dens_alias]
+        rowv = pack.env_alias_fused[i]
+        p_i = rowv[..., 0]
+        accept = u2[..., 1] < p_i
+        idx = jnp.where(accept, i, rowv[..., 1].astype(jnp.int32))
+        dens = jnp.where(accept, rowv[..., 2], rowv[..., 3])
+    else:
+        p_i = pack.env_alias_prob[i]
+        accept = u2[..., 1] < p_i
+        idx = jnp.where(accept, i, pack.env_alias_idx[i])
+        dens = pack.env_density.reshape(-1)[idx]
     # recycle the accept uniform (conditionally uniform either way)
     jy = jnp.where(
         accept,
@@ -178,7 +187,6 @@ def _sample_env_dir(pack, u2):
     v = (row.astype(jnp.float32) + jy) / h
     uv = jnp.stack([u, v], axis=-1)
     d = _env_dir_from_uv(pack, uv)
-    dens = pack.env_density.reshape(-1)[idx]
     sin_t = jnp.maximum(jnp.sin(v * jnp.pi), 1e-6)
     pdf = dens / (2.0 * jnp.pi * jnp.pi * sin_t)
     return d, pdf

@@ -1254,8 +1254,25 @@ def pack_scene(scene) -> ScenePack:
         env_weights = np.ones((1, 2))
         env_dist = Distribution2D.from_weights(env_weights)
     # joint alias table: O(1) env draws (one row per sample) instead of
-    # log2(HW) serialized CDF gathers per lane
+    # log2(HW) serialized CDF gathers per lane.  The fused row packs
+    # [prob, alias_idx, dens_self, dens_alias] so a draw costs ONE
+    # 16-byte gather; alias ids stay exact in f32 below 2^24 entries
+    # (8 Mpx — a 4Kx2K lat-long)
     env_alias_prob, env_alias_idx = build_alias(env_weights)
+    _dens_flat = np.asarray(env_dist.density, np.float32).reshape(-1)
+    env_alias_fused = (
+        np.stack(
+            [
+                env_alias_prob,
+                env_alias_idx.astype(np.float32),
+                _dens_flat,
+                _dens_flat[env_alias_idx],
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        if env_alias_prob.size < (1 << 24)
+        else np.zeros((1, 4), np.float32)
+    )
 
     # ---------------- medium table ----------------
     from mitsuba_tpu.medium.plugins import HETEROGENEOUS
@@ -1496,6 +1513,7 @@ def pack_scene(scene) -> ScenePack:
         "env_density": env_dist.density,
         "env_alias_prob": env_alias_prob,
         "env_alias_idx": env_alias_idx,
+        "env_alias_fused": env_alias_fused,
         **sss_tabs,
         **iw_tabs,
     }
@@ -1552,6 +1570,7 @@ def pack_scene(scene) -> ScenePack:
         **inst_meta,
         "env_idx": env_idx,
         "has_env": env_idx >= 0,
+        "env_alias_fused_ok": env_alias_prob.size < (1 << 24),
         "has_envmap": env_idx >= 0 and (
             len(emitters) > env_idx and emitters[env_idx].kind == ENVMAP
         ),
