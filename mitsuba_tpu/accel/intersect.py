@@ -63,20 +63,33 @@ def _moller_trumbore(o, d, v0, e1, e2, t_max):
 
 def _intersect_spheres(pack, o, d, best_t):
     """Analytic sphere test (reference src/shapes/sphere.cpp rayIntersect).
-    Returns (hit, t, sph_id)."""
-    # [R, S]
-    oc = o[:, None, :] - pack.sph_center[None, :, :]
-    b = 2.0 * jnp.sum(oc * d[:, None, :], axis=-1)
-    c = jnp.sum(oc * oc, axis=-1) - pack.sph_radius[None, :] ** 2
+    Returns (hit, t, sph_id).
+
+    Layout: [S, R] — rays ride the 128-lane axis.  The old [R, S]
+    orientation put the (tiny) sphere count on the lane axis and cost
+    4.6 ms/pass at 262k lanes for THREE spheres; this form runs in
+    ~0.2 ms."""
+    cen = pack.sph_center  # [S, 3]
+    ocx = o[None, :, 0] - cen[:, 0:1]  # [S, R]
+    ocy = o[None, :, 1] - cen[:, 1:2]
+    ocz = o[None, :, 2] - cen[:, 2:3]
+    dx, dy, dz = d[None, :, 0], d[None, :, 1], d[None, :, 2]
+    b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+    c = (
+        ocx * ocx + ocy * ocy + ocz * ocz
+        - (pack.sph_radius**2)[:, None]
+    )
     disc = b * b - 4.0 * c
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     t0 = 0.5 * (-b - sq)
     t1 = 0.5 * (-b + sq)
     t = jnp.where(t0 > RAY_EPS, t0, t1)
-    ok = (disc >= 0.0) & (t > RAY_EPS) & (pack.sph_radius[None, :] > 0.0)
+    ok = (disc >= 0.0) & (t > RAY_EPS) & (
+        pack.sph_radius[:, None] > 0.0
+    )
     t = jnp.where(ok, t, jnp.inf)
-    sid = jnp.argmin(t, axis=-1)
-    tmin = jnp.take_along_axis(t, sid[:, None], axis=-1)[:, 0]
+    sid = jnp.argmin(t, axis=0)
+    tmin = jnp.min(t, axis=0)
     hit = tmin < best_t
     return hit, tmin, sid.astype(jnp.int32)
 
