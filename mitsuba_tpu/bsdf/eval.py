@@ -132,7 +132,7 @@ def _roughconductor_pdf(sp, wi, wo):
     ci, co = mm.cos_theta(wi), mm.cos_theta(wo)
     mask = (ci > 0) & (co > 0)
     h = mm.normalize(wi + wo)
-    pm = mf.pdf_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], h)
+    pm = mf.pdf_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], wi, h)
     jac = 1.0 / jnp.maximum(4.0 * jnp.abs(mm.dot(wo, h)), 1e-8)
     return jnp.where(mask, pm * jac, 0.0)
 
@@ -229,7 +229,7 @@ def _roughplastic_pdf(sp, wi, wo):
     mask = (ci > 0) & (co > 0)
     h = mm.normalize(wi + wo)
     _, prob = _roughplastic_probs(sp, ci)
-    pm = mf.pdf_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], h)
+    pm = mf.pdf_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], wi, h)
     spec_pdf = pm / jnp.maximum(4.0 * jnp.abs(mm.dot(wo, h)), 1e-8)
     diff_pdf = warp.square_to_cosine_hemisphere_pdf(wo)
     return jnp.where(mask, prob * spec_pdf + (1.0 - prob) * diff_pdf, 0.0)
@@ -366,7 +366,7 @@ def _roughdielectric_pdf(sp, wi, wo):
     h_t = -mm.normalize(wi + wo * eta[..., None])
     h_t = h_t * mm.sign(mm.cos_theta(h_t))[..., None]
     h = jnp.where(reflect[..., None], h_r, h_t)
-    pm = mf.pdf_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], h)
+    pm = mf.pdf_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], wi, h)
     f, _, _ = mm.fresnel_dielectric(mm.dot(wi, h), sp["eta"])
     wih, woh = mm.dot(wi, h), mm.dot(wo, h)
     # Walter et al. validity: reflection needs wi/wo on the same side of
@@ -745,7 +745,7 @@ def _rcoating_pdf_nf(sp, spB, wi, wo, present):
     _, prob = _rcoating_probs(sp, ci)
     same = ci * co > 0
     h = mm.normalize(wi + wo) * mm.sign(co)[..., None]
-    pm = mf.pdf_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], h)
+    pm = mf.pdf_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], wi, h)
     spec_pdf = jnp.where(
         same, pm / jnp.maximum(4.0 * jnp.abs(mm.dot(wo, h)), 1e-8), 0.0
     )
@@ -776,7 +776,7 @@ def _rcoating_sample(sp, spB, wi, u2, ulobe, present):
     spec_sel = ulobe <= prob
 
     # glossy boundary reflection: sample a microfacet normal
-    m = mf.sample_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], u2)
+    m = mf.sample_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], wi, u2)
     wo_spec = mm.normalize(
         2.0 * mm.dot(wi, m)[..., None] * m - wi
     )
@@ -1012,7 +1012,7 @@ def bsdf_sample(sp, wi, u2, ulobe, present):
             w_t = _mask3(ci > 0, sp["cB"] * f)
             put(tm, wo_t, jnp.where(tm[..., None], w_t, 0.0), 1.0, True, 1.0)
         elif t == ROUGHCONDUCTOR:
-            m = mf.sample_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], u2)
+            m = mf.sample_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], wi, u2)
             wo_t = 2.0 * mm.dot(wi, m, keepdims=True) * m - wi
             pdf_t = _roughconductor_pdf(sp, wi, wo_t)
             f = _roughconductor_eval(sp, wi, wo_t)
@@ -1077,7 +1077,7 @@ def bsdf_sample(sp, wi, u2, ulobe, present):
             # m keeps its +z orientation (= outside of the interface), so
             # the SIGNED dot(wi, m) carries the entering/exiting info just
             # like cos_theta does for the smooth case
-            m = mf.sample_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], u2)
+            m = mf.sample_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], wi, u2)
             wih = mm.dot(wi, m)
             F, _, eta_rel = mm.fresnel_dielectric(wih, sp["eta"])
             refl = ulobe <= F
@@ -1116,7 +1116,7 @@ def bsdf_sample(sp, wi, u2, ulobe, present):
                 pdf_spec = prob
                 delta_spec = True
             else:
-                m = mf.sample_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], u2)
+                m = mf.sample_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], wi, u2)
                 wo_spec = 2.0 * mm.dot(wi, m, keepdims=True) * m - wi
                 delta_spec = False
             wo_diff = _sample_cosine(sp, wi, u2)

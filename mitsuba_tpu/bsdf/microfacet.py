@@ -1,15 +1,25 @@
 """Microfacet distributions: Beckmann, GGX, Phong.
 
-Rebuild of reference src/bsdfs/microfacet.h:45-100 as branch-free JAX —
-D / G1 / full-distribution sampling + pdf.  Anisotropy is supported in
-D and G; sampling currently targets the isotropic distribution (alpha =
-sqrt(alpha_u*alpha_v)), with visible-normal sampling planned as a later
-optimization.  All directions are in the local shading frame (+z = n).
+Rebuild of reference src/bsdfs/microfacet.h:45-120 as branch-free JAX —
+D / G1 / sampling + pdf.  Anisotropy is fully supported in D, G and
+sampling.  Like the reference (microfacet.h:67 ``sampleVisible=true``,
+disabled for Phong at :141-143), the default sampler draws *visible*
+normals D_wi(m) = G1(wi,m)|wi.m|D(m)/cos(theta_i): Heitz's 2018
+bounded-hemisphere construction for GGX and the Heitz-d'Eon stretch +
+Newton-in-erf-domain slope inversion (Jakob 2014 tech report) for
+Beckmann.  Classic D*cos sampling remains available (MTS_VNDF=0 or the
+``*_all`` entry points).  All directions are in the local shading
+frame (+z = n).
 """
 
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
+from jax.scipy.special import erf as _erf
+from jax.scipy.special import erfinv as _erfinv
 
 from mitsuba_tpu.core import math as mm
 
@@ -103,7 +113,7 @@ def smith_g(dist, alpha_u, alpha_v, wi, wo, m):
     )
 
 
-def sample_m(dist, alpha_u, alpha_v, u2):
+def sample_m_all(dist, alpha_u, alpha_v, u2):
     """Sample a microfacet normal m ~ D(m) cos(theta_m) (classic, not
     VNDF), with FULL anisotropy for Beckmann/GGX (the reference's
     microfacet.h sampleAll quadrant-corrected azimuth scheme); Phong
@@ -145,13 +155,217 @@ def sample_m(dist, alpha_u, alpha_v, u2):
     return m
 
 
-def pdf_m(dist, alpha_u, alpha_v, m):
-    """pdf of sample_m (solid angle over m) = D(m) * cos(theta_m) —
+def pdf_m_all(dist, alpha_u, alpha_v, m):
+    """pdf of sample_m_all (solid angle over m) = D(m) * cos(theta_m) —
     the anisotropic D for Beckmann/GGX (its Phong branch is already
     isotropic-equivalent)."""
     return microfacet_D(dist, alpha_u, alpha_v, m) * jnp.maximum(
         mm.cos_theta(m), 0.0
     )
+
+
+# ---------------------------------------------------------------------------
+# Visible-normal (VNDF) sampling — the reference's default
+# (microfacet.h:237-261 wrappers, :421-459 sampleVisible, :573-717
+# sampleVisible11).  Published algorithms, re-derived branch-free:
+#   GGX      — Heitz 2018, "Sampling the GGX Distribution of Visible
+#              Normals" (bounded-hemisphere construction; anisotropy is
+#              folded into the stretch transform).
+#   Beckmann — Heitz & d'Eon 2014 stretch method with the slope CDF
+#              inverted by safeguarded Newton in the erf domain
+#              (W. Jakob 2014, "An Improved Visible Normal Sampling
+#              Routine for the Beckmann Distribution").
+#   Phong    — falls back to classic D*cos sampling (the reference
+#              disables sampleVisible for Phong, microfacet.h:141-143).
+# ---------------------------------------------------------------------------
+
+USE_VNDF = os.environ.get("MTS_VNDF", "1") != "0"
+
+_INV_SQRT_PI = 0.5641895835477563
+
+
+def _ggx_visible(alpha_u, alpha_v, wi, u2):
+    """Heitz 2018 hemisphere method; wi must have cos_theta > 0."""
+    au = clamp_alpha(alpha_u)
+    av = clamp_alpha(alpha_v)
+    # transform to the hemisphere configuration (stretch tangent plane)
+    vh = mm.normalize(
+        jnp.stack(
+            [au * wi[..., 0], av * wi[..., 1], wi[..., 2]], axis=-1
+        )
+    )
+    # orthonormal basis around vh (t1 in the tangent plane)
+    lensq = vh[..., 0] ** 2 + vh[..., 1] ** 2
+    inv_len = 1.0 / jnp.sqrt(jnp.maximum(lensq, 1e-20))
+    safe = lensq > 1e-20
+    t1 = jnp.stack(
+        [
+            jnp.where(safe, -vh[..., 1] * inv_len, 1.0),
+            jnp.where(safe, vh[..., 0] * inv_len, 0.0),
+            jnp.zeros_like(inv_len),
+        ],
+        axis=-1,
+    )
+    t2 = mm.cross(vh, t1)
+    # sample a disk point, warped onto the visible half
+    r = jnp.sqrt(jnp.clip(u2[..., 0], 0.0, mm.ONE_MINUS_EPS))
+    phi = 2.0 * jnp.pi * u2[..., 1]
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + vh[..., 2])
+    p2 = (1.0 - s) * mm.safe_sqrt(1.0 - p1 * p1) + s * p2
+    nh = (
+        p1[..., None] * t1
+        + p2[..., None] * t2
+        + mm.safe_sqrt(1.0 - p1 * p1 - p2 * p2)[..., None] * vh
+    )
+    # back to the ellipsoid configuration
+    m = mm.normalize(
+        jnp.stack(
+            [
+                au * nh[..., 0],
+                av * nh[..., 1],
+                jnp.maximum(nh[..., 2], 1e-6),
+            ],
+            axis=-1,
+        )
+    )
+    return m
+
+
+def _beckmann_visible_slope_x(cos_theta_i, u0, iters=16):
+    """Invert the azimuth-0 visible-slope CDF of the unit Beckmann
+    distribution:
+      F(x) = ct*(1+erf(x))/2 + st*exp(-x^2)/(2*sqrt(pi)),  x <= cot(ti)
+      F'(x) = (ct - st*x) * exp(-x^2) / sqrt(pi)
+    solved for F(x) = u * F(cot) by safeguarded Newton directly in the
+    slope domain (the erf-domain iteration of Jakob's 2014 routine
+    needs erfinv in the loop, which loses convergence in float32)."""
+    ct = jnp.clip(cos_theta_i, 1e-6, 1.0)
+    st = mm.safe_sqrt(1.0 - ct * ct)
+    cot_t = jnp.minimum(ct / jnp.maximum(st, 1e-8), 1e6)
+    u0 = jnp.clip(u0, 1e-6, 1.0 - 1e-6)
+
+    def F(x):
+        return 0.5 * ct * (1.0 + _erf(x)) + (
+            0.5 * _INV_SQRT_PI
+        ) * st * jnp.exp(-x * x)
+
+    # erf saturates in float32 near |x|~4, so cap the bracket there:
+    # beyond it F is flat to machine precision and the pdf mass is ~0
+    hi0 = jnp.minimum(cot_t, 4.2)
+    target = u0 * F(cot_t)
+
+    # initial guess: invert the near-linear erf-domain fit once
+    c = _erf(cot_t)
+    theta_i = jnp.arccos(ct)
+    fit = 1.0 + theta_i * (
+        -0.876 + theta_i * (0.4265 - 0.0594 * theta_i)
+    )
+    b = c - (1.0 + c) * jnp.power(1.0 - u0, fit)
+    x0 = _erfinv(jnp.clip(b, -0.9999, 0.9999))
+
+    lo = jnp.full_like(x0, -4.2)
+
+    def body(_, carry):
+        x, lo, hi = carry
+        x = jnp.where((x >= lo) & (x <= hi), x, 0.5 * (lo + hi))
+        value = F(x) - target
+        lo = jnp.where(value <= 0.0, x, lo)
+        hi = jnp.where(value > 0.0, x, hi)
+        deriv = jnp.maximum(
+            (ct - st * x) * jnp.exp(-x * x) * _INV_SQRT_PI, 1e-12
+        )
+        x = x - value / deriv
+        return x, lo, hi
+
+    x, lo, hi = jax.lax.fori_loop(0, iters, body, (x0, lo, hi0))
+    x = jnp.where((x >= lo) & (x <= hi), x, 0.5 * (lo + hi))
+    return jnp.minimum(x, cot_t)
+
+
+def _beckmann_visible(alpha_u, alpha_v, wi, u2):
+    """Stretch method: sample unit-roughness visible slopes at the
+    stretched incidence, rotate by its azimuth, unstretch."""
+    au = clamp_alpha(alpha_u)
+    av = clamp_alpha(alpha_v)
+    wi_s = mm.normalize(
+        jnp.stack(
+            [au * wi[..., 0], av * wi[..., 1], wi[..., 2]], axis=-1
+        )
+    )
+    ct = jnp.clip(wi_s[..., 2], 1e-6, 1.0)
+    # azimuth of the stretched direction (arbitrary at normal incidence
+    # — the slope distribution is rotationally symmetric there)
+    inv_st = 1.0 / jnp.maximum(
+        mm.safe_sqrt(wi_s[..., 0] ** 2 + wi_s[..., 1] ** 2), 1e-12
+    )
+    cp = jnp.where(inv_st < 1e11, wi_s[..., 0] * inv_st, 1.0)
+    sp = jnp.where(inv_st < 1e11, wi_s[..., 1] * inv_st, 0.0)
+
+    sx = _beckmann_visible_slope_x(ct, u2[..., 0])
+    u1 = jnp.clip(u2[..., 1], 1e-6, 1.0 - 1e-6)
+    sy = _erfinv(2.0 * u1 - 1.0)
+    # rotate back by the incident azimuth
+    rx = cp * sx - sp * sy
+    ry = sp * sx + cp * sy
+    # unstretch
+    rx = rx * au
+    ry = ry * av
+    return mm.normalize(
+        jnp.stack([-rx, -ry, jnp.ones_like(rx)], axis=-1)
+    )
+
+
+def sample_m_visible(dist, alpha_u, alpha_v, wi, u2):
+    """Sample m from the visible-normal distribution
+    D_wi(m) = G1(wi,m) |wi.m| D(m) / |cos_theta_i|.  wi may lie in
+    either hemisphere (flipped internally, like the reference's
+    signum(cosTheta)*wi call sites); the returned m always has +z
+    orientation.  Phong lanes fall back to classic sampling."""
+    flip = mm.sign(mm.cos_theta(wi))
+    wi_f = wi * flip[..., None]
+    m_ggx = _ggx_visible(alpha_u, alpha_v, wi_f, u2)
+    m_beck = _beckmann_visible(alpha_u, alpha_v, wi_f, u2)
+    m_all = sample_m_all(dist, alpha_u, alpha_v, u2)
+    m = jnp.where(
+        (dist == GGX)[..., None],
+        m_ggx,
+        jnp.where((dist == BECKMANN)[..., None], m_beck, m_all),
+    )
+    return m
+
+
+def pdf_m_visible(dist, alpha_u, alpha_v, wi, m):
+    """pdf of sample_m_visible over solid angle of m
+    (microfacet.h:461-486)."""
+    ci = jnp.abs(mm.cos_theta(wi))
+    flip = mm.sign(mm.cos_theta(wi))
+    wi_f = wi * flip[..., None]
+    g1 = smith_g1(dist, alpha_u, alpha_v, wi_f, m)
+    d = microfacet_D(dist, alpha_u, alpha_v, m)
+    pdf_vis = (
+        g1 * jnp.abs(mm.dot(wi_f, m)) * d / jnp.maximum(ci, 1e-8)
+    )
+    pdf_vis = jnp.where(ci < 1e-8, 0.0, pdf_vis)
+    return jnp.where(
+        dist == PHONG, pdf_m_all(dist, alpha_u, alpha_v, m), pdf_vis
+    )
+
+
+def sample_m(dist, alpha_u, alpha_v, wi, u2):
+    """Default microfacet-normal sampler: visible normals (matching the
+    reference default) unless MTS_VNDF=0."""
+    if USE_VNDF:
+        return sample_m_visible(dist, alpha_u, alpha_v, wi, u2)
+    return sample_m_all(dist, alpha_u, alpha_v, u2)
+
+
+def pdf_m(dist, alpha_u, alpha_v, wi, m):
+    """pdf of sample_m over solid angle of m."""
+    if USE_VNDF:
+        return pdf_m_visible(dist, alpha_u, alpha_v, wi, m)
+    return pdf_m_all(dist, alpha_u, alpha_v, m)
 
 
 def project_roughness_to_alpha(roughness):

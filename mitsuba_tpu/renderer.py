@@ -58,9 +58,11 @@ def make_render_pass(
     n_px = w * h
     cam = sensor_rec.pack(w, h)
     if integ.kind in ("adaptive", "irrcache", "multichannel"):
-        # meta-integrators forward to their nested integrator
-        # (reference src/integrators/misc/*.cpp; their adaptive-sampling
-        # machinery is planned)
+        # meta-integrators forward to their nested integrator here;
+        # their own machinery (integrator/adaptive.py error-CDF
+        # refinement, integrator/irrcache.py two-phase cache) drives
+        # this loop from renderer-level entry points
+        # (reference src/integrators/misc/*.cpp)
         integ = integ.sub_integrator or integ
         if integ.kind in ("adaptive", "irrcache", "multichannel"):
             from mitsuba_tpu.integrator.plugins import IntegratorRecord
