@@ -320,22 +320,103 @@ def sample_distance(pack, med, o, d, t_max, u3, lane, sidx, slot, seed):
     # absorbing media a zero-variance transmittance multiply
     w_med = pack.med_sampling_w[m]
 
-    # --- homogeneous (channel balance) ---
+    # --- homogeneous free-path sampling ---
+    # Strategies (reference homogeneous.cpp:149-153 + :275-345):
+    #   0 balance — exponential with a uniformly-picked channel's rate
+    #   1 fixed   — exponential with one rate (ESingle / EManual)
+    #   2 maximum — max-of-exponentials mixture (maxexp.h)
+    # All are wrapped by the medium sampling weight w_med.  pdf always
+    # describes the realized density, so any strategy is unbiased; the
+    # choice only moves variance.
+    strategies = pack.meta.get("hom_strategies", (0,))
     attempt = u3[..., 0] < w_med
     u_resc = jnp.clip(
         u3[..., 0] / jnp.maximum(w_med, 1e-8), 0.0, mm.ONE_MINUS_EPS
     )
+
+    # balance: pick a channel, sample its exponential
     ch = jnp.minimum((u_resc * 3).astype(jnp.int32), 2)
     st_c = jnp.take_along_axis(sigma_t, ch[..., None], -1)[..., 0]
-    t_h = -jnp.log(jnp.maximum(1.0 - u3[..., 1], 1e-20)) / jnp.maximum(
-        st_c, 1e-20
-    )
+
+    strat = pack.med_strategy[m]
+    if 1 in strategies:
+        dens = pack.med_density[m]
+        st_c = jnp.where(strat == 1, dens, st_c)
+    neg_log = -jnp.log(jnp.maximum(1.0 - u3[..., 1], 1e-20))
+    t_h = neg_log / jnp.maximum(st_c, 1e-20)
+
+    if 2 in strategies:
+        # max-of-exponentials: pick the dominating interval by CDF,
+        # then invert that interval's exponential (maxexp.h:60-74)
+        mxs = pack.med_mx_sigma[m]  # [R, 3] descending rates
+        mxi = pack.med_mx_istart[m]  # [R, 3]
+        mxc = pack.med_mx_cdf[m]  # [R, 4] normalized knots
+        mxn = pack.med_mx_norm[m]  # [R]
+        u1 = jnp.clip(u3[..., 1], 0.0, mm.ONE_MINUS_EPS)
+        idx = jnp.sum(
+            (u1[..., None] >= mxc[..., 1:3]).astype(jnp.int32), axis=-1
+        )
+        s_i = jnp.take_along_axis(mxs, idx[..., None], -1)[..., 0]
+        i_i = jnp.take_along_axis(mxi, idx[..., None], -1)[..., 0]
+        c_i = jnp.take_along_axis(mxc, idx[..., None], -1)[..., 0]
+        arg = jnp.exp(-i_i * s_i) - mxn * (u1 - c_i)
+        t_mx = -jnp.log(jnp.maximum(arg, 1e-30)) / jnp.maximum(
+            s_i, 1e-20
+        )
+        t_h = jnp.where(strat == 2, t_mx, t_h)
+        st_c = jnp.where(strat == 2, s_i, st_c)
+
     success_h = attempt & (t_h < t_max) & (st_c > 0)
     t_h = jnp.where(success_h, t_h, t_max)
     tr_t = jnp.exp(-sigma_t * t_h[..., None])
-    pdf_success = w_med * jnp.mean(sigma_t * tr_t, axis=-1)
-    tr_max = jnp.exp(-sigma_t * t_max[..., None]) if hasattr(t_max, "shape") and t_max.ndim else jnp.exp(-sigma_t * jnp.broadcast_to(t_max, (r,))[..., None])
-    pdf_failure = (1.0 - w_med) + w_med * jnp.mean(tr_max, axis=-1)
+    t_max_b = jnp.broadcast_to(t_max, (r,))
+    tr_max = jnp.exp(-sigma_t * t_max_b[..., None])
+
+    # balance pdfs (mean over channels)
+    pdf_success = jnp.mean(sigma_t * tr_t, axis=-1)
+    pdf_failure_g = jnp.mean(tr_max, axis=-1)
+    if 1 in strategies:
+        dens = pack.med_density[m]
+        ps_fx = dens * jnp.exp(-dens * t_h)
+        pf_fx = jnp.exp(-dens * t_max_b)
+        pdf_success = jnp.where(strat == 1, ps_fx, pdf_success)
+        pdf_failure_g = jnp.where(strat == 1, pf_fx, pdf_failure_g)
+    if 2 in strategies:
+        # pdf(t) = s_k e^{-s_k t}/Z on the interval containing t;
+        # failure pdf = 1 - CDF(t_max) (maxexp.h:77-97)
+        def _mx_pdf_cdf(t):
+            k = jnp.sum(
+                (t[..., None] >= mxi[..., 1:3]).astype(jnp.int32),
+                axis=-1,
+            )
+            s_k = jnp.take_along_axis(mxs, k[..., None], -1)[..., 0]
+            c_k = jnp.take_along_axis(mxc, k[..., None], -1)[..., 0]
+            s_km1 = jnp.take_along_axis(
+                mxs, jnp.maximum(k - 1, 0)[..., None], -1
+            )[..., 0]
+            lower = jnp.where(
+                k == 0,
+                -1.0,
+                -jnp.power(
+                    s_k / jnp.maximum(s_km1, 1e-20),
+                    -s_k / jnp.where(
+                        jnp.abs(s_k - s_km1) > 1e-20, s_k - s_km1, 1.0
+                    ),
+                ),
+            )
+            upper = -jnp.exp(-s_k * t)
+            pdf = s_k * jnp.exp(-s_k * t) / jnp.maximum(mxn, 1e-20)
+            cdf = c_k + (upper - lower) / jnp.maximum(mxn, 1e-20)
+            return pdf, cdf
+        ps_mx, _ = _mx_pdf_cdf(t_h)
+        _, cdf_max = _mx_pdf_cdf(t_max_b)
+        pdf_success = jnp.where(strat == 2, ps_mx, pdf_success)
+        pdf_failure_g = jnp.where(
+            strat == 2, jnp.clip(1.0 - cdf_max, 0.0, 1.0), pdf_failure_g
+        )
+
+    pdf_success = w_med * pdf_success
+    pdf_failure = (1.0 - w_med) + w_med * pdf_failure_g
     w_success = sigma_s * tr_t / jnp.maximum(pdf_success, 1e-20)[..., None]
     w_failure = tr_max / jnp.maximum(pdf_failure, 1e-20)[..., None]
     w_h = jnp.where(success_h[..., None], w_success, w_failure)

@@ -375,6 +375,11 @@ class MediumRecord:
     # or "simpson" (deterministic composite quadrature) — reference
     # heterogeneous.cpp EIntegrationMethod
     method: str = "woodcock"
+    # homogeneous free-path sampling strategy (reference
+    # homogeneous.cpp:149-153): balance / single / manual / maximum
+    strategy: str = "balance"
+    sampling_density: float = 0.0  # single/manual exponential rate
+    sampling_weight: float = -1.0  # mediumSamplingWeight override
     id: str = ""
 
 
@@ -412,6 +417,45 @@ class HomogeneousMedium(_MediumBase):
             self.record.sigma_a = (
                 props.get_spectrum("sigmaA", np.full(3, 1.0)) * scale
             ).astype(np.float32)
+
+        # free-path sampling strategy (homogeneous.cpp:149-227)
+        strategy = props.get_string("strategy", "balance")
+        if strategy not in ("balance", "single", "manual", "maximum"):
+            raise ValueError(
+                f"homogeneous: unknown sampling strategy '{strategy}'"
+            )
+        self.record.strategy = strategy
+        self.record.sampling_weight = props.get_float(
+            "mediumSamplingWeight", -1.0
+        )
+        sigma_t = self.record.sigma_s + self.record.sigma_a
+        if strategy == "single":
+            # default channel: the lowest-variance (smallest sigma_t)
+            channel = props.get_int(
+                "channel", int(np.argmin(sigma_t))
+            )
+            if not 0 <= channel < 3:
+                raise ValueError("homogeneous: channel out of range")
+            self.record.sampling_density = float(sigma_t[channel])
+            if props.get_bool("monochromatic", False):
+                self.record.sigma_s = np.full(
+                    3, self.record.sigma_s[channel], np.float32
+                )
+                self.record.sigma_a = np.full(
+                    3, self.record.sigma_a[channel], np.float32
+                )
+        elif strategy == "manual":
+            self.record.sampling_density = props.get_float(
+                "samplingDensity"
+            )
+        elif strategy == "maximum":
+            if len(set(np.round(sigma_t, 7).tolist())) < 3:
+                # MaxExpDist requires distinct per-channel rates
+                # (maxexp.h:38); for (partially) gray media the
+                # maximum-of-exponentials degenerates to a single
+                # exponential, so fall back to that rate
+                self.record.strategy = "manual"
+                self.record.sampling_density = float(sigma_t.max())
 
 
 @register("medium", "heterogeneous")

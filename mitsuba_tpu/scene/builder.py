@@ -1293,6 +1293,17 @@ def pack_scene(scene) -> ScenePack:
     med_ph_ws[:, 0] = 1.0
     med_kind = np.zeros(n_med, np.int32)
     med_sampling_w = np.zeros(n_med, np.float32)
+    # homogeneous free-path strategies (homogeneous.cpp:149-153):
+    # 0 = balance, 1 = fixed density (single/manual), 2 = maximum
+    med_strategy = np.zeros(n_med, np.int32)
+    med_density = np.zeros(n_med, np.float32)
+    # maximum-of-exponentials tables (maxexp.h:30-58): per medium the
+    # descending-sorted rates, interval starts, normalized CDF knots
+    # and the normalization constant
+    med_mx_sigma = np.ones((n_med, 3), np.float32)
+    med_mx_istart = np.zeros((n_med, 3), np.float32)
+    med_mx_cdf = np.zeros((n_med, 4), np.float32)
+    med_mx_norm = np.ones(n_med, np.float32)
     # fiber phases (kkay/microflake): per-medium params + sigma_t LUT
     from mitsuba_tpu.medium.plugins import FLAKE_LUT, KKAY, MICROFLAKE
     med_ph_ks = np.zeros(n_med, np.float32)
@@ -1425,6 +1436,42 @@ def pack_scene(scene) -> ScenePack:
             albedo = np.where(st > 0, m.sigma_s / np.maximum(st, 1e-20), 0.0)
             a = float(albedo.max())
             med_sampling_w[i] = max(a, 0.5) if a > 0 else 0.0
+            if getattr(m, "sampling_weight", -1.0) >= 0:
+                med_sampling_w[i] = m.sampling_weight
+            strat = getattr(m, "strategy", "balance")
+            if strat in ("single", "manual"):
+                med_strategy[i] = 1
+                med_density[i] = m.sampling_density
+            elif strat == "maximum":
+                med_strategy[i] = 2
+                s = np.sort(st.astype(np.float64))[::-1]
+                med_mx_sigma[i] = s
+                # integrate max_k(s_k e^{-s_k t}) piecewise: on the
+                # interval where f_k dominates the antiderivative of
+                # s_k e^{-s_k t} is -e^{-s_k t}; interval boundaries
+                # solve s_k e^{-s_k t} = s_{k+1} e^{-s_{k+1} t}
+                cdf = np.zeros(4, np.float64)
+                istart = np.zeros(3, np.float64)
+                for k in range(3):
+                    lower = (
+                        -1.0
+                        if k == 0
+                        else -((s[k] / s[k - 1]) ** (-s[k] / (s[k] - s[k - 1])))
+                    )
+                    upper = (
+                        0.0
+                        if k == 2
+                        else -((s[k + 1] / s[k]) ** (-s[k] / (s[k + 1] - s[k])))
+                    )
+                    cdf[k + 1] = cdf[k] + (upper - lower)
+                    istart[k] = (
+                        0.0
+                        if k == 0
+                        else np.log(s[k] / s[k - 1]) / (s[k] - s[k - 1])
+                    )
+                med_mx_norm[i] = cdf[3]
+                med_mx_cdf[i] = cdf / cdf[3]
+                med_mx_istart[i] = istart
 
     n_het = len(h_dims)
     if n_het == 0:
@@ -1452,6 +1499,12 @@ def pack_scene(scene) -> ScenePack:
         "med_ph_ws": med_ph_ws,
         "med_kind": med_kind,
         "med_sampling_w": med_sampling_w,
+        "med_strategy": med_strategy,
+        "med_density": med_density,
+        "med_mx_sigma": med_mx_sigma,
+        "med_mx_istart": med_mx_istart,
+        "med_mx_cdf": med_mx_cdf,
+        "med_mx_norm": med_mx_norm,
         "med_het_slot": het_slot_of_med,
         "het_corners": np.concatenate(hc_parts, axis=0),
         "het_super": np.concatenate(hs_parts),
@@ -1597,6 +1650,11 @@ def pack_scene(scene) -> ScenePack:
         "has_bumpmaps": has_bumpmaps,
         "has_media": len(media) > 0,
         "n_media": len(media),
+        # homogeneous strategies present (static: gates the extra
+        # fixed-density / max-of-exponentials code paths)
+        "hom_strategies": tuple(
+            sorted({int(s) for s in med_strategy.tolist()})
+        ) if len(media) else (0,),
         "bvh_n_layouts": bvh_n_layouts,
         "het_med_id": het_med_id,
         "het_sigma_max": het_sigma_max,

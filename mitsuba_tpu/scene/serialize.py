@@ -20,7 +20,7 @@ import json
 
 import numpy as np
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: homogeneous strategy + max-exp table columns
 
 
 def _meta_to_json(meta):
