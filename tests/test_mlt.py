@@ -137,3 +137,36 @@ def test_door_scene_pssmlt_agrees_with_path():
         m.mean(), p.mean()
     )
     assert m.mean() > 0.02  # the door actually transports light
+
+
+def test_door_scene_mlt_agrees_with_bdpt():
+    """Hard-scene cross-check (VERDICT r3 weak #5): primary-space MLT
+    with structured mutations vs a real bidirectional estimator on the
+    hard-visibility interior, at matched budgets.  Catches acceptance
+    asymmetries that easy-scene path comparisons cannot."""
+    import numpy as np
+    import mitsuba_tpu
+    from mitsuba_tpu.integrator.plugins import IntegratorRecord
+
+    def render_with(kind, spp):
+        sc = mitsuba_tpu.load_scene("scenes/door.xml")
+        sc.sensor.record.film.width = 64
+        sc.sensor.record.film.height = 64
+        sc.integrator = IntegratorRecord(kind=kind, max_depth=8)
+        return np.asarray(mitsuba_tpu.render(sc, spp=spp, seed=3))
+
+    m = render_with("mlt", 24)
+    b = render_with("bdpt", 24)
+    assert np.isfinite(m).all() and np.isfinite(b).all()
+    assert m.mean() > 0.02 and b.mean() > 0.02
+    # global radiometry must agree (both estimators are unbiased;
+    # budgets are small so the gate is loose but two-sided)
+    assert abs(m.mean() - b.mean()) < 0.4 * max(m.mean(), b.mean()), (
+        m.mean(), b.mean()
+    )
+    # region agreement: averaged 8x8 blocks away from fireflies
+    mb = m.reshape(8, 8, 8, 8, 3).mean(axis=(1, 3, 4))
+    bb = b.reshape(8, 8, 8, 8, 3).mean(axis=(1, 3, 4))
+    sel = bb > 0.25 * bb.mean()
+    rel = np.abs(mb - bb)[sel] / bb[sel]
+    assert np.median(rel) < 0.5, float(np.median(rel))
