@@ -28,6 +28,10 @@ import numpy as np
 
 # triangles per cluster tile; sublane-tiled VPU work is [Tc, CHUNK]
 CLUSTER_TC = int(os.environ.get("MTS_CLUSTER_TC", 128))
+# clusters per supercluster (the coarse culling level of the
+# pair-compaction traversal, accel/pairs.py); consecutive cluster ids
+# are spatially coherent (DFS order), so id-range grouping is tight
+SUPER_G = int(os.environ.get("MTS_CLUSTER_SUPER_G", 16))
 # VMEM budget for the resident triangle tiles (bytes) — the VPU kernel
 # keeps cl_tri fully resident; the MXU kernel streams from HBM instead
 CLUSTER_VMEM_MAX = int(os.environ.get("MTS_CLUSTER_VMEM", 6 * 1024 * 1024))
@@ -142,15 +146,54 @@ def pack_clusters(bvh, tri_v0, tri_e1, tri_e2, n_tris, tc: int = CLUSTER_TC):
     cl_sph[0:3, :c] = center.T
     cl_sph[3, :c] = rad
 
+    # supercluster boxes: unions of SUPER_G consecutive clusters (the
+    # O(R x S) coarse level of the pair traversal's exact per-ray
+    # culling).  Super s covers cluster ids [s*G, (s+1)*G).
+    s = (c + SUPER_G - 1) // SUPER_G
+    sp = max(((s + 7) // 8) * 8, 8)
+    cl_sup = np.zeros((8, sp), np.float32)
+    cl_sup[0:3, :] = 1e30
+    cl_sup[3:6, :] = -1e30
+    for si in range(s):
+        seg = slice(si * SUPER_G, min((si + 1) * SUPER_G, c))
+        cl_sup[0:3, si] = lo[seg].min(axis=0)
+        cl_sup[3:6, si] = hi[seg].max(axis=0)
+
+    # member cluster boxes QUANTIZED to u8 in their super's frame and
+    # packed into two u32 per cluster (lo.xyz | hi.xyz) — Stage B of
+    # the pair traversal gathers one candidate box per (ray, member),
+    # and 8 bytes/candidate instead of 24 keeps that gather off the
+    # bandwidth roofline.  Rounding is outward (lo floor, hi ceil), so
+    # the dequantized test stays conservative.
+    cl_boxq = np.zeros((sp, SUPER_G, 2), np.uint32)
+    cl_boxq[..., 0] = 0xFFFFFF  # inverted default: lo=255 > hi=0
+    for si in range(s):
+        n_m = min((si + 1) * SUPER_G, c) - si * SUPER_G
+        seg = slice(si * SUPER_G, si * SUPER_G + n_m)
+        slo = cl_sup[0:3, si]
+        ext = np.maximum(cl_sup[3:6, si] - slo, 1e-30)
+        ql = np.clip(
+            np.floor((lo[seg] - slo) / ext * 255.0), 0, 255
+        ).astype(np.uint32)
+        qh = np.clip(
+            np.ceil((hi[seg] - slo) / ext * 255.0), 0, 255
+        ).astype(np.uint32)
+        cl_boxq[si, :n_m, 0] = ql[:, 0] | (ql[:, 1] << 8) | (ql[:, 2] << 16)
+        cl_boxq[si, :n_m, 1] = qh[:, 0] | (qh[:, 1] << 8) | (qh[:, 2] << 16)
+
     return {
         "cl_tri": cl_tri,
         "cl_mt": cl_mt,
         "cl_box": cl_box,
         "cl_sph": cl_sph,
+        "cl_sup": cl_sup,
+        "cl_boxq": cl_boxq,
         "cl_pad2prim": tri_idx.astype(np.int32),
     }, {
         "n_clusters": c,
         "cluster_tc": tc,
+        "n_supers": s,
+        "cluster_super_g": SUPER_G,
         # the VPU kernel needs cl_tri fully VMEM-resident
         "cluster_vmem_ok": 9 * c * tc * 4 <= CLUSTER_VMEM_MAX,
     }

@@ -370,6 +370,15 @@ import os as _os
 # bounce rays (measured bunny 2M rays: 1.9 s unsorted vs 0.31 s sorted)
 CLUSTER_SORT = int(_os.environ.get("MTS_CLUSTER_SORT", 1)) != 0
 
+# "pair": pair-compaction traversal (accel/pairs.py — every lane tests
+# a (ray, cluster) pair that passed an exact slab test); "chunk": the
+# round-3 chunk-union kernels (accel/pallas_bvh.py)
+CLUSTER_MODE = _os.environ.get("MTS_CLUSTER_MODE", "pair")
+
+
+def _use_pairs(pack):
+    return CLUSTER_MODE == "pair" and "cl_sup" in pack.arrays
+
 
 # sorted-chunked traversal: lockstep while_loops pay the WORST lane's
 # node-visit count, so incoherent batches are sorted by direction
@@ -677,11 +686,18 @@ def intersect(pack, o, d, t_max=jnp.inf, sort=False, time=None) -> Hit:
     if _static_tris(pack) > 0:
         if pack.use_bvh:
             if _use_clusters(pack):
-                from mitsuba_tpu.accel import pallas_bvh as pb
+                if _use_pairs(pack):
+                    from mitsuba_tpu.accel import pairs as prs
 
-                best_t, prim, u, v = pb.cluster_closest(
-                    pack, o, d, t_max, sort=sort or CLUSTER_SORT
-                )
+                    best_t, prim, u, v = prs.pair_closest(
+                        pack, o, d, t_max
+                    )
+                else:
+                    from mitsuba_tpu.accel import pallas_bvh as pb
+
+                    best_t, prim, u, v = pb.cluster_closest(
+                        pack, o, d, t_max, sort=sort or CLUSTER_SORT
+                    )
             elif sort:
                 best_t, prim, u, v = _sorted_chunked(
                     pack, o, d, t_max, _bvh_traverse, 4
@@ -756,11 +772,16 @@ def occluded(pack, o, d, t_max, sort=False, time=None) -> jnp.ndarray:
     if _static_tris(pack) > 0:
         if pack.use_bvh:
             if _use_clusters(pack):
-                from mitsuba_tpu.accel import pallas_bvh as pb
+                if _use_pairs(pack):
+                    from mitsuba_tpu.accel import pairs as prs
 
-                occ = pb.cluster_any(
-                    pack, o, d, t_max, sort=sort or CLUSTER_SORT
-                )
+                    occ = prs.pair_any(pack, o, d, t_max)
+                else:
+                    from mitsuba_tpu.accel import pallas_bvh as pb
+
+                    occ = pb.cluster_any(
+                        pack, o, d, t_max, sort=sort or CLUSTER_SORT
+                    )
             elif sort:
                 occ = _sorted_chunked(
                     pack, o, d, t_max, _bvh_traverse_any, 1

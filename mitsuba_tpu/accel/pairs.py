@@ -1,0 +1,554 @@
+"""Pair-compaction cluster traversal: big-mesh intersection where every
+lane tests a (ray, cluster) pair that can actually hit.
+
+The round-3 chunk model (accel/pallas_bvh.py) visits, per CHUNK of
+rays, the UNION of the clusters any of its lanes touches — measured
+~8400 pair-tests/ray on the bunny against a true per-ray overlap of
+0.79 clusters/ray (STATUS.md), a 30-80x lane-occupancy waste.  This
+module replaces it with compacted pair queues (the vectorized analogue
+of the reference's per-ray kd-tree descent, sahkdtree3.h:178-249,
+which tests only the leaves each ray walks through):
+
+  1. exact per-ray culling, two dense levels (no compaction needed):
+     rays x supercluster boxes  ->  top-Ks nearest supers
+     rays x their supers' member clusters -> top-K nearest clusters
+  2. pair queue: flatten the [R, K] cluster lists, SORT BY CLUSTER so
+     equal-cluster pairs form contiguous runs, truncate to a static
+     budget (dropped rays fall back, see 5)
+  3. Pallas kernel, grid = 256-pair windows: per distinct cluster in
+     the window (precomputed run list), the cluster's bilinear
+     Moller-Trumbore operand [16, 4*Tc] is DMA-streamed HBM->VMEM
+     (double-buffered) and contracted against the window's ray
+     features [16, 256] on the MXU; a short VPU epilogue reduces to a
+     per-lane (t, slot) best.  Each lane belongs to exactly one
+     cluster, so lanes outside the run mask off and no lane ever tests
+     a cluster its ray does not overlap.
+  4. results scatter back to the [R, K] lists; min over K (entry-
+     sorted, so ties resolve front-to-back like the chunk kernel).
+  5. rays whose cluster lists overflowed (more than Ks supers / K
+     clusters hit AND no terminating hit before the kept horizon, or
+     pairs dropped by the queue budget) re-run through the chunk
+     traversal under lax.cond — rare by construction.
+
+Everything dynamic (pair counts, run boundaries) is resolved XLA-side
+into static-shape tensors + per-window run counts, so the kernel has
+no data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mitsuba_tpu.accel.pallas_bvh import BIG, RAY_EPS, _winner_uv
+
+# max superclusters kept per ray (exact-culling level 1)
+KS = int(os.environ.get("MTS_PAIR_KS", 4))
+# max clusters kept per ray (exact-culling level 2)
+K = int(os.environ.get("MTS_PAIR_K", 4))
+# pair-queue budget in pairs per ray (the queue is R*BUDGET long;
+# overflow falls back) — bunny measures 0.79 pairs/ray
+BUDGET = float(os.environ.get("MTS_PAIR_BUDGET", 2.0))
+# pairs per kernel window (lane dimension of one MXU visit)
+W = int(os.environ.get("MTS_PAIR_W", 256))
+# ray-tile size: stages are O(tile) memory; sorts stay ~1M entries
+TILE = int(os.environ.get("MTS_PAIR_TILE", 1 << 18))
+
+_I32MAX = jnp.int32(2**31 - 1)
+
+
+# ---------------------------------------------------------------------------
+# XLA stages: exact per-ray culling -> per-ray cluster lists
+# ---------------------------------------------------------------------------
+
+def _slab_entry(o, d, inv, tmax, lo, hi):
+    """Conservative slab test of rays against a box set.
+    o/d/inv: [R, 3]; lo/hi: broadcastable [..., 3].
+    Returns (hit [R, B], entry [R, B])."""
+    t0 = (lo - o[:, None, :]) * inv[:, None, :]
+    t1 = (hi - o[:, None, :]) * inv[:, None, :]
+    tn = jnp.minimum(t0, t1).max(axis=-1)
+    tf = jnp.maximum(t0, t1).min(axis=-1)
+    hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < tmax[:, None])
+    return hit, jnp.maximum(tn, 0.0)
+
+
+def _k_smallest(key, k):
+    """k-pass min extraction over the last axis (cheaper than
+    jax.lax.top_k, measured 5.6 ms for top_k(4) on [262k, 128] on the
+    v5e — k passes of min/argmin/mask are a handful of VPU reduces).
+
+    Returns (vals [R, k] ascending, idx [R, k])."""
+    b = key.shape[-1]
+    cols = jnp.arange(b, dtype=jnp.int32)
+    vals, idxs = [], []
+    for _ in range(k):
+        m = jnp.min(key, axis=-1)
+        i = jnp.argmin(key, axis=-1).astype(jnp.int32)
+        vals.append(m)
+        idxs.append(i)
+        key = jnp.where(cols[None, :] == i[:, None], BIG, key)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
+def _cluster_lists(pack, o, d, tmax):
+    """Per-ray entry-sorted cluster lists via two dense culling levels.
+
+    Returns (cids [R, K] i32 (C = miss), entry [R, K],
+             ov_info dict for the overflow gate)."""
+    cl_sup = pack.cl_sup
+    c = pack.meta["n_clusters"]
+    g = pack.meta["cluster_super_g"]
+    s = pack.meta["n_supers"]
+    ks = min(KS, s)
+
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-20, 1e-20, d)
+
+    # level 1: superclusters (full-precision boxes, there are few)
+    sup_lo = cl_sup[0:3].T[None]  # [1, Sp, 3]
+    sup_hi = cl_sup[3:6].T[None]
+    hit_s, ent_s = _slab_entry(o, d, inv, tmax, sup_lo, sup_hi)
+    key_s = jnp.where(hit_s, ent_s, BIG)
+    n_sup = jnp.sum(hit_s, axis=-1)
+    ent_sup_kept, sid = _k_smallest(key_s, ks)
+    kept_max_sup = ent_sup_kept[:, -1]
+
+    # level 2: member clusters of the kept supers.  Boxes come as two
+    # u32 per cluster (u8-quantized in the super frame, outward-rounded
+    # = conservative; accel/clusters.py cl_boxq), so the per-(ray,
+    # member) gather moves 8 bytes instead of 24.
+    boxq = pack.cl_boxq  # [Sp_g, G, 2] u32
+    sid_c = jnp.minimum(sid, boxq.shape[0] - 1)
+    r = o.shape[0]
+    qm = boxq[sid_c]  # [R, ks, G, 2]
+    slo = cl_sup[0:3].T[sid_c][:, :, None, :]  # [R, ks, 1, 3]
+    ext = jnp.maximum(
+        cl_sup[3:6].T[sid_c] - cl_sup[0:3].T[sid_c], 1e-30
+    )[:, :, None, :] * (1.0 / 255.0)
+
+    def dq(word):
+        return jnp.stack(
+            [
+                (word & 0xFF).astype(jnp.float32),
+                ((word >> 8) & 0xFF).astype(jnp.float32),
+                ((word >> 16) & 0xFF).astype(jnp.float32),
+            ],
+            axis=-1,
+        )
+
+    lo_c = (slo + dq(qm[..., 0]) * ext).reshape(r, ks * g, 3)
+    hi_c = (slo + dq(qm[..., 1]) * ext).reshape(r, ks * g, 3)
+    cand_cid = (sid_c[:, :, None] * g
+                + jnp.arange(g, dtype=jnp.int32)[None, None, :]
+                ).reshape(r, ks * g)
+    sup_ok = ent_sup_kept < BIG  # [R, ks]
+    cand_ok = (
+        jnp.broadcast_to(sup_ok[:, :, None], (r, ks, g))
+        .reshape(r, ks * g)
+        & (cand_cid < c)
+    )
+    hit_c, ent_c = _slab_entry(o, d, inv, tmax, lo_c, hi_c)
+    hit_c = hit_c & cand_ok
+    key_c = jnp.where(hit_c, ent_c, BIG)
+    n_cl = jnp.sum(hit_c, axis=-1)
+    kk = min(K, ks * g)
+    ent_k, ci = _k_smallest(key_c, kk)
+    cids = jnp.where(
+        ent_k < BIG,
+        jnp.take_along_axis(cand_cid, ci, axis=-1),
+        c,
+    ).astype(jnp.int32)
+    kept_max_cl = ent_k[:, -1]
+
+    ov = dict(
+        n_sup=n_sup, ks=ks, kept_max_sup=kept_max_sup,
+        n_cl=n_cl, kk=kk, kept_max_cl=kept_max_cl,
+    )
+    return cids, ent_k, ov
+
+
+def _overflow(ov, best_t):
+    """Rays whose result may be wrong because culling dropped
+    candidates CLOSER than the best hit found (top_k keeps the
+    nearest-entry supers/clusters, so anything dropped enters at
+    >= the kept maximum)."""
+    o1 = (ov["n_sup"] > ov["ks"]) & (best_t > ov["kept_max_sup"])
+    o2 = (ov["n_cl"] > ov["kk"]) & (best_t > ov["kept_max_cl"])
+    return o1 | o2
+
+
+# ---------------------------------------------------------------------------
+# pair queue construction
+# ---------------------------------------------------------------------------
+
+def _pair_queue(cids, r, c):
+    """Flatten [R, K] lists into a cluster-sorted pair queue of static
+    length P_cap; returns (cid_q [P], slot_q [P], cid_tail, slot_tail)
+    where the tail is the truncated remainder (empty when the budget
+    covers every slot)."""
+    kk = cids.shape[1]
+    flat_cid = cids.reshape(-1)
+    slot = jnp.arange(r * kk, dtype=jnp.int32)
+    # sentinel (cid == c) sorts last
+    cid_s, slot_s = jax.lax.sort((flat_cid, slot), num_keys=1)
+    p_cap = min(int(r * BUDGET), r * kk)
+    p_cap = max(((p_cap + W - 1) // W) * W, W)
+    return (cid_s[:p_cap], slot_s[:p_cap],
+            cid_s[p_cap:], slot_s[p_cap:])
+
+
+def _window_runs(cid_q, c):
+    """Per-window distinct-cluster lists.  cid_q [P] sorted by cluster;
+    returns (run_cids [NW, W] i32 (pad I32MAX), n_runs [NW])."""
+    p = cid_q.shape[0]
+    nw = p // W
+    valid = cid_q < c
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), cid_q[:-1]])
+    lane = jnp.arange(p, dtype=jnp.int32) % W
+    flag = valid & ((lane == 0) | (cid_q != prev))
+    fw = flag.reshape(nw, W)
+    cw = cid_q.reshape(nw, W)
+    run_cids = jnp.sort(jnp.where(fw, cw, _I32MAX), axis=-1)
+    n_runs = jnp.sum(fw, axis=-1).astype(jnp.int32)
+    return run_cids, n_runs
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels (MXU bilinear Moller-Trumbore, HBM-streamed operands)
+# ---------------------------------------------------------------------------
+
+def _mt_epilogue(prod, tc, t_lim):
+    """[4*Tc, W] MXU product -> (t [Tc, W] with BIG misses)."""
+    det = prod[0 * tc:1 * tc]
+    u_n = prod[1 * tc:2 * tc]
+    v_n = prod[2 * tc:3 * tc]
+    t_n = prod[3 * tc:4 * tc]
+    live = jnp.abs(det) > 1e-12
+    invd = jnp.where(live, 1.0, 0.0) / jnp.where(live, det, 1.0)
+    u = u_n * invd
+    v = v_n * invd
+    t = t_n * invd
+    hit = (
+        live
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > RAY_EPS)
+        & (t < t_lim)
+    )
+    return jnp.where(hit, t, BIG)
+
+
+def _pair_kernel(tc, mode, *refs):
+    """One window: fori over the window's distinct clusters; per run,
+    DMA the cluster's MT operand and MXU-test ALL W lanes, masking to
+    the lanes whose pair is this cluster."""
+    if mode == "closest":
+        (rc_ref, nr_ref, cidv_ref, feats_ref, tmax_ref, mt_hbm,
+         o1_ref, o2_ref, scratch, sem) = refs
+    else:
+        (rc_ref, nr_ref, cidv_ref, feats_ref, tmax_ref, mt_hbm,
+         o1_ref, scratch, sem) = refs
+    nr = nr_ref[0, 0]
+    feats = feats_ref[0]  # [16, W]
+    cidv = cidv_ref[0, 0:1, :]  # [1, W]
+    tmaxv = tmax_ref[0, 0:1, :]
+
+    def get_dma(slot_b, rr):
+        cid = rc_ref[0, jnp.minimum(rr, W - 1)]
+        cid = jnp.minimum(cid, mt_hbm.shape[0] - 1)
+        return pltpu.make_async_copy(
+            mt_hbm.at[cid], scratch.at[slot_b], sem.at[slot_b]
+        )
+
+    @pl.when(nr > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    if mode == "closest":
+        init = (tmaxv, jnp.full(tmaxv.shape, -1, jnp.int32))
+    else:
+        init = ((tmaxv <= 0.0).astype(jnp.int32),)
+
+    def body(r, carry):
+        @pl.when(r + 1 < nr)
+        def _():
+            get_dma((r + 1) % 2, r + 1).start()
+
+        get_dma(r % 2, r).wait()
+        cid = rc_ref[0, r]
+        mask_c = cidv == cid  # [1, W]
+        prod = jax.lax.dot_general(
+            scratch[r % 2], feats,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [4*Tc, W]
+        if mode == "closest":
+            t_b, s_b = carry
+            t = _mt_epilogue(prod, tc, jnp.where(mask_c, t_b, 0.0))
+            tmin = jnp.min(t, axis=0, keepdims=True)
+            row = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]
+            better = (tmin < t_b) & mask_c
+            s_b = jnp.where(better, cid * tc + row, s_b)
+            t_b = jnp.where(better, tmin, t_b)
+            return t_b, s_b
+        (occ,) = carry
+        t = _mt_epilogue(
+            prod, tc, jnp.where(mask_c & (occ < 1), tmaxv, 0.0)
+        )
+        found = jnp.any(t < BIG, axis=0, keepdims=True)
+        return (jnp.maximum(occ, found.astype(jnp.int32)),)
+
+    # every started DMA is waited inside its own iteration (run r+1 is
+    # prefetched by iteration r and waited by iteration r+1), so the
+    # loop exits with no DMA in flight — no drain needed
+    out = jax.lax.fori_loop(0, nr, body, init)
+
+    if mode == "closest":
+        o1_ref[0, 0:1, :] = out[0]
+        o2_ref[0, 0:1, :] = out[1]
+    else:
+        o1_ref[0, 0:1, :] = out[0]
+
+
+def _run_kernel(pack, mode, run_cids, n_runs, cid_q, feats_q, tmax_q,
+                interpret):
+    tc = pack.meta["cluster_tc"]
+    nw = run_cids.shape[0]
+    smem = [
+        pl.BlockSpec((1, W), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+    ]
+    vspec = lambda d1: pl.BlockSpec(  # noqa: E731
+        (1, d1, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = smem + [
+        vspec(1), vspec(16), vspec(1),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    args = (
+        run_cids, n_runs.reshape(nw, 1),
+        cid_q.reshape(nw, 1, W),
+        feats_q, tmax_q.reshape(nw, 1, W),
+        pack.cl_mt,
+    )
+    scratch_shapes = [
+        pltpu.VMEM((2, 16, 4 * tc), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    ospec = vspec(1)
+    if mode == "closest":
+        out_specs = [ospec, ospec]
+        out_shape = [
+            jax.ShapeDtypeStruct((nw, 1, W), jnp.float32),
+            jax.ShapeDtypeStruct((nw, 1, W), jnp.int32),
+        ]
+    else:
+        out_specs = [ospec]
+        out_shape = [jax.ShapeDtypeStruct((nw, 1, W), jnp.int32)]
+    return pl.pallas_call(
+        functools.partial(_pair_kernel, tc, mode),
+        grid=(nw,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )(*args)
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def _feats(o, d):
+    """MT bilinear ray features [R, 16] = [d, o x d, o, 1, 0*6]
+    (accel/clusters._mt_matrices operand layout)."""
+    r = o.shape[0]
+    return jnp.concatenate(
+        [
+            d, jnp.cross(o, d), o,
+            jnp.ones((r, 1), jnp.float32),
+            jnp.zeros((r, 6), jnp.float32),
+        ],
+        axis=-1,
+    )
+
+
+def _run_tile(pack, o, d, t_max, mode, interpret):
+    """One ray tile (static shape [T]).  Returns per-ray results plus
+    the overflow mask (resolved by the caller's fallback)."""
+    c = pack.meta["n_clusters"]
+    tc = pack.meta["cluster_tc"]
+    r = o.shape[0]
+
+    cids, ent_k, ov = _cluster_lists(pack, o, d, t_max)
+    kk = cids.shape[1]
+    cid_q, slot_q, cid_tail, slot_tail = _pair_queue(cids, r, c)
+    run_cids, n_runs = _window_runs(cid_q, c)
+
+    fq = _feats(o, d)[slot_q // kk]  # [P, 16]
+    p = cid_q.shape[0]
+    feats_q = jnp.swapaxes(fq.reshape(p // W, W, 16), 1, 2)
+    tmax_q = jnp.where(cid_q < c, t_max[slot_q // kk], 0.0)
+
+    outs = _run_kernel(
+        pack, mode, run_cids, n_runs, cid_q, feats_q, tmax_q, interpret
+    )
+
+    # restore the dense [R, K] slot order with ONE kv-sort by slot
+    # (the concatenated queue + truncated tail together hold every
+    # slot exactly once) — a 1M-element sort beats an element scatter
+    # ~4x on the v5e.  Truncated-but-valid pairs carry the -2 marker
+    # so their rays route to the fallback.
+    slot_full = jnp.concatenate([slot_q, slot_tail])
+
+    if mode == "closest":
+        t_q = outs[0].reshape(-1)
+        s_q = outs[1].reshape(-1)
+        t_full = jnp.concatenate([
+            jnp.where(cid_q < c, t_q, BIG),
+            jnp.full(slot_tail.shape, BIG, jnp.float32),
+        ])
+        s_full = jnp.concatenate([
+            jnp.where(cid_q < c, s_q, -1),
+            jnp.where(cid_tail < c, -2, -1),
+        ])
+        _, t_rk, s_rk = jax.lax.sort(
+            (slot_full, t_full, s_full), num_keys=1
+        )
+        t_rk = t_rk.reshape(r, kk)
+        s_rk = s_rk.reshape(r, kk)
+        dropped = jnp.any(s_rk == -2, axis=-1)
+        kbest = jnp.argmin(t_rk, axis=-1)  # ties -> nearest entry
+        best_t = jnp.take_along_axis(t_rk, kbest[:, None], 1)[:, 0]
+        best_s = jnp.take_along_axis(s_rk, kbest[:, None], 1)[:, 0]
+        hit = best_s >= 0
+        best_t = jnp.where(hit, best_t, jnp.broadcast_to(t_max, (r,)))
+        overflow = _overflow(ov, best_t) | dropped
+        return best_t, best_s, overflow
+
+    occ_q = outs[0].reshape(-1)
+    occ_full = jnp.concatenate([
+        jnp.where(cid_q < c, occ_q, 0),
+        jnp.where(cid_tail < c, -2, 0),
+    ])
+    _, occ_rk = jax.lax.sort((slot_full, occ_full), num_keys=1)
+    occ_rk = occ_rk.reshape(r, kk)
+    occ = jnp.max(occ_rk, axis=-1) > 0
+    dropped = jnp.any(occ_rk == -2, axis=-1)
+    # an occluded ray is final; otherwise dropped candidates matter
+    overflow = (_overflow(ov, jnp.broadcast_to(t_max, (r,))) | dropped
+                ) & ~occ
+    return occ, overflow
+
+
+def _tiles(r):
+    t = min(TILE, max(((r + 127) // 128) * 128, 128))
+    n = -(-r // t)
+    return t, n
+
+
+def pair_closest(pack, o, d, t_max, interpret=False):
+    """Closest hit via pair compaction; same conventions as
+    pallas_bvh.cluster_closest (t = t_max on miss, prim = -1)."""
+    from mitsuba_tpu.accel import pallas_bvh as pb
+
+    r = o.shape[0]
+    t_max = jnp.broadcast_to(t_max, (r,)).astype(jnp.float32)
+    t_max = jnp.where(jnp.isfinite(t_max), t_max, BIG)
+    t, n = _tiles(r)
+    pad = t * n - r
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), jnp.float32)])
+        d = jnp.concatenate(
+            [d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32),
+                         (pad, 1))]
+        )
+        t_max = jnp.concatenate([t_max, jnp.zeros((pad,), jnp.float32)])
+
+    ts, ss, ovs = [], [], []
+    for i in range(n):
+        sl = slice(i * t, (i + 1) * t)
+        bt, bs, ov = _run_tile(
+            pack, o[sl], d[sl], t_max[sl], "closest", interpret
+        )
+        ts.append(bt)
+        ss.append(bs)
+        ovs.append(ov)
+    best_t = jnp.concatenate(ts)[:r]
+    best_s = jnp.concatenate(ss)[:r]
+    overflow = jnp.concatenate(ovs)[:r]
+    o, d, t_max = o[:r], d[:r], t_max[:r]
+
+    # rare fallback: re-run overflow rays through the chunk traversal
+    def fb(_):
+        tm = jnp.where(overflow, t_max, 0.0)
+        fb_t, fb_p, _, _ = pb.cluster_closest(
+            pack, o, d, tm, sort=True, interpret=interpret
+        )
+        return fb_t, fb_p
+
+    def no_fb(_):
+        return t_max, jnp.full((r,), -1, jnp.int32)
+
+    fb_t, fb_p = jax.lax.cond(jnp.any(overflow), fb, no_fb, None)
+    prim0 = jnp.where(
+        best_s >= 0, pack.cl_pad2prim[jnp.maximum(best_s, 0)], -1
+    )
+    use_fb = overflow & (fb_p >= 0) & (fb_t < best_t)
+    best_t = jnp.where(use_fb, fb_t, best_t)
+    prim = jnp.where(use_fb, fb_p, prim0)
+    u, v = _winner_uv(pack, o, d, prim)
+    hit = prim >= 0
+    return (
+        jnp.where(hit, best_t, t_max),
+        prim,
+        jnp.where(hit, u, 0.0),
+        jnp.where(hit, v, 0.0),
+    )
+
+
+def pair_any(pack, o, d, t_max, interpret=False):
+    """Boolean occlusion via pair compaction."""
+    from mitsuba_tpu.accel import pallas_bvh as pb
+
+    r = o.shape[0]
+    t_max = jnp.broadcast_to(t_max, (r,)).astype(jnp.float32)
+    t_max = jnp.where(jnp.isfinite(t_max), t_max, BIG)
+    t, n = _tiles(r)
+    pad = t * n - r
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), jnp.float32)])
+        d = jnp.concatenate(
+            [d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32),
+                         (pad, 1))]
+        )
+        t_max = jnp.concatenate([t_max, jnp.zeros((pad,), jnp.float32)])
+
+    os_, ovs = [], []
+    for i in range(n):
+        sl = slice(i * t, (i + 1) * t)
+        occ, ov = _run_tile(pack, o[sl], d[sl], t_max[sl], "any",
+                            interpret)
+        os_.append(occ)
+        ovs.append(ov)
+    occ = jnp.concatenate(os_)[:r]
+    overflow = jnp.concatenate(ovs)[:r]
+    o, d, t_max = o[:r], d[:r], t_max[:r]
+
+    def fb(_):
+        tm = jnp.where(overflow, t_max, 0.0)
+        return pb.cluster_any(pack, o, d, tm, sort=True,
+                              interpret=interpret)
+
+    fb_occ = jax.lax.cond(
+        jnp.any(overflow), fb, lambda _: jnp.zeros((r,), bool), None
+    )
+    return occ | (overflow & fb_occ)

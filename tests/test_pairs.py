@@ -1,0 +1,101 @@
+"""Pair-compaction traversal (accel/pairs.py) vs the XLA BVH, in
+Pallas interpret mode on CPU (same validation strategy as
+tests/test_cluster.py = the reference's test_kd.cpp:95-130)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mitsuba_tpu.accel import intersect as isect
+from mitsuba_tpu.accel import pairs as prs
+from tests.test_cluster import cluster_pack
+
+
+def _rays(pack, n, seed=1):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-2.0, 2.0, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def _ref(pack, o, d, t_max=1e30):
+    return isect._bvh_traverse(pack, o, d, jnp.asarray(t_max))
+
+
+def _check_closest(pack, o, d, t_max=1e30):
+    bt, bp, bu, bv = prs.pair_closest(
+        pack, o, d, jnp.asarray(t_max), interpret=True
+    )
+    rt, rp, ru, rv = _ref(pack, o, d, t_max)
+    hit_p = np.asarray(bp) >= 0
+    hit_r = np.asarray(rp) >= 0
+    np.testing.assert_array_equal(hit_p, hit_r)
+    np.testing.assert_allclose(
+        np.asarray(bt)[hit_r], np.asarray(rt)[hit_r], rtol=1e-4, atol=1e-5
+    )
+    # the winning primitive can differ only at exact-t ties
+    diff = hit_r & (np.asarray(bp) != np.asarray(rp))
+    assert (
+        np.abs(np.asarray(bt)[diff] - np.asarray(rt)[diff]) <= 1e-5
+    ).all()
+    same = hit_r & ~diff
+    np.testing.assert_allclose(
+        np.asarray(bu)[same], np.asarray(ru)[same], rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(bv)[same], np.asarray(rv)[same], rtol=1e-3, atol=1e-4
+    )
+
+
+def test_pair_closest_matches_bvh():
+    pack = cluster_pack(n_tris=3000, tc=64)
+    o, d = _rays(pack, 2048)
+    _check_closest(pack, o, d)
+
+
+def test_pair_closest_small_k_overflow(monkeypatch):
+    """Tiny K / Ks force the overflow fallback to carry correctness."""
+    monkeypatch.setattr(prs, "KS", 1)
+    monkeypatch.setattr(prs, "K", 1)
+    pack = cluster_pack(n_tris=3000, tc=64)
+    o, d = _rays(pack, 1024, seed=7)
+    _check_closest(pack, o, d)
+
+
+def test_pair_queue_budget_drop(monkeypatch):
+    """A starved pair budget must flag dropped rays into the fallback,
+    not silently miss."""
+    monkeypatch.setattr(prs, "BUDGET", 0.25)
+    pack = cluster_pack(n_tris=3000, tc=64)
+    o, d = _rays(pack, 1024, seed=11)
+    _check_closest(pack, o, d)
+
+
+def test_pair_any_matches_bvh():
+    pack = cluster_pack(n_tris=3000, tc=64)
+    o, d = _rays(pack, 2048, seed=3)
+    occ_p = prs.pair_any(
+        pack, o, d, jnp.asarray(0.7), interpret=True
+    )
+    occ_r = isect._bvh_traverse_any(pack, o, d, jnp.asarray(0.7))
+    np.testing.assert_array_equal(np.asarray(occ_p), np.asarray(occ_r))
+
+
+def test_pair_finite_tmax_and_padding():
+    """Non-multiple-of-tile ray counts and finite per-ray t_max."""
+    pack = cluster_pack(n_tris=1500, tc=64)
+    o, d = _rays(pack, 777, seed=5)
+    t_max = jnp.asarray(
+        np.random.default_rng(5).uniform(0.05, 3.0, (777,)).astype(
+            np.float32
+        )
+    )
+    bt, bp, _, _ = prs.pair_closest(pack, o, d, t_max, interpret=True)
+    rt, rp, _, _ = isect._bvh_traverse(pack, o, d, t_max)
+    hit_r = np.asarray(rp) >= 0
+    np.testing.assert_array_equal(np.asarray(bp) >= 0, hit_r)
+    np.testing.assert_allclose(
+        np.asarray(bt)[hit_r], np.asarray(rt)[hit_r], rtol=1e-4,
+        atol=1e-5,
+    )
