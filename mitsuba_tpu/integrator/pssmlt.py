@@ -211,6 +211,81 @@ def path_from_primary(pack, integ, cam, w, h, U):
     return pos, out["L"]
 
 
+def make_chain_trace(pack, integ, sen, cam, w, h):
+    """Build the chain re-trace function: U [N, D] -> (pos [N, S, 2],
+    val [N, S, 3]) where S static splats per sample (S=1 for the
+    unidirectional technique; 1 + light-image splats for bidirectional).
+
+    Like the reference, PSSMLT defaults to the BIDIRECTIONAL path
+    sampler (pssmlt.cpp:170 technique=EBidirectional,
+    pathsampler.h:39-121): every mutation re-traces a full family of
+    (s,t) strategies, which is what makes the chain family work on
+    caustic / hard-visibility scenes.  Media scenes and scenes outside
+    the bdpt envelope fall back to the unidirectional sampler
+    (heterogeneous distance sampling draws unbounded randomness that
+    cannot live in a finite primary vector).
+
+    Light-image splat values are pre-scaled by 1/n_px so the combined
+    luminance target and the existing b * n_px / (steps * chains)
+    normalization stay consistent with the unidirectional estimator.
+    """
+    from mitsuba_tpu.integrator import bdpt as _bdpt
+
+    n_px = w * h
+    has_media = pack.meta.get("has_media", False)
+    want_bidir = getattr(integ, "bidirectional", False) and os.environ.get(
+        "MTS_PSSMLT_BIDIR", "1"
+    ) != "0"
+    if want_bidir and _bdpt.supports_bdpt(pack) and not has_media:
+        max_edges = _bdpt.bdpt_max_edges(integ)
+        D = _bdpt.primary_dims(max_edges)
+        split_direct = getattr(integ, "direct_samples", -1) >= 0
+        chunk = _bdpt.make_bdpt_chunk(
+            pack, integ, sen, w, h, seed=0, exclude_direct=split_direct
+        )
+
+        def trace(U):
+            n = U.shape[0]
+            zeros = jnp.zeros((n,), jnp.uint32)
+            L, splats = chunk(zeros, zeros, U=U)
+            pos0 = jnp.stack([U[:, 0] * w, U[:, 1] * h], axis=-1)
+            pos_all = [pos0]
+            val_all = [L]
+            for pos, val, ok in splats:
+                # masked-off splats can carry NaN positions (projection
+                # of invalid vertices); zero them or the tent-weight
+                # product 0 * NaN poisons the film
+                pos_all.append(jnp.where(ok[..., None], pos, 0.0))
+                val_all.append(
+                    jnp.where(ok[..., None], val, 0.0) / n_px
+                )
+            return (
+                jnp.stack(pos_all, axis=1),
+                jnp.stack(val_all, axis=1),
+            )
+
+        return trace, D, 1 + len(
+            [s for s in range(1, max_edges + 1)
+             if not split_direct or s > 2]
+        )
+
+    D = dims_for(integ.max_depth if integ.max_depth > 0 else 16)
+
+    def trace(U):
+        pos, L = path_from_primary(pack, integ, cam, w, h, U)
+        return pos[:, None, :], L[:, None, :]
+
+    return trace, D, 1
+
+
+def _chain_lum(val):
+    """Scalar chain target: total luminance over the splat list.
+    Accepts [N, 3] (single-splat techniques: mlt/erpt re-trace) or
+    [N, S, 3] (multi-splat bidirectional)."""
+    lum = luminance(val)
+    return lum if lum.ndim == 1 else jnp.sum(lum, axis=-1)
+
+
 def _kelemen_mutate(U, u_mut, u_sign):
     """Symmetric log-space perturbation (pssmlt_sampler.h:70-103)."""
     step = _S2 * jnp.exp(-jnp.log(_S2 / _S1) * u_mut)
@@ -245,7 +320,9 @@ def _splat(film, pos, value, w, h):
 def bootstrap_chains(trace, D, n_chains, n_boot_batches, seed, seed_mlt):
     """Luminance-normalization bootstrap + proportional seed resampling
     (reference pssmlt.cpp:181-198).  Returns (U_cur [N, D], b_norm) or
-    (None, 0.0) for a black scene."""
+    (None, 0.0) for a black scene.  `trace` follows the multi-splat
+    interface (make_chain_trace): the target is the TOTAL splat
+    luminance of the sample."""
     boot_lum = []
     for b in range(n_boot_batches):
         U = rng.rand4(
@@ -254,8 +331,8 @@ def bootstrap_chains(trace, D, n_chains, n_boot_batches, seed, seed_mlt):
             jnp.uint32(7000 + b),
             seed_mlt,
         )[:, 0].reshape(n_chains, D)
-        _, L = trace(U)
-        boot_lum.append(np.asarray(luminance(L)))
+        _, val = trace(U)
+        boot_lum.append(np.asarray(_chain_lum(val)))
     boot_lum = np.concatenate(boot_lum)
     b_norm = float(boot_lum.mean())
     if b_norm <= 0:
@@ -346,9 +423,8 @@ def render_pssmlt(scene, spp=None, seed=0, pack=None, chains=None,
     # chain control/mutation draws live in their own stream (core/rng.py)
     seed_mlt = rng.stream_seed(seed, rng.STREAM_MLT)
 
-    trace = jax.jit(
-        lambda U: path_from_primary(pack, integ, cam, w, h, U)
-    )
+    trace_fn, D, _ = make_chain_trace(pack, integ, sen, cam, w, h)
+    trace = jax.jit(trace_fn)
 
     n_boot_batches = max(integ.luminance_samples // n_chains, 2)
     U_cur, b_norm = bootstrap_chains(
@@ -358,10 +434,18 @@ def render_pssmlt(scene, spp=None, seed=0, pack=None, chains=None,
         return np.zeros((h, w, 3), np.float32)
 
     pos_cur, L_cur = trace(U_cur)
-    I_cur = luminance(L_cur)
+    I_cur = _chain_lum(L_cur)
 
     total_mutations = mutations_pp * n_px
     n_steps = max(total_mutations // n_chains, 1)
+
+    def splat_all(film, pos, val, wgt):
+        # pos [N, S, 2], val [N, S, 3]: every strategy splat of the
+        # sample lands with the same chain weight (SplatList semantics,
+        # reference pathsampler.cpp:93-127)
+        for s in range(pos.shape[1]):
+            film = _splat(film, pos[:, s], val[:, s] * wgt[:, None], w, h)
+        return film
 
     def step(carry, k):
         # k >= n_steps: padding step of the last execution chunk —
@@ -384,23 +468,21 @@ def render_pssmlt(scene, spp=None, seed=0, pack=None, chains=None,
         U_small = _kelemen_mutate(U_cur, u_mut, u_sign)
         U_prop = jnp.where(large[:, None], u_fresh, U_small)
 
-        pos_p, L_p = path_from_primary(pack, integ, cam, w, h, U_prop)
-        I_p = luminance(L_p)
+        pos_p, L_p = trace_fn(U_prop)
+        I_p = _chain_lum(L_p)
 
         a = jnp.clip(I_p / jnp.maximum(I_cur, 1e-12), 0.0, 1.0)
         # expected-values splatting (both states, weighted)
         live = valid.astype(jnp.float32)
         w_cur = (1.0 - a) / jnp.maximum(I_cur, 1e-12) * live
         w_prop = a / jnp.maximum(I_p, 1e-12) * live
-        film = _splat(
-            film, pos_cur, L_cur * w_cur[:, None], w, h
-        )
-        film = _splat(film, pos_p, L_p * w_prop[:, None], w, h)
+        film = splat_all(film, pos_cur, L_cur, w_cur)
+        film = splat_all(film, pos_p, L_p, w_prop)
 
         accept = (u_ctl[:, 1] < a) & valid
         U_cur = jnp.where(accept[:, None], U_prop, U_cur)
-        pos_cur = jnp.where(accept[:, None], pos_p, pos_cur)
-        L_cur = jnp.where(accept[:, None], L_p, L_cur)
+        pos_cur = jnp.where(accept[:, None, None], pos_p, pos_cur)
+        L_cur = jnp.where(accept[:, None, None], L_p, L_cur)
         I_cur = jnp.where(accept, I_p, I_cur)
         return (U_cur, pos_cur, L_cur, I_cur, film, lanes), None
 
