@@ -130,32 +130,63 @@ def spline_eval(x, values, m, xq):
 # ---------------------------------------------------------------------------
 
 def sh_eval(l_max: int, d):
-    """Real SH basis values up to band l_max at unit directions d
-    [..., 3].  Returns [..., (l_max+1)^2] (numpy)."""
+    """Real SH basis values up to band l_max (ARBITRARY order) at unit
+    directions d [..., 3].  Returns [..., (l_max+1)^2] (numpy), index
+    layout l*(l+1)+m, Condon-Shortley real basis (reference
+    shvector.h:56 SHVector::eval).
+
+    Division-free recurrences: C_m = r^m cos(m phi), S_m = r^m
+    sin(m phi) build from (x, y); the associated Legendre part is
+    carried as P~_lm = P_lm / r^m (a pure polynomial in z), so poles
+    (r = 0) are exact."""
     d = np.asarray(d, np.float64)
     x, y, z = d[..., 0], d[..., 1], d[..., 2]
-    out = np.zeros(d.shape[:-1] + ((l_max + 1) ** 2,))
-    out[..., 0] = 0.28209479177387814  # Y00
-    if l_max >= 1:
-        out[..., 1] = -0.4886025119029199 * y
-        out[..., 2] = 0.4886025119029199 * z
-        out[..., 3] = -0.4886025119029199 * x
-    if l_max >= 2:
-        out[..., 4] = 1.0925484305920792 * x * y
-        out[..., 5] = -1.0925484305920792 * y * z
-        out[..., 6] = 0.31539156525252005 * (3 * z * z - 1)
-        out[..., 7] = -1.0925484305920792 * x * z
-        out[..., 8] = 0.5462742152960396 * (x * x - y * y)
-    if l_max >= 3:
-        out[..., 9] = -0.5900435899266435 * y * (3 * x * x - y * y)
-        out[..., 10] = 2.890611442640554 * x * y * z
-        out[..., 11] = -0.4570457994644658 * y * (5 * z * z - 1)
-        out[..., 12] = 0.3731763325901154 * z * (5 * z * z - 3)
-        out[..., 13] = -0.4570457994644658 * x * (5 * z * z - 1)
-        out[..., 14] = 1.445305721320277 * z * (x * x - y * y)
-        out[..., 15] = -0.5900435899266435 * x * (x * x - 3 * y * y)
-    if l_max >= 4:
-        raise NotImplementedError("sh_eval: bands above 3")
+    n_coeff = (l_max + 1) ** 2
+    out = np.zeros(d.shape[:-1] + (n_coeff,))
+
+    # C_m, S_m recurrence (C_0 = 1, S_0 = 0)
+    c_m = [np.ones_like(x)]
+    s_m = [np.zeros_like(x)]
+    for m in range(1, l_max + 1):
+        c_m.append(x * c_m[m - 1] - y * s_m[m - 1])
+        s_m.append(x * s_m[m - 1] + y * c_m[m - 1])
+
+    # P~_lm recurrence per m-diagonal
+    pt = {}
+    pmm = np.ones_like(z)
+    for m in range(0, l_max + 1):
+        pt[(m, m)] = pmm.copy() if m else np.ones_like(z)
+        if m + 1 <= l_max:
+            pt[(m + 1, m)] = z * (2 * m + 1) * pt[(m, m)]
+        for ll in range(m + 2, l_max + 1):
+            pt[(ll, m)] = (
+                (2 * ll - 1) * z * pt[(ll - 1, m)]
+                - (ll + m - 1) * pt[(ll - 2, m)]
+            ) / (ll - m)
+        # next diagonal: P~_{m+1,m+1} = -(2m+1) * P~_mm  (the r factor
+        # is absorbed into C/S)
+        pmm = -(2 * m + 1) * pt[(m, m)]
+
+    import math as _math
+
+    for ll in range(l_max + 1):
+        for m in range(ll + 1):
+            k = _math.sqrt(
+                (2 * ll + 1)
+                / (4 * _math.pi)
+                * _math.factorial(ll - m)
+                / _math.factorial(ll + m)
+            )
+            if m == 0:
+                out[..., ll * (ll + 1)] = k * pt[(ll, 0)]
+            else:
+                sq2k = _math.sqrt(2.0) * k
+                out[..., ll * (ll + 1) + m] = (
+                    sq2k * c_m[m] * pt[(ll, m)]
+                )
+                out[..., ll * (ll + 1) - m] = (
+                    sq2k * s_m[m] * pt[(ll, m)]
+                )
     return out
 
 
@@ -170,6 +201,92 @@ def sh_project(l_max: int, f, n_samples: int = 10000, seed: int = 0):
     basis = sh_eval(l_max, d)
     vals = f(d)
     return 4 * np.pi * np.mean(vals[:, None] * basis, axis=0)
+
+
+class SHSampler:
+    """Importance sampler for an SH expansion (reference shvector.h:430
+    SHSampler: hierarchical warping over a 2^depth x 2^depth (theta,
+    phi) grid).  Rebuild: the per-cell |f| masses become a dense 2D
+    CDF table sampled with two searchsorted's — the vectorized
+    equivalent of the reference's per-sample hierarchy descent (whose
+    resolution and piecewise-constant pdf this matches exactly).
+    """
+
+    def __init__(self, coeffs, depth: int = 6, quad: int = 4):
+        coeffs = np.asarray(coeffs, np.float64)
+        l_max = int(np.sqrt(coeffs.shape[0])) - 1
+        n = 1 << depth
+        self.n = n
+        # cell-averaged |f| via midpoint quadrature (quad^2 points/cell)
+        tq = (np.arange(n * quad) + 0.5) / (n * quad) * np.pi
+        pq = (np.arange(n * quad) + 0.5) / (n * quad) * 2 * np.pi
+        tt, pp = np.meshgrid(tq, pq, indexing="ij")
+        dirs = np.stack(
+            [np.sin(tt) * np.cos(pp), np.sin(tt) * np.sin(pp),
+             np.cos(tt)], -1,
+        )
+        f = sh_eval(l_max, dirs.reshape(-1, 3)) @ coeffs
+        f = np.abs(f).reshape(n, quad, n, quad).mean(axis=(1, 3))
+        # cell mass = avg|f| * cell solid angle
+        edges = np.arange(n + 1) / n * np.pi
+        sa_theta = np.cos(edges[:-1]) - np.cos(edges[1:])
+        mass = f * sa_theta[:, None] * (2 * np.pi / n)
+        self.total = float(mass.sum())
+        self.mass = mass
+        row = mass.sum(axis=1)
+        self.row_cdf = np.concatenate([[0.0], np.cumsum(row)])
+        self.row_cdf /= max(self.row_cdf[-1], 1e-300)
+        cond = np.cumsum(mass, axis=1)
+        cond = np.concatenate([np.zeros((n, 1)), cond], axis=1)
+        cond /= np.maximum(cond[:, -1:], 1e-300)
+        self.cond_cdf = cond
+
+    def sample(self, u):
+        """u [N, 2] -> (directions [N, 3], pdf [N] wrt solid angle)."""
+        u = np.asarray(u, np.float64)
+        n = self.n
+        i = np.clip(
+            np.searchsorted(self.row_cdf, u[:, 0], side="right") - 1,
+            0, n - 1,
+        )
+        # stratified reuse within the row
+        lo, hi = self.row_cdf[i], self.row_cdf[i + 1]
+        u0 = (u[:, 0] - lo) / np.maximum(hi - lo, 1e-300)
+        cc = self.cond_cdf[i]
+        j = np.clip(
+            (cc <= u[:, 1][:, None]).sum(axis=1) - 1, 0, n - 1
+        )
+        lo2 = cc[np.arange(len(i)), j]
+        hi2 = cc[np.arange(len(i)), j + 1]
+        u1 = (u[:, 1] - lo2) / np.maximum(hi2 - lo2, 1e-300)
+        # uniform within the cell, exact in solid angle for theta
+        ct0 = np.cos(i / n * np.pi)
+        ct1 = np.cos((i + 1) / n * np.pi)
+        ct = ct0 + (ct1 - ct0) * u0
+        st = np.sqrt(np.maximum(1 - ct * ct, 0.0))
+        phi = (j + u1) / n * 2 * np.pi
+        d = np.stack([st * np.cos(phi), st * np.sin(phi), ct], -1)
+        return d, self.pdf_cell(i, j)
+
+    def pdf_cell(self, i, j):
+        edges0 = np.cos(i / self.n * np.pi)
+        edges1 = np.cos((i + 1) / self.n * np.pi)
+        sa = (edges0 - edges1) * (2 * np.pi / self.n)
+        return self.mass[i, j] / max(self.total, 1e-300) / np.maximum(
+            sa, 1e-300
+        )
+
+    def pdf(self, d):
+        d = np.asarray(d, np.float64)
+        theta = np.arccos(np.clip(d[..., 2], -1, 1))
+        phi = np.arctan2(d[..., 1], d[..., 0]) % (2 * np.pi)
+        i = np.clip(
+            (theta / np.pi * self.n).astype(np.int64), 0, self.n - 1
+        )
+        j = np.clip(
+            (phi / (2 * np.pi) * self.n).astype(np.int64), 0, self.n - 1
+        )
+        return self.pdf_cell(i, j)
 
 
 # ---------------------------------------------------------------------------
