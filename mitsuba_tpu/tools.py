@@ -159,11 +159,130 @@ def kdbench(argv):
     )
 
 
+def rdielprec(argv):
+    """Precompute rough-dielectric transmittance tables (reference
+    src/utils/rdielprec.cpp, which generates the data/microfacet/*.dat
+    splines).  Here the tables are MC-integrated on an (alpha, cos)
+    grid for one eta and written as .npz, with the polynomial fit the
+    renderer actually consumes (bsdf/rtrans.py) printed alongside."""
+    p = argparse.ArgumentParser(prog="rdielprec")
+    p.add_argument("-o", "--output", default="rtrans.npz")
+    p.add_argument("--eta", type=float, default=1.5)
+    p.add_argument("--dist", default="ggx", choices=["ggx", "beckmann"])
+    p.add_argument("--n-alpha", type=int, default=16)
+    p.add_argument("--n-cos", type=int, default=32)
+    p.add_argument("--samples", type=int, default=8192)
+    a = p.parse_args(argv)
+
+    from mitsuba_tpu.bsdf.rtrans import rough_transmittance
+
+    alphas = np.linspace(0.05, 1.0, a.n_alpha)
+    coss = np.linspace(0.02, 1.0, a.n_cos)
+    tbl = np.zeros((a.n_alpha, a.n_cos), np.float32)
+    for i, al in enumerate(alphas):
+        tbl[i] = np.asarray(
+            rough_transmittance(
+                a.dist, float(al), a.eta, coss, n_samples=a.samples
+            )
+        )
+    np.savez(a.output, alphas=alphas, cosines=coss, T=tbl,
+             eta=a.eta, dist=a.dist)
+    print(
+        f"rdielprec: {a.dist} eta={a.eta} -> {a.output} "
+        f"[{a.n_alpha}x{a.n_cos}], T range "
+        f"[{tbl.min():.4f}, {tbl.max():.4f}]"
+    )
+
+
+def cylclip(argv):
+    """Cylinder/AABB clipping self-test (reference src/utils/
+    cylclip.cpp, the dev check for the hair kd-tree's clipped cylinder
+    bounds).  Computes the tight AABB of a cylinder clipped to a box
+    analytically (endpoint discs + axis clamping) and validates it
+    against dense surface sampling."""
+    p = argparse.ArgumentParser(prog="cylclip")
+    p.add_argument("--trials", type=int, default=200)
+    p.add_argument("--seed", type=int, default=0)
+    a = p.parse_args(argv)
+    rng = np.random.default_rng(a.seed)
+    worst = 0.0
+    fails = 0
+    for _ in range(a.trials):
+        p0 = rng.uniform(-1, 1, 3)
+        p1 = rng.uniform(-1, 1, 3)
+        rad = rng.uniform(0.02, 0.4)
+        blo = rng.uniform(-0.8, 0.0, 3)
+        bhi = blo + rng.uniform(0.4, 1.6, 3)
+        lo, hi = cyl_clip_aabb(p0, p1, rad, blo, bhi)
+        # dense sampling of the cylinder surface clipped to the box
+        t = rng.uniform(0, 1, (4096, 1))
+        ax = p1 - p0
+        n1 = np.cross(ax, [0.12, 0.87, 0.43])
+        n1 /= max(np.linalg.norm(n1), 1e-12)
+        n2 = np.cross(ax, n1)
+        n2 /= max(np.linalg.norm(n2), 1e-12)
+        ph = rng.uniform(0, 2 * np.pi, (4096, 1))
+        pts = (
+            p0 + t * ax + rad * (np.cos(ph) * n1 + np.sin(ph) * n2)
+        )
+        inside = np.all((pts >= blo) & (pts <= bhi), axis=-1)
+        if not inside.any():
+            continue
+        smp_lo = pts[inside].min(axis=0)
+        smp_hi = pts[inside].max(axis=0)
+        if (smp_lo < lo - 1e-9).any() or (smp_hi > hi + 1e-9).any():
+            fails += 1
+        worst = max(
+            worst,
+            float(np.max((hi - lo) - np.maximum(smp_hi - smp_lo, 0))),
+        )
+    print(
+        f"cylclip: {a.trials} trials, {fails} containment failures, "
+        f"worst bound slack {worst:.4f}"
+    )
+    return fails
+
+
+def cyl_clip_aabb(p0, p1, radius, blo, bhi):
+    """Tight conservative AABB of a cylinder clipped to a box: clamp
+    the axis span to the box (expanded by the radius), then pad each
+    axis by the cylinder's cross-section extent
+    r * sqrt(1 - axis_dir^2) (the exact per-axis extent of a disc)."""
+    p0 = np.asarray(p0, np.float64)
+    p1 = np.asarray(p1, np.float64)
+    ax = p1 - p0
+    ln = np.linalg.norm(ax)
+    ad = ax / max(ln, 1e-12)
+    disc = radius * np.sqrt(np.maximum(1.0 - ad * ad, 0.0))
+    # clip the axis segment's t-range against the radius-expanded box
+    t0, t1 = 0.0, 1.0
+    for k in range(3):
+        lo_k = blo[k] - disc[k]
+        hi_k = bhi[k] + disc[k]
+        if abs(ax[k]) < 1e-12:
+            if p0[k] < lo_k or p0[k] > hi_k:
+                return np.full(3, 1e30), np.full(3, -1e30)
+            continue
+        ta = (lo_k - p0[k]) / ax[k]
+        tb = (hi_k - p0[k]) / ax[k]
+        t0 = max(t0, min(ta, tb))
+        t1 = min(t1, max(ta, tb))
+    if t0 > t1:
+        return np.full(3, 1e30), np.full(3, -1e30)
+    a = p0 + t0 * ax
+    b = p0 + t1 * ax
+    lo = np.minimum(a, b) - disc
+    hi = np.maximum(a, b) + disc
+    return np.maximum(lo, blo - 1e-12), np.minimum(hi, bhi + 1e-12)
+
+
 COMMANDS = {
     "tonemap": tonemap,
     "addimages": addimages,
     "joinrgb": joinrgb,
     "kdbench": kdbench,
+    "rdielprec": rdielprec,
+    "cylclip": cylclip,
 }
 
 
