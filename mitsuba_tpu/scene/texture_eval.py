@@ -27,6 +27,13 @@ from mitsuba_tpu.scene.textures import (
 # trilinear only); clamped anisotropy like the reference maxAnisotropy
 TEX_ANISO = int(os.environ.get("MTS_TEX_ANISO", 4))
 TEX_MAX_ANISO = float(os.environ.get("MTS_TEX_MAX_ANISO", 8.0))
+# "feline": fixed probes along the major axis (fast default);
+# "ewa": true elliptical weighted averaging — Gaussian-weighted texel
+# loop on a static window, trilinear across levels (the reference's
+# default filter, mipmap.h:296-420 evalEWA)
+TEX_FILTER = os.environ.get("MTS_TEX_FILTER", "feline")
+# EWA window half-size in texels; bounds the representable anisotropy
+TEX_EWA_K = int(os.environ.get("MTS_TEX_EWA_K", 6))
 
 
 def _bitmap_fetch(pack, rect, u, v, nearest_sel):
@@ -155,7 +162,70 @@ def eval_texture(pack, tid, uv, default_rgb, fp=None, geom=None):
                 + _bitmap_fetch(pack, rect_b, uu, vv, nearest_sel) * frac
             )
 
-        if isinstance(fp, tuple) and TEX_ANISO > 1:
+        if isinstance(fp, tuple) and TEX_FILTER == "ewa":
+            # exact EWA (reference mipmap.h:296-420): Gaussian-weighted
+            # sum over the texels inside the footprint ellipse at the
+            # two bracketing levels.  The ellipse axes come from the
+            # minor/major uv vectors; the window is a static
+            # (2K+1)^2 texel loop, so anisotropy is clamped to ~K.
+            def ewa_level(rect_l):
+                wl = jnp.maximum(rect_l[..., 2], 1).astype(jnp.float32)
+                hl = jnp.maximum(rect_l[..., 3], 1).astype(jnp.float32)
+                # gradient vectors in texel space at this level
+                g0 = jnp.stack(
+                    [major_uv[..., 0] * uvt[..., 0] * wl,
+                     major_uv[..., 1] * uvt[..., 1] * hl], -1,
+                )
+                g1 = jnp.stack(
+                    [minor_uv[..., 0] * uvt[..., 0] * wl,
+                     minor_uv[..., 1] * uvt[..., 1] * hl], -1,
+                )
+                a = g0[..., 1] ** 2 + g1[..., 1] ** 2 + 1.0
+                b = -2.0 * (g0[..., 0] * g0[..., 1]
+                            + g1[..., 0] * g1[..., 1])
+                cq = g0[..., 0] ** 2 + g1[..., 0] ** 2 + 1.0
+                f = jnp.maximum(a * cq - 0.25 * b * b, 1e-6)
+                a, b, cq = a / f, b / f, cq / f
+                # texel-space center
+                su = (u - jnp.floor(u)) * wl - 0.5
+                sv = (v - jnp.floor(v)) * hl - 0.5
+                s0 = jnp.floor(su).astype(jnp.int32)
+                t0 = jnp.floor(sv).astype(jnp.int32)
+                acc = jnp.zeros(u.shape + (3,), jnp.float32)
+                wsum = jnp.zeros(u.shape, jnp.float32)
+                for j in range(-TEX_EWA_K, TEX_EWA_K + 1):
+                    for i in range(-TEX_EWA_K, TEX_EWA_K + 1):
+                        di = s0.astype(jnp.float32) + i - su
+                        dj = t0.astype(jnp.float32) + j - sv
+                        r2 = a * di * di + b * di * dj + cq * dj * dj
+                        wgt = jnp.where(
+                            r2 < 1.0, jnp.exp(-2.0 * r2) - math_exp_m2,
+                            0.0,
+                        )
+                        uu = ((s0 + i).astype(jnp.float32) + 0.5) / wl
+                        vv = ((t0 + j).astype(jnp.float32) + 0.5) / hl
+                        tex = _bitmap_fetch(
+                            pack, rect_l, uu, vv,
+                            jnp.ones_like(nearest_sel),
+                        )
+                        acc = acc + wgt[..., None] * tex
+                        wsum = wsum + wgt
+                ok = wsum > 1e-8
+                fallback = _bitmap_fetch(pack, rect_l, u, v, nearest_sel)
+                return jnp.where(
+                    ok[..., None],
+                    acc / jnp.maximum(wsum, 1e-8)[..., None],
+                    fallback,
+                )
+
+            import math as _math
+
+            math_exp_m2 = float(_math.exp(-2.0))
+            bitmap = (
+                ewa_level(rect_a) * (1.0 - frac)
+                + ewa_level(rect_b) * frac
+            )
+        elif isinstance(fp, tuple) and TEX_ANISO > 1:
             n_taps = TEX_ANISO
             acc = 0.0
             for i in range(n_taps):

@@ -143,3 +143,60 @@ def test_anisotropic_probes_average_major_axis():
     assert np.abs(out_a - 0.5).max() < 0.13, out_a
     # the isotropic point samples swing across the full stripe range
     assert out_i.max() > 0.85 and out_i.min() < 0.15
+
+
+def test_ewa_filter_matches_feline_on_stripes(monkeypatch):
+    """MTS_TEX_FILTER=ewa (true elliptical weighted averaging,
+    reference mipmap.h:296-420): on the stripe ellipse the Gaussian
+    texel loop must reproduce the stripe mean like the probe filter,
+    and stay finite/normalized everywhere."""
+    import numpy as np
+    import jax.numpy as jnp
+    import tempfile, os as _os
+
+    from mitsuba_tpu.io.images import write_image
+    from mitsuba_tpu.scene import texture_eval
+    from mitsuba_tpu.scene.builder import pack_scene
+    from mitsuba_tpu.scene.xml_loader import load_scene_string
+
+    img = np.zeros((256, 256, 3), np.float32)
+    img[(np.arange(256) // 4) % 2 == 0, :] = 1.0
+    p = _os.path.join(tempfile.mkdtemp(), "hstripes2.png")
+    write_image(p, img)
+    scene = load_scene_string(f"""
+    <scene version="0.5.0"><integrator type="direct"/>
+      <sensor type="perspective">
+        <film type="hdrfilm">
+          <integer name="width" value="8"/>
+          <integer name="height" value="8"/></film></sensor>
+      <shape type="rectangle">
+        <bsdf type="diffuse">
+          <texture name="reflectance" type="bitmap">
+            <string name="filename" value="{p}"/>
+          </texture>
+        </bsdf></shape>
+      <emitter type="constant"><rgb name="radiance" value="1"/></emitter>
+    </scene>""")
+    pack = pack_scene(scene)
+
+    n = 64
+    tid = jnp.zeros((n,), jnp.int32)
+    uv = jnp.stack(
+        [jnp.full((n,), 0.5), jnp.linspace(0.2, 0.8, n)], axis=-1
+    )
+    default = jnp.zeros((n, 3), jnp.float32)
+    minor = jnp.tile(jnp.asarray([[1.0 / 256.0, 0.0]], jnp.float32), (n, 1))
+    major = jnp.tile(jnp.asarray([[0.0, 32.0 / 256.0]], jnp.float32), (n, 1))
+
+    monkeypatch.setattr(texture_eval, "TEX_FILTER", "ewa")
+    out_e = np.asarray(
+        texture_eval.eval_texture(pack, tid, uv, default, fp=(minor, major))
+    )[:, 0]
+    monkeypatch.setattr(texture_eval, "TEX_FILTER", "feline")
+    out_f = np.asarray(
+        texture_eval.eval_texture(pack, tid, uv, default, fp=(minor, major))
+    )[:, 0]
+
+    assert np.isfinite(out_e).all()
+    assert np.abs(out_e - 0.5).max() < 0.13, out_e
+    assert np.abs(out_e - out_f).mean() < 0.1
