@@ -47,15 +47,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mitsuba_tpu.accel.pallas_bvh import BIG, RAY_EPS, _winner_uv
 
-# max superclusters kept per ray (exact-culling level 1)
-KS = int(os.environ.get("MTS_PAIR_KS", 4))
+# max superclusters kept per ray (exact-culling level 1; cheap since
+# the member-box fetch is a one-hot matmul, and each extra unit cuts
+# the fallback rate)
+KS = int(os.environ.get("MTS_PAIR_KS", 8))
 # max clusters kept per ray (exact-culling level 2)
 K = int(os.environ.get("MTS_PAIR_K", 4))
 # pair-queue budget in pairs per ray (the queue is R*BUDGET long;
 # overflow falls back) — bunny measures 0.79 pairs/ray
 BUDGET = float(os.environ.get("MTS_PAIR_BUDGET", 2.0))
-# pairs per kernel window (lane dimension of one MXU visit)
-W = int(os.environ.get("MTS_PAIR_W", 256))
+# pairs per kernel window (lane dimension of one MXU visit).  Windows
+# carry ~13 us of fixed launch/SMEM overhead each, so wide windows
+# win whenever clusters repeat across a window (cluster-sorted queue)
+W = int(os.environ.get("MTS_PAIR_W", 2048))
 # ray-tile size: stages are O(tile) memory; sorts stay ~1M entries
 TILE = int(os.environ.get("MTS_PAIR_TILE", 1 << 18))
 
@@ -109,40 +113,41 @@ def _cluster_lists(pack, o, d, tmax):
 
     inv = 1.0 / jnp.where(jnp.abs(d) < 1e-20, 1e-20, d)
 
-    # level 1: superclusters (full-precision boxes, there are few)
+    # level 1: superclusters (full-precision boxes, there are few).
+    # NOTE: padded entries use the "inverted box" sentinel, which a
+    # symmetric slab test (min/max of t0,t1) canNOT reject — an
+    # inverted box behaves like one spanning [-1e30, 1e30] and hits
+    # every ray at entry 0, evicting all real supers from the top-k.
+    # Padding must be masked explicitly.
     sup_lo = cl_sup[0:3].T[None]  # [1, Sp, 3]
     sup_hi = cl_sup[3:6].T[None]
     hit_s, ent_s = _slab_entry(o, d, inv, tmax, sup_lo, sup_hi)
+    hit_s = hit_s & (
+        jnp.arange(sup_lo.shape[1], dtype=jnp.int32)[None, :] < s
+    )
     key_s = jnp.where(hit_s, ent_s, BIG)
     n_sup = jnp.sum(hit_s, axis=-1)
     ent_sup_kept, sid = _k_smallest(key_s, ks)
     kept_max_sup = ent_sup_kept[:, -1]
 
-    # level 2: member clusters of the kept supers.  Boxes come as two
-    # u32 per cluster (u8-quantized in the super frame, outward-rounded
-    # = conservative; accel/clusters.py cl_boxq), so the per-(ray,
-    # member) gather moves 8 bytes instead of 24.
-    boxq = pack.cl_boxq  # [Sp_g, G, 2] u32
-    sid_c = jnp.minimum(sid, boxq.shape[0] - 1)
+    # level 2: member clusters of the kept supers.  World-coords boxes
+    # come from ONE one-hot MXU contraction against the [Sp, G*6]
+    # table (accel/clusters.py cl_mbox) — per-lane row gathers were
+    # the pipeline's dominant cost (65 ms/262k rays measured).
+    mbox = pack.cl_mbox  # [Sp_g, G*6] f32
+    sp_n = mbox.shape[0]
+    sid_c = jnp.minimum(sid, sp_n - 1)
     r = o.shape[0]
-    qm = boxq[sid_c]  # [R, ks, G, 2]
-    slo = cl_sup[0:3].T[sid_c][:, :, None, :]  # [R, ks, 1, 3]
-    ext = jnp.maximum(
-        cl_sup[3:6].T[sid_c] - cl_sup[0:3].T[sid_c], 1e-30
-    )[:, :, None, :] * (1.0 / 255.0)
-
-    def dq(word):
-        return jnp.stack(
-            [
-                (word & 0xFF).astype(jnp.float32),
-                ((word >> 8) & 0xFF).astype(jnp.float32),
-                ((word >> 16) & 0xFF).astype(jnp.float32),
-            ],
-            axis=-1,
-        )
-
-    lo_c = (slo + dq(qm[..., 0]) * ext).reshape(r, ks * g, 3)
-    hi_c = (slo + dq(qm[..., 1]) * ext).reshape(r, ks * g, 3)
+    onehot = (
+        sid_c[..., None] == jnp.arange(sp_n, dtype=jnp.int32)
+    ).astype(jnp.float32)  # [R, ks, Sp]
+    bx = jax.lax.dot_general(
+        onehot.reshape(r * ks, sp_n), mbox,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(r, ks, g, 6)
+    lo_c = bx[..., 0:3].reshape(r, ks * g, 3)
+    hi_c = bx[..., 3:6].reshape(r, ks * g, 3)
     cand_cid = (sid_c[:, :, None] * g
                 + jnp.arange(g, dtype=jnp.int32)[None, None, :]
                 ).reshape(r, ks * g)
@@ -198,6 +203,17 @@ def _pair_queue(cids, r, c):
     cid_s, slot_s = jax.lax.sort((flat_cid, slot), num_keys=1)
     p_cap = min(int(r * BUDGET), r * kk)
     p_cap = max(((p_cap + W - 1) // W) * W, W)
+    if p_cap > r * kk:
+        # tiny batches: pad to one window with sentinel pairs whose
+        # slot ids sort past every real slot (the restore sort slices
+        # them off)
+        pad = p_cap - r * kk
+        cid_s = jnp.concatenate(
+            [cid_s, jnp.full((pad,), c, jnp.int32)]
+        )
+        slot_s = jnp.concatenate(
+            [slot_s, r * kk + jnp.arange(pad, dtype=jnp.int32)]
+        )
     return (cid_s[:p_cap], slot_s[:p_cap],
             cid_s[p_cap:], slot_s[p_cap:])
 
@@ -254,13 +270,13 @@ def _pair_kernel(tc, mode, *refs):
     else:
         (rc_ref, nr_ref, cidv_ref, feats_ref, tmax_ref, mt_hbm,
          o1_ref, scratch, sem) = refs
-    nr = nr_ref[0, 0]
+    nr = nr_ref[0, 0, 0]
     feats = feats_ref[0]  # [16, W]
     cidv = cidv_ref[0, 0:1, :]  # [1, W]
     tmaxv = tmax_ref[0, 0:1, :]
 
     def get_dma(slot_b, rr):
-        cid = rc_ref[0, jnp.minimum(rr, W - 1)]
+        cid = rc_ref[0, 0, jnp.minimum(rr, W - 1)]
         cid = jnp.minimum(cid, mt_hbm.shape[0] - 1)
         return pltpu.make_async_copy(
             mt_hbm.at[cid], scratch.at[slot_b], sem.at[slot_b]
@@ -281,7 +297,7 @@ def _pair_kernel(tc, mode, *refs):
             get_dma((r + 1) % 2, r + 1).start()
 
         get_dma(r % 2, r).wait()
-        cid = rc_ref[0, r]
+        cid = rc_ref[0, 0, r]
         mask_c = cidv == cid  # [1, W]
         prod = jax.lax.dot_general(
             scratch[r % 2], feats,
@@ -321,9 +337,14 @@ def _run_kernel(pack, mode, run_cids, n_runs, cid_q, feats_q, tmax_q,
                 interpret):
     tc = pack.meta["cluster_tc"]
     nw = run_cids.shape[0]
+    # SMEM blocks must have trailing dims equal to the array's trailing
+    # dims (real-TPU tiling rule; interpret mode does not enforce it) —
+    # give each operand a leading grid axis and full (1, W)/(1, 1) tails
     smem = [
-        pl.BlockSpec((1, W), lambda i: (i, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, W), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
     ]
     vspec = lambda d1: pl.BlockSpec(  # noqa: E731
         (1, d1, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -333,7 +354,7 @@ def _run_kernel(pack, mode, run_cids, n_runs, cid_q, feats_q, tmax_q,
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     args = (
-        run_cids, n_runs.reshape(nw, 1),
+        run_cids.reshape(nw, 1, W), n_runs.reshape(nw, 1, 1),
         cid_q.reshape(nw, 1, W),
         feats_q, tmax_q.reshape(nw, 1, W),
         pack.cl_mt,
@@ -423,8 +444,9 @@ def _run_tile(pack, o, d, t_max, mode, interpret):
         _, t_rk, s_rk = jax.lax.sort(
             (slot_full, t_full, s_full), num_keys=1
         )
-        t_rk = t_rk.reshape(r, kk)
-        s_rk = s_rk.reshape(r, kk)
+        # pad slots (tiny batches) sort past every real slot
+        t_rk = t_rk[: r * kk].reshape(r, kk)
+        s_rk = s_rk[: r * kk].reshape(r, kk)
         dropped = jnp.any(s_rk == -2, axis=-1)
         kbest = jnp.argmin(t_rk, axis=-1)  # ties -> nearest entry
         best_t = jnp.take_along_axis(t_rk, kbest[:, None], 1)[:, 0]
@@ -440,7 +462,7 @@ def _run_tile(pack, o, d, t_max, mode, interpret):
         jnp.where(cid_tail < c, -2, 0),
     ])
     _, occ_rk = jax.lax.sort((slot_full, occ_full), num_keys=1)
-    occ_rk = occ_rk.reshape(r, kk)
+    occ_rk = occ_rk[: r * kk].reshape(r, kk)
     occ = jnp.max(occ_rk, axis=-1) > 0
     dropped = jnp.any(occ_rk == -2, axis=-1)
     # an occluded ray is final; otherwise dropped candidates matter

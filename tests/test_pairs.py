@@ -99,3 +99,20 @@ def test_pair_finite_tmax_and_padding():
         np.asarray(bt)[hit_r], np.asarray(rt)[hit_r], rtol=1e-4,
         atol=1e-5,
     )
+
+
+def test_pair_fast_path_engages():
+    """Regression for the inverted-padded-super bug: a symmetric slab
+    test can't reject inverted sentinel boxes (they behave as
+    [-1e30, 1e30] and hit every ray at entry 0), which silently
+    evicted every REAL supercluster and sent 100% of rays to the
+    fallback.  Assert culling actually finds clusters and the
+    overflow-to-fallback rate stays small on a real mesh."""
+    pack = cluster_pack(n_tris=3000, tc=64)
+    o, d = _rays(pack, 4096)
+    t_max = jnp.broadcast_to(jnp.asarray(1e30), (4096,))
+    cids, ent_k, ov = prs._cluster_lists(pack, o, d, t_max)
+    n_cl = np.asarray(ov["n_cl"])
+    assert n_cl.mean() > 0.3, n_cl.mean()
+    _, _, overflow = prs._run_tile(pack, o, d, t_max, "closest", True)
+    assert np.asarray(overflow).mean() < 0.20, np.asarray(overflow).mean()
