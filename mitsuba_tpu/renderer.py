@@ -86,6 +86,9 @@ def make_render_pass(
         path_like
         and supports_fis(rfilter)
         and not pack.meta.get("has_media", False)
+        # banded callers (media tiling, out-of-core film) drive the
+        # row0 signature, which the regen wavefront does not take
+        and band_rows_arg is None
     )
 
     if use_regen:
@@ -305,7 +308,16 @@ def render(
             from mitsuba_tpu.integrator.bdpt import render_bdpt
 
             img = render_bdpt(scene, spp=spp, seed=seed, pack=pack)
-        elif integ.kind in ("sppm", "ppm", "photonmapper"):
+        elif integ.kind == "photonmapper":
+            # media scenes get the volume map + beam radiance estimate
+            # (reference photonmapper.cpp:318-338 + bre.cpp); without
+            # media this defers to the sppm machinery
+            from mitsuba_tpu.integrator.photonmapper import (
+                render_photonmapper,
+            )
+
+            img = render_photonmapper(scene, spp=spp, seed=seed, pack=pack)
+        elif integ.kind in ("sppm", "ppm"):
             from mitsuba_tpu.integrator.sppm import render_sppm
 
             img = render_sppm(scene, spp=spp, seed=seed, pack=pack)
@@ -352,7 +364,15 @@ def render(
     # execution stays small.  Lane ids stay global: banded output is
     # bit-identical to the whole-frame pass.
     media_lanes = int(os.environ.get("MTS_TPU_MEDIA_LANES", 1 << 16))
-    if pack.meta.get("has_media", False) and w * h > media_lanes:
+    # tiledhdrfilm: the film never lives whole in device memory — each
+    # row band is developed and flushed to a host memory-map as soon as
+    # it finishes (reference src/films/tiledhdrfilm.cpp's out-of-core
+    # contract, minus its custom EXR tile writer: the host map is the
+    # spill store and the final write is one standard image)
+    out_of_core = bool(getattr(film_rec, "out_of_core", False))
+    if out_of_core or (
+        pack.meta.get("has_media", False) and w * h > media_lanes
+    ):
         # halo so filter footprints crossing band edges stay complete —
         # banded output matches the whole-frame pass exactly
         rad = film_rec.rfilter.radius
@@ -375,6 +395,19 @@ def render(
 
         rp = build_rp()
         rows = []
+        film_mm = img_mm = None
+        if out_of_core:
+            import tempfile
+
+            tdir = tempfile.mkdtemp(prefix="mts_tiledfilm_")
+            film_mm = np.lib.format.open_memmap(
+                os.path.join(tdir, "film.npy"), mode="w+",
+                dtype=np.float32, shape=(h, w, 4),
+            )
+            img_mm = np.lib.format.open_memmap(
+                os.path.join(tdir, "image.npy"), mode="w+",
+                dtype=np.float32, shape=(h, w, 3),
+            )
         for b in range(n_bands):
             def run_pass(rp_, band, i, _b=b):
                 return rp_(
@@ -399,7 +432,21 @@ def render(
                 film_init=lambda: new_film(hbe, w),
                 after_pass=after_pass,
             )
-            rows.append(band[pad:pad + hb])
+            if out_of_core:
+                rows_here = min(hb, h - b * hb)
+                band_v = band[pad:pad + rows_here]
+                film_mm[b * hb:b * hb + rows_here] = np.asarray(band_v)
+                img_mm[b * hb:b * hb + rows_here] = np.asarray(
+                    develop(band_v) * sensor_rec.ray_weight
+                )
+            else:
+                rows.append(band[pad:pad + hb])
+        if out_of_core:
+            film_mm.flush()
+            img_mm.flush()
+            if return_film:
+                return img_mm, film_mm
+            return img_mm
         film = jnp.concatenate(rows, axis=0)[:h]
         img = develop(film) * sensor_rec.ray_weight
         img.block_until_ready()
