@@ -154,6 +154,8 @@ class FilmRecord:
     is_mfilm: bool = False
     digits: int = 4
     variable: str = "data"
+    # tiledhdrfilm: banded rendering + host memory-map spill
+    out_of_core: bool = False
 
     def develop_to_array(self, image: np.ndarray) -> np.ndarray:
         """Post-process a linear HDR image for output
@@ -234,7 +236,12 @@ class HDRFilm(_FilmBase):
 
 @register("film", "tiledhdrfilm")
 class TiledHDRFilm(_FilmBase):
-    pass
+    """Out-of-core hdrfilm (reference src/films/tiledhdrfilm.cpp): the
+    renderer renders row bands and flushes each developed band to a
+    host memory-map, so the full film never occupies device memory."""
+
+    def _finish(self, props):
+        self.record.out_of_core = True
 
 
 @register("film", "ldrfilm")

@@ -305,3 +305,31 @@ def test_vpl_matches_path():
     d = (img - ref)[mask]
     rel = float(np.sqrt((d * d).mean()) / ref[mask].mean())
     assert rel < 0.3, rel
+
+
+def test_tiledhdrfilm_out_of_core_bit_identical(cbox_scene):
+    """tiledhdrfilm renders in row bands spilled to a host memory-map
+    and must match hdrfilm bit-for-bit (lane ids stay global across
+    bands; reference src/films/tiledhdrfilm.cpp's out-of-core role)."""
+    import copy
+
+    import mitsuba_tpu
+    from mitsuba_tpu.film.plugins import MITCHELL, RFilterRecord
+
+    scene = copy.deepcopy(cbox_scene)
+    scene.sensor.record.film.width = 32
+    scene.sensor.record.film.height = 32
+    # mitchell drives the splat_grid path on both sides (gaussian would
+    # compare the FIS regen wavefront against the banded splat, which
+    # are different — equally unbiased — estimators)
+    scene.sensor.record.film.rfilter = RFilterRecord(MITCHELL, 2.0)
+    ref = mitsuba_tpu.render(scene, spp=4, seed=7)
+
+    scene2 = copy.deepcopy(scene)
+    scene2.sensor.record.film.out_of_core = True
+    img = mitsuba_tpu.render(scene2, spp=4, seed=7)
+    assert isinstance(img, np.memmap)
+    # identical estimator; band-local accumulation order gives roundoff
+    np.testing.assert_allclose(
+        np.asarray(img), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
