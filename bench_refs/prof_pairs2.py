@@ -76,35 +76,34 @@ cids0, _, _ = jax.jit(
 
 
 def b_queue(i, acc):
-    cids = jnp.where(
-        (cids0 + i - i) >= 0, cids0, cids0
-    )  # data-dep on i: rotate
-    cids = jnp.roll(cids, i, axis=0)
-    q = prs._pair_queue(cids, N, c)
+    cids = jnp.roll(cids0, i, axis=0)
+    q = prs._pair_queue(cids, N, c, p1, dr, t_max)
     rc, nr = prs._window_runs(q[0], c)
-    return acc + nr.sum().astype(jnp.float32) * 1e-9
+    return acc + nr.sum().astype(jnp.float32) * 1e-9 + q[2].sum() * 1e-9
 
 
 timeit("pair_queue+window_runs", b_queue)
 
 
-qq = jax.jit(lambda: prs._pair_queue(cids0, N, c))()
+qq = jax.jit(lambda: prs._pair_queue(cids0, N, c, p1, dr, t_max))()
 rc0, nr0 = jax.jit(lambda: prs._window_runs(qq[0], c))()
 kkn = cids0.shape[1]
 
 
 def b_feats(i, acc):
-    o, d = perturb(i)
-    fq = prs._feats(o, d)[qq[1] // kkn]
+    rq = qq[2] + 1e-9 * i.astype(jnp.float32)
+    fq = prs._feats(rq[:, 0:3], rq[:, 3:6])
     return acc + fq.sum() * 1e-9
 
 
-timeit("feats gather", b_feats)
+timeit("feats compute", b_feats)
 
-fq0 = jax.jit(lambda: prs._feats(p1, dr)[qq[1] // kkn])()
+fq0 = jax.jit(
+    lambda: prs._feats(qq[2][:, 0:3], qq[2][:, 3:6])
+)()
 p = qq[0].shape[0]
 feats_q0 = jnp.swapaxes(fq0.reshape(p // prs.W, prs.W, 16), 1, 2)
-tmax_q0 = jnp.where(qq[0] < c, t_max[qq[1] // kkn], 0.0)
+tmax_q0 = jnp.where(qq[0] < c, qq[2][:, 6], 0.0)
 
 
 def b_kernel(i, acc):
@@ -119,14 +118,14 @@ timeit("kernel", b_kernel)
 
 
 def b_restore(i, acc):
-    slot_full = jnp.concatenate([qq[1], qq[3]])
+    slot_full = jnp.concatenate([qq[1], qq[4]])
     t_full = jnp.concatenate([
         tmax_q0 + i.astype(jnp.float32) * 1e-9,
-        jnp.full(qq[3].shape, prs.BIG, jnp.float32),
+        jnp.full(qq[4].shape, prs.BIG, jnp.float32),
     ])
     s_full = jnp.concatenate([
         jnp.where(qq[0] < c, 1, -1),
-        jnp.where(qq[2] < c, -2, -1),
+        jnp.where(qq[3] < c, -2, -1),
     ])
     _, t_rk, s_rk = jax.lax.sort(
         (slot_full, t_full, s_full), num_keys=1

@@ -56,10 +56,11 @@ K = int(os.environ.get("MTS_PAIR_K", 4))
 # pair-queue budget in pairs per ray (the queue is R*BUDGET long;
 # overflow falls back) — bunny measures 0.79 pairs/ray
 BUDGET = float(os.environ.get("MTS_PAIR_BUDGET", 2.0))
-# pairs per kernel window (lane dimension of one MXU visit).  Windows
-# carry ~13 us of fixed launch/SMEM overhead each, so wide windows
-# win whenever clusters repeat across a window (cluster-sorted queue)
-W = int(os.environ.get("MTS_PAIR_W", 2048))
+# pairs per kernel window (lane dimension of one MXU visit).  The
+# VPU epilogue runs on runs x [4*Tc, W] whether or not a lane's pair
+# is in the run, so NARROW windows win (in-jit measured: W=256
+# ~1.6 ms vs W=2048 ~7.9 ms per 262k rays on the bunny)
+W = int(os.environ.get("MTS_PAIR_W", 256))
 # ray-tile size: stages are O(tile) memory; sorts stay ~1M entries
 TILE = int(os.environ.get("MTS_PAIR_TILE", 1 << 18))
 
@@ -177,6 +178,174 @@ def _cluster_lists(pack, o, d, tmax):
     return cids, ent_k, ov
 
 
+# ray block width of the fused culling kernel
+CULL_B = int(os.environ.get("MTS_PAIR_CULL_B", 512))
+
+
+def _cull_kernel(s, c, g, ks, kk, rays_ref, sup_ref, mboxt_ref,
+                 cid_ref, ent_ref, ov_ref):
+    """Fused two-level culling for one ray block, entirely in VMEM.
+
+    The XLA version (_cluster_lists) materializes [R, ks*G]-shaped
+    intermediates in HBM — measured 27.7 ms per 262k rays on the v5e,
+    the whole pipeline's dominant cost.  Here the candidate tensors
+    never leave VMEM: level 1 is a dense [Sp, B] slab + k-pass min
+    extraction, level 2 fetches each kept super's member boxes with a
+    one-hot MXU contraction against the transposed [G*6, Sp] table and
+    repeats the slab/top-k on [ks*G, B].
+
+    rays_ref [1, 8, B]: rows ox,oy,oz, 1/dx,1/dy,1/dz, tmax, pad.
+    outputs: cid [1, kk, B] i32 (c = miss), ent [1, kk, B],
+    ov [1, 4, B] = (n_sup, kept_max_sup, n_cl, kept_max_cl)."""
+    rays = rays_ref[0]
+    o = rays[0:3]
+    inv = rays[3:6]
+    tmax = rays[6:7]  # [1, B]
+    sup = sup_ref[...]  # [8, Sp]
+    sp_n = sup.shape[1]
+    b = o.shape[1]
+
+    def slab(lo3, hi3, n_rows):
+        tn = jnp.full((n_rows, b), -BIG, jnp.float32)
+        tf = jnp.full((n_rows, b), BIG, jnp.float32)
+        for a in range(3):
+            t0 = (lo3[a] - o[a][None, :]) * inv[a][None, :]
+            t1 = (hi3[a] - o[a][None, :]) * inv[a][None, :]
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        ent = jnp.maximum(tn, 0.0)
+        return ent, (tf >= ent) & (tn < tmax)
+
+    # ---- level 1: supers ----
+    row_s = jax.lax.broadcasted_iota(jnp.int32, (sp_n, b), 0)
+    ent_s, hit_s = slab(
+        [sup[a][:, None] for a in range(3)],
+        [sup[3 + a][:, None] for a in range(3)],
+        sp_n,
+    )
+    hit_s = hit_s & (row_s < s)
+    key_s = jnp.where(hit_s, ent_s, BIG)
+    n_sup = jnp.sum(hit_s.astype(jnp.float32), axis=0)
+
+    sids, kept_max_sup = [], None
+    for _ in range(ks):
+        m = jnp.min(key_s, axis=0)
+        i = jnp.argmin(key_s, axis=0).astype(jnp.int32)
+        sids.append((i, m))
+        kept_max_sup = m
+        key_s = jnp.where(row_s == i[None, :], BIG, key_s)
+
+    # ---- level 2: members of each kept super ----
+    mboxt = mboxt_ref[...]  # [G*6, Sp]
+    keys, cands, nhits = [], [], []
+    row_g = jax.lax.broadcasted_iota(jnp.int32, (g, b), 0)
+    for (sid_j, ent_j) in sids:
+        oh = (row_s == sid_j[None, :]).astype(jnp.float32)  # [Sp, B]
+        mb = jax.lax.dot_general(
+            mboxt, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(g, 6, b)  # member boxes of this super, per ray
+        ent_c, hit_c = slab(
+            [mb[:, a] for a in range(3)],
+            [mb[:, 3 + a] for a in range(3)],
+            g,
+        )
+        cid_j = sid_j[None, :] * g + row_g
+        ok = hit_c & (ent_j < BIG)[None, :] & (cid_j < c)
+        keys.append(jnp.where(ok, ent_c, BIG))
+        cands.append(cid_j)
+        nhits.append(jnp.sum(ok.astype(jnp.float32), axis=0))
+
+    key_c = jnp.concatenate(keys, axis=0)  # [ks*G, B]
+    cand = jnp.concatenate(cands, axis=0)
+    n_cl = sum(nhits)
+    row_c = jax.lax.broadcasted_iota(jnp.int32, key_c.shape, 0)
+
+    kept_max_cl = None
+    for j in range(kk):
+        m = jnp.min(key_c, axis=0)
+        i = jnp.argmin(key_c, axis=0).astype(jnp.int32)
+        sel = jnp.sum(
+            jnp.where(row_c == i[None, :], cand, 0), axis=0
+        )
+        cid_ref[0, j] = jnp.where(m < BIG, sel, c)
+        ent_ref[0, j] = m
+        kept_max_cl = m
+        key_c = jnp.where(row_c == i[None, :], BIG, key_c)
+
+    ov_ref[0, 0] = n_sup
+    ov_ref[0, 1] = kept_max_sup
+    ov_ref[0, 2] = n_cl
+    ov_ref[0, 3] = kept_max_cl
+
+
+def _cluster_lists_pallas(pack, o, d, tmax, interpret):
+    """Same contract as _cluster_lists, via the fused Pallas kernel."""
+    import functools as _ft
+
+    c = pack.meta["n_clusters"]
+    g = pack.meta["cluster_super_g"]
+    s = pack.meta["n_supers"]
+    ks = min(KS, s)
+    kk = min(K, ks * g)
+    r = o.shape[0]
+    b = CULL_B
+    nb = -(-r // b)
+    pad = nb * b - r
+
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-20, 1e-20, d)
+    rays = jnp.concatenate(
+        [o.T, inv.T, tmax[None, :], jnp.zeros((1, r), jnp.float32)],
+        axis=0,
+    )  # [8, R]
+    if pad:
+        rays = jnp.concatenate(
+            [rays, jnp.zeros((8, pad), jnp.float32)], axis=1
+        )
+    rays = jnp.swapaxes(rays.reshape(8, nb, b), 0, 1)  # [nb, 8, B]
+    mboxt = pack.cl_mbox.T  # [G*6, Sp]
+
+    full = lambda *shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM,
+    )
+    cid_b, ent_b, ov_b = pl.pallas_call(
+        _ft.partial(_cull_kernel, s, c, g, ks, kk),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 8, b), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(*pack.cl_sup.shape),
+            full(*mboxt.shape),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, kk, b), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kk, b), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, b), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, kk, b), jnp.int32),
+            jax.ShapeDtypeStruct((nb, kk, b), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 4, b), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rays, pack.cl_sup, mboxt)
+
+    cids = jnp.swapaxes(cid_b, 1, 2).reshape(nb * b, kk)[:r]
+    ent_k = jnp.swapaxes(ent_b, 1, 2).reshape(nb * b, kk)[:r]
+    ov_f = jnp.swapaxes(ov_b, 1, 2).reshape(nb * b, 4)[:r]
+    ov = dict(
+        n_sup=ov_f[:, 0].astype(jnp.int32), ks=ks,
+        kept_max_sup=ov_f[:, 1],
+        n_cl=ov_f[:, 2].astype(jnp.int32), kk=kk,
+        kept_max_cl=ov_f[:, 3],
+    )
+    return cids, ent_k, ov
+
+
 def _overflow(ov, best_t):
     """Rays whose result may be wrong because culling dropped
     candidates CLOSER than the best hit found (top_k keeps the
@@ -191,16 +360,27 @@ def _overflow(ov, best_t):
 # pair queue construction
 # ---------------------------------------------------------------------------
 
-def _pair_queue(cids, r, c):
+def _pair_queue(cids, r, c, o, d, tmax):
     """Flatten [R, K] lists into a cluster-sorted pair queue of static
-    length P_cap; returns (cid_q [P], slot_q [P], cid_tail, slot_tail)
-    where the tail is the truncated remainder (empty when the budget
-    covers every slot)."""
+    length P_cap.  The per-pair ray data (o, d, t_max) rides THROUGH
+    the sort as extra value operands — broadcasting before the sort is
+    free, while gathering rows by slot afterwards measured 6.4 ms per
+    262k rays (in-jit) on the v5e.
+
+    Returns (cid_q [P], slot_q [P], rays_q [P, 7], cid_tail,
+    slot_tail); the tail is the truncated remainder."""
     kk = cids.shape[1]
     flat_cid = cids.reshape(-1)
     slot = jnp.arange(r * kk, dtype=jnp.int32)
+
+    def rep(x):
+        return jnp.broadcast_to(x[:, None], (r, kk)).reshape(-1)
+
+    vals = [rep(o[:, 0]), rep(o[:, 1]), rep(o[:, 2]),
+            rep(d[:, 0]), rep(d[:, 1]), rep(d[:, 2]), rep(tmax)]
     # sentinel (cid == c) sorts last
-    cid_s, slot_s = jax.lax.sort((flat_cid, slot), num_keys=1)
+    out = jax.lax.sort((flat_cid, slot, *vals), num_keys=1)
+    cid_s, slot_s, vals_s = out[0], out[1], out[2:]
     p_cap = min(int(r * BUDGET), r * kk)
     p_cap = max(((p_cap + W - 1) // W) * W, W)
     if p_cap > r * kk:
@@ -214,7 +394,12 @@ def _pair_queue(cids, r, c):
         slot_s = jnp.concatenate(
             [slot_s, r * kk + jnp.arange(pad, dtype=jnp.int32)]
         )
-    return (cid_s[:p_cap], slot_s[:p_cap],
+        vals_s = [
+            jnp.concatenate([v, jnp.zeros((pad,), jnp.float32)])
+            for v in vals_s
+        ]
+    rays_q = jnp.stack([v[:p_cap] for v in vals_s], axis=-1)
+    return (cid_s[:p_cap], slot_s[:p_cap], rays_q,
             cid_s[p_cap:], slot_s[p_cap:])
 
 
@@ -409,15 +594,22 @@ def _run_tile(pack, o, d, t_max, mode, interpret):
     tc = pack.meta["cluster_tc"]
     r = o.shape[0]
 
-    cids, ent_k, ov = _cluster_lists(pack, o, d, t_max)
+    if os.environ.get("MTS_PAIR_CULL", "pallas") == "pallas":
+        cids, ent_k, ov = _cluster_lists_pallas(
+            pack, o, d, t_max, interpret
+        )
+    else:
+        cids, ent_k, ov = _cluster_lists(pack, o, d, t_max)
     kk = cids.shape[1]
-    cid_q, slot_q, cid_tail, slot_tail = _pair_queue(cids, r, c)
+    cid_q, slot_q, rays_q, cid_tail, slot_tail = _pair_queue(
+        cids, r, c, o, d, t_max
+    )
     run_cids, n_runs = _window_runs(cid_q, c)
 
-    fq = _feats(o, d)[slot_q // kk]  # [P, 16]
+    fq = _feats(rays_q[:, 0:3], rays_q[:, 3:6])  # [P, 16]
     p = cid_q.shape[0]
     feats_q = jnp.swapaxes(fq.reshape(p // W, W, 16), 1, 2)
-    tmax_q = jnp.where(cid_q < c, t_max[slot_q // kk], 0.0)
+    tmax_q = jnp.where(cid_q < c, rays_q[:, 6], 0.0)
 
     outs = _run_kernel(
         pack, mode, run_cids, n_runs, cid_q, feats_q, tmax_q, interpret
@@ -509,13 +701,35 @@ def pair_closest(pack, o, d, t_max, interpret=False):
     overflow = jnp.concatenate(ovs)[:r]
     o, d, t_max = o[:r], d[:r], t_max[:r]
 
-    # rare fallback: re-run overflow rays through the chunk traversal
-    def fb(_):
+    # rare fallback: overflow rays re-run through the chunk traversal,
+    # COMPACTED to a small static buffer first (the chunk path costs
+    # O(R) whatever t_max says; at ~1% overflow the compacted call is
+    # ~16x cheaper).  If overflow ever exceeds the buffer, the full-
+    # size fallback carries correctness.
+    cap = min(max(((r // 16 + 127) // 128) * 128, 2048), r)
+
+    def fb_full(_):
         tm = jnp.where(overflow, t_max, 0.0)
         fb_t, fb_p, _, _ = pb.cluster_closest(
             pack, o, d, tm, sort=True, interpret=interpret
         )
         return fb_t, fb_p
+
+    def fb_compact(_):
+        order = jnp.argsort(~overflow)  # overflow rays first (stable)
+        sel = order[:cap]
+        tm = jnp.where(overflow[sel], t_max[sel], 0.0)
+        ft, fp, _, _ = pb.cluster_closest(
+            pack, o[sel], d[sel], tm, sort=True, interpret=interpret
+        )
+        t_fb = jnp.full((r,), BIG, jnp.float32).at[sel].set(ft)
+        p_fb = jnp.full((r,), -1, jnp.int32).at[sel].set(fp)
+        return t_fb, p_fb
+
+    def fb(_):
+        return jax.lax.cond(
+            jnp.sum(overflow) <= cap, fb_compact, fb_full, None
+        )
 
     def no_fb(_):
         return t_max, jnp.full((r,), -1, jnp.int32)
@@ -565,10 +779,25 @@ def pair_any(pack, o, d, t_max, interpret=False):
     overflow = jnp.concatenate(ovs)[:r]
     o, d, t_max = o[:r], d[:r], t_max[:r]
 
-    def fb(_):
+    cap = min(max(((r // 16 + 127) // 128) * 128, 2048), r)
+
+    def fb_full(_):
         tm = jnp.where(overflow, t_max, 0.0)
         return pb.cluster_any(pack, o, d, tm, sort=True,
                               interpret=interpret)
+
+    def fb_compact(_):
+        order = jnp.argsort(~overflow)
+        sel = order[:cap]
+        tm = jnp.where(overflow[sel], t_max[sel], 0.0)
+        fo = pb.cluster_any(pack, o[sel], d[sel], tm, sort=True,
+                            interpret=interpret)
+        return jnp.zeros((r,), bool).at[sel].set(fo)
+
+    def fb(_):
+        return jax.lax.cond(
+            jnp.sum(overflow) <= cap, fb_compact, fb_full, None
+        )
 
     fb_occ = jax.lax.cond(
         jnp.any(overflow), fb, lambda _: jnp.zeros((r,), bool), None

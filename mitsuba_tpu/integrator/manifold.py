@@ -51,15 +51,17 @@ def _refract_world(d, n, eta_rel):
     return mm.normalize(d_out), tir
 
 
-def chain_trace(pack, o, d, signature):
+def chain_trace(pack, o, d, signature, time=None):
     """Trace start ray (o, d) deterministically through `signature`
     (static tuple of REFLECT/REFRACT) specular bounces, then one more
-    segment to the receiving surface.
+    segment to the receiving surface, optionally at a shutter `time`
+    (animated/deformable shapes; the motion integrator re-solves
+    chains at the target frame).
 
     Returns (p_end [R,3], n_end [R,3], ok [R])."""
     ok = jnp.ones(o.shape[:1], bool)
     for s in signature:
-        hit = intersect(pack, o, d)
+        hit = intersect(pack, o, d, time=time)
         its = fill_interaction(pack, o, d, hit)
         ok = ok & its.valid
         n = its.ns
@@ -70,7 +72,7 @@ def chain_trace(pack, o, d, signature):
             d, tir = _refract_world(d, n, eta_rel)
             ok = ok & ~tir
         o = _offset_ray(its.p, its.ng, d)
-    hit = intersect(pack, o, d)
+    hit = intersect(pack, o, d, time=time)
     its = fill_interaction(pack, o, d, hit)
     ok = ok & its.valid
     return its.p, its.ns, ok
@@ -78,7 +80,7 @@ def chain_trace(pack, o, d, signature):
 
 def manifold_walk(
     pack, p_start, d0, signature, p_target, n_target,
-    iters=16, fd_eps=1e-4,
+    iters=16, fd_eps=1e-4, time=None,
 ):
     """Newton walk: adjust the start direction until the specular chain
     endpoint lands on p_target (measured in the target's tangent
@@ -93,7 +95,8 @@ def manifold_walk(
         d = mm.normalize(
             d0 + x[..., 0:1] * fr_d.s + x[..., 1:2] * fr_d.t
         )
-        p_end, _, ok = chain_trace(pack, p_start, d, signature)
+        p_end, _, ok = chain_trace(pack, p_start, d, signature,
+                                   time=time)
         dp = p_end - p_target
         e = jnp.stack(
             [mm.dot(dp, fr_t.s), mm.dot(dp, fr_t.t)], axis=-1

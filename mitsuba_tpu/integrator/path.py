@@ -626,23 +626,10 @@ def field_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
     return jnp.where(its.valid[..., None], v, 0.0)
 
 
-def motion_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
-    """First-hit screen-space motion vectors in pixels (reference
-    src/integrators/misc/motion.cpp, config "d": the primary-hit
-    component; specular chain configs are not implemented).  The scene
-    is intersected at shutter time 0; each hit point advances to the
-    target time through its shape's animation (rigid keyframe M1 or
-    deformable keyframe lerp) and both positions project through the
-    camera — channels = (dx_pixels, dy_pixels, 0)."""
-    t_target = float(getattr(integ, "motion_time", 1.0))
-    r = o.shape[0]
-    hit = intersect(pack, o, d, time=jnp.zeros((r,), jnp.float32))
-    its = fill_interaction(pack, o, d, hit)
-    p0 = its.p
+def _motion_advance(pack, prim, p0, uu, vv, tri_hit, t_target):
+    """Advance surface points to the target time through their shape's
+    animation (rigid keyframe M1 affine or deformable keyframe lerp)."""
     p1 = p0
-    prim = its.prim
-    tri_hit = its.valid & ~hit.is_sphere
-
     for a, (first, count) in enumerate(pack.meta.get("anim_ranges", ())):
         in_r = tri_hit & (prim >= first) & (prim < first + count)
         m1 = pack.anim_m1[a]
@@ -672,12 +659,105 @@ def motion_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
         tri = frames[seg][row] + w * (
             frames[seg + 1][row] - frames[seg][row]
         )
-        uu, vv = hit.u[..., None], hit.v[..., None]
         pt = (
-            tri[..., 0:3] + uu * tri[..., 3:6] + vv * tri[..., 6:9]
+            tri[..., 0:3]
+            + uu[..., None] * tri[..., 3:6]
+            + vv[..., None] * tri[..., 6:9]
         )
         in_r = tri_hit & (prim >= first) & (prim < first + count)
         p1 = jnp.where(in_r[..., None], pt, p1)
+    return p1
+
+
+def motion_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
+    """Screen-space motion vectors (reference
+    src/integrators/misc/motion.cpp).  config "d": the primary hit
+    advances to the target time through its shape's animation and both
+    positions project through the camera.  Specular chain configs
+    ("rd", "ttd", ...) trace the configured reflect/refract chain at
+    time 0, advance the END vertex to the target time, and re-solve
+    the chain against the moved endpoint at the target time with the
+    batched Newton manifold walk (integrator/manifold.py) — the
+    vectorized stand-in for the reference's DScalar time-stepping
+    (motion.cpp:137,215-258).  Channels = (dx_pixels, dy_pixels,
+    depth_delta)."""
+    t_target = float(getattr(integ, "motion_time", 1.0))
+    config = (getattr(integ, "motion_config", "d") or "d").lower()
+    r = o.shape[0]
+    time0 = jnp.zeros((r,), jnp.float32)
+    hit = intersect(pack, o, d, time=time0)
+    its = fill_interaction(pack, o, d, hit)
+
+    if len(config) == 1:
+        p0 = its.p
+        prim = its.prim
+        tri_hit = its.valid & ~hit.is_sphere
+        p1 = _motion_advance(
+            pack, prim, p0, hit.u, hit.v, tri_hit, t_target
+        )
+        ok = its.valid
+    else:
+        # ---- specular chain: trace config at t=0 ----
+        from mitsuba_tpu.bsdf.plugins import (
+            CONDUCTOR, DIELECTRIC, THINDIELECTRIC,
+        )
+        from mitsuba_tpu.integrator import manifold as mf
+
+        sig = tuple(
+            mf.REFLECT if ch == "r" else mf.REFRACT
+            for ch in config[:-1]
+        )
+        o_cur, d_cur = o, d
+        ok = jnp.ones((r,), bool)
+        p0 = jnp.zeros((r, 3), jnp.float32)
+        p_end = n_end = None
+        prim_end = u_end = v_end = tri_end = None
+        for i, ch in enumerate(config):
+            h = hit if i == 0 else intersect(pack, o_cur, d_cur,
+                                             time=time0)
+            it2 = its if i == 0 else fill_interaction(
+                pack, o_cur, d_cur, h
+            )
+            ok = ok & it2.valid
+            if i == 0:
+                p0 = it2.p
+            mat_t = take_rows(pack.mat_type, jnp.maximum(it2.mat, 0))
+            if ch == "d":
+                p_end, n_end = it2.p, it2.ns
+                prim_end, u_end, v_end = it2.prim, h.u, h.v
+                tri_end = it2.valid & ~h.is_sphere
+            elif ch == "r":
+                ok = ok & (
+                    (mat_t == CONDUCTOR) | (mat_t == DIELECTRIC)
+                    | (mat_t == THINDIELECTRIC)
+                )
+                n = it2.ns
+                d_cur = mm.normalize(
+                    d_cur - 2.0 * mm.dot(d_cur, n)[..., None] * n
+                )
+                o_cur = _offset_ray(it2.p, it2.ng, d_cur)
+            else:  # 't'
+                ok = ok & (mat_t == DIELECTRIC)
+                eta_rel = take_rows(
+                    pack.mat_eta, jnp.maximum(it2.mat, 0)
+                )
+                d_cur, tir = mf._refract_world(d_cur, it2.ns, eta_rel)
+                ok = ok & ~tir
+                o_cur = _offset_ray(it2.p, it2.ng, d_cur)
+
+        # ---- move the end vertex, re-solve the chain at t_target ----
+        p_end1 = _motion_advance(
+            pack, prim_end, p_end, u_end, v_end, tri_end, t_target
+        )
+        t1 = jnp.full((r,), t_target, jnp.float32)
+        d_sol, err, ok_w = mf.manifold_walk(
+            pack, o, d, sig, p_end1, n_end, iters=10, time=t1
+        )
+        h1 = intersect(pack, o, d_sol, time=t1)
+        it1 = fill_interaction(pack, o, d_sol, h1)
+        scale = jnp.linalg.norm(p_end - o, axis=-1) + 1.0
+        ok = ok & ok_w & it1.valid & (err < 1e-3 * scale)
+        p1 = it1.p
 
     w2c = pack.cam_w2c
     th = pack.meta.get("cam_tan_half", 0.0) or 1.0

@@ -32,6 +32,7 @@ class IntegratorRecord:
     field_name: str = "position"
     # motion
     motion_time: float = 1.0
+    motion_config: str = "d"
     # bdpt / mlt family
     light_image: bool = True
     sample_direct: bool = True
@@ -130,14 +131,24 @@ class DepthIntegrator(_IntBase):
 
 @register("integrator", "motion")
 class MotionIntegrator(_IntBase):
-    """reference: src/integrators/misc/motion.cpp — first-hit
-    screen-space motion vectors (config "d"; specular-chain configs
-    unimplemented).  `time` is the target frame."""
+    """reference: src/integrators/misc/motion.cpp — screen-space
+    motion vectors.  config "d" = first hit; chain configs ("rd",
+    "ttd", ...) follow reflections/refractions and re-solve the
+    specular chain at the target time with the batched Newton manifold
+    walk.  `time` is the target frame."""
 
     kind = "motion"
 
     def _finish(self, props):
         self.record.motion_time = props.get_float("time", 1.0)
+        cfg = props.get_string("config", "d").lower()
+        if not cfg or cfg[-1] != "d" or any(
+            ch not in "rtd" for ch in cfg
+        ):
+            raise ValueError(
+                "motion: config must be of [rt]*d form, got %r" % cfg
+            )
+        self.record.motion_config = cfg
 
 
 @register("integrator", "bdpt")

@@ -64,7 +64,7 @@ c = pack.meta["n_clusters"]
 
 # stage 2: queue + runs
 def f2(cids_):
-    q = prs._pair_queue(cids_, T, c)
+    q = prs._pair_queue(cids_, T, c, oT, dT, tT)
     rc, nr = prs._window_runs(q[0], c)
     return q, rc, nr
 
@@ -75,12 +75,11 @@ print(f"  P = {q[0].shape[0]}  windows = {rc.shape[0]}  "
       f"max {np.asarray(nr).max()}")
 
 # stage 3: kernel alone (inputs precomputed)
-cid_q, slot_q = q[0], q[1]
-kk = cids.shape[1]
-fq = prs._feats(oT, dT)[slot_q // kk]
+cid_q, rays_q = q[0], q[2]
+fq = prs._feats(rays_q[:, 0:3], rays_q[:, 3:6])
 p = cid_q.shape[0]
 feats_q = jnp.swapaxes(fq.reshape(p // prs.W, prs.W, 16), 1, 2)
-tmax_q = jnp.where(cid_q < c, tT[slot_q // kk], 0.0)
+tmax_q = jnp.where(cid_q < c, rays_q[:, 6], 0.0)
 f3 = jax.jit(
     lambda rc_, nr_, cq, fq, tq: prs._run_kernel(
         pack, "closest", rc_, nr_, cq, fq, tq, False

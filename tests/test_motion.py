@@ -112,3 +112,75 @@ def test_static_scene_unaffected():
     pack = pack_scene(sc)
     assert pack.meta["anim_ranges"] == ()
     assert pack.meta["n_static_tris"] == pack.meta["n_tris"]
+
+
+def _motion_scene(config, with_glass):
+    glass = """
+      <shape type="cube">
+        <transform name="toWorld">
+          <scale x="1.5" y="1.5" z="0.02"/>
+        </transform>
+        <bsdf type="dielectric"/>
+      </shape>""" if with_glass else ""
+    return load_scene_string(f"""
+    <scene version="0.5.0">
+      <integrator type="motion">
+        <float name="time" value="1.0"/>
+        <string name="config" value="{config}"/>
+      </integrator>
+      <sensor type="perspective">
+        <float name="fov" value="40"/>
+        <transform name="toWorld">
+          <lookat origin="0,0,-3" target="0,0,0" up="0,1,0"/>
+        </transform>
+        <sampler type="independent">
+          <integer name="sampleCount" value="1"/>
+        </sampler>
+        <film type="hdrfilm">
+          <integer name="width" value="32"/>
+          <integer name="height" value="32"/>
+          <rfilter type="box"/>
+        </film>
+      </sensor>
+      {glass}
+      <shape type="rectangle">
+        <animation name="toWorld">
+          <transform time="0">
+            <rotate y="1" angle="180"/>
+            <translate z="1"/>
+          </transform>
+          <transform time="1">
+            <rotate y="1" angle="180"/>
+            <translate x="0.5" z="1"/>
+          </transform>
+        </animation>
+        <bsdf type="diffuse"/>
+      </shape>
+      <emitter type="constant"><rgb name="radiance" value="1"/></emitter>
+    </scene>""")
+
+
+def test_motion_config_chain_through_glass():
+    """config 'ttd': motion of a translating card seen THROUGH a thin
+    glass slab (reference motion.cpp chain configs).  For a very thin
+    plate the refraction offset vanishes, so the chain-solved motion
+    of the glass vertex must match the slab-free config 'd' motion of
+    the card scaled by the depth ratio of the two vertices (a
+    perspective pencil through the origin: lateral shift is
+    proportional to distance from the camera)."""
+    ref = render(_motion_scene("d", with_glass=False), spp=1, seed=0)
+    img = render(_motion_scene("ttd", with_glass=True), spp=1, seed=0)
+    # central window: rays that pass through slab AND hit the card
+    cr, cw = ref[12:20, 12:20], img[12:20, 12:20]
+    med_d = np.median(cr[..., 0])
+    assert abs(med_d) > 2.0, med_d  # the card visibly moves
+    ok = np.abs(cw[..., 0]) > 1e-6  # solved lanes only
+    assert ok.mean() > 0.6, ok.mean()
+    # a pinhole pencil rotates as one: the projected (angular) motion
+    # of the glass vertex equals the projected motion of the card the
+    # pencil tracks, so config 'ttd' must match config 'd' up to the
+    # (negligible) thin-plate refraction offset
+    np.testing.assert_allclose(
+        np.median(cw[..., 0][ok]), med_d, rtol=0.08
+    )
+    assert abs(np.median(cw[..., 1][ok])) < 0.5

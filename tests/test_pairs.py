@@ -116,3 +116,23 @@ def test_pair_fast_path_engages():
     assert n_cl.mean() > 0.3, n_cl.mean()
     _, _, overflow = prs._run_tile(pack, o, d, t_max, "closest", True)
     assert np.asarray(overflow).mean() < 0.20, np.asarray(overflow).mean()
+
+
+def test_pallas_cull_matches_xla():
+    """The fused Pallas culling kernel must reproduce the XLA two-level
+    culling exactly (same slab math, same k-pass min extraction)."""
+    pack = cluster_pack(n_tris=3000, tc=64)
+    o, d = _rays(pack, 1024, seed=5)
+    t_max = jnp.broadcast_to(jnp.asarray(1e30), (1024,))
+    cx, ex, ovx = prs._cluster_lists(pack, o, d, t_max)
+    cp_, ep, ovp = prs._cluster_lists_pallas(pack, o, d, t_max, True)
+    np.testing.assert_array_equal(np.asarray(cx), np.asarray(cp_))
+    np.testing.assert_allclose(
+        np.asarray(ex), np.asarray(ep), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ovx["n_sup"]), np.asarray(ovp["n_sup"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ovx["n_cl"]), np.asarray(ovp["n_cl"])
+    )
