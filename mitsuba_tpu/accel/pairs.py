@@ -52,10 +52,10 @@ from mitsuba_tpu.accel.pallas_bvh import BIG, RAY_EPS, _winner_uv
 # the fallback rate)
 KS = int(os.environ.get("MTS_PAIR_KS", 8))
 # max clusters kept per ray (exact-culling level 2)
-K = int(os.environ.get("MTS_PAIR_K", 4))
+K = int(os.environ.get("MTS_PAIR_K", 3))
 # pair-queue budget in pairs per ray (the queue is R*BUDGET long;
 # overflow falls back) — bunny measures 0.79 pairs/ray
-BUDGET = float(os.environ.get("MTS_PAIR_BUDGET", 2.0))
+BUDGET = float(os.environ.get("MTS_PAIR_BUDGET", 1.25))
 # pairs per kernel window (lane dimension of one MXU visit).  The
 # VPU epilogue runs on runs x [4*Tc, W] whether or not a lane's pair
 # is in the run, so NARROW windows win (in-jit measured: W=256
@@ -706,7 +706,7 @@ def pair_closest(pack, o, d, t_max, interpret=False):
     # O(R) whatever t_max says; at ~1% overflow the compacted call is
     # ~16x cheaper).  If overflow ever exceeds the buffer, the full-
     # size fallback carries correctness.
-    cap = min(max(((r // 16 + 127) // 128) * 128, 2048), r)
+    cap = min(max(((r // 32 + 127) // 128) * 128, 2048), r)
 
     def fb_full(_):
         tm = jnp.where(overflow, t_max, 0.0)
@@ -779,7 +779,7 @@ def pair_any(pack, o, d, t_max, interpret=False):
     overflow = jnp.concatenate(ovs)[:r]
     o, d, t_max = o[:r], d[:r], t_max[:r]
 
-    cap = min(max(((r // 16 + 127) // 128) * 128, 2048), r)
+    cap = min(max(((r // 32 + 127) // 128) * 128, 2048), r)
 
     def fb_full(_):
         tm = jnp.where(overflow, t_max, 0.0)
