@@ -1357,6 +1357,19 @@ def pack_scene(scene) -> ScenePack:
             vol = m.density
             grid = vol.grid[..., 0] if vol.grid.ndim == 4 else vol.grid
             grid = np.ascontiguousarray(grid * m.scale, np.float32)
+            if os.environ.get("MTS_HET_BF16", "1") != "0":
+                # bf16 density corners HALVE the per-candidate gather
+                # bytes of delta tracking (the volpath event body is
+                # gather-bound).  Quantizing the grid BEFORE building
+                # corners and majorants keeps the supergrid an exact
+                # bound of what tracking will actually read, so the
+                # estimator stays unbiased w.r.t. the stored field
+                # (~0.4% field quantization, far below tracking noise).
+                import ml_dtypes
+
+                grid = grid.astype(ml_dtypes.bfloat16).astype(
+                    np.float32
+                )
             D_, H_, W_ = grid.shape
             # corner packing: pad by one zero layer; base point (z,y,x)
             # with z in [-1, D-1] holds its 2x2x2 corner block -> ONE
@@ -1386,6 +1399,12 @@ def pack_scene(scene) -> ScenePack:
                         ].max()
             h_cbase.append(sum(p.shape[0] for p in hc_parts))
             h_sbase.append(sum(p.shape[0] for p in hs_parts))
+            if os.environ.get("MTS_HET_BF16", "1") != "0":
+                import ml_dtypes
+
+                # values are already bf16-representable (grid was
+                # quantized above), so this narrows storage losslessly
+                corners = corners.astype(ml_dtypes.bfloat16)
             hc_parts.append(corners.reshape(-1, 8))
             hs_parts.append(sup.reshape(-1))
             h_dims.append([D_, H_, W_])
