@@ -41,12 +41,19 @@ CONFIGS = [
     ("smoke", "scenes/smoke.xml", None, 256, 512),
     ("glass_caustics", "scenes/glass_caustics.xml", ("path", None), 256,
      16384),
+    # the same caustic scene driven by the chain family (the reference
+    # would pick mlt/pssmlt for this scene; pssmlt re-traces a full
+    # bidirectional strategy mix per mutation, pssmlt.cpp:170)
+    ("glass_pssmlt", "scenes/glass_caustics.xml", ("path", "pssmlt"),
+     256, 16384),
     # hard-visibility interior (BASELINE config 5): ref rendered with
     # bdpt (finds door paths bidirectionally); measured with the
     # scene's pssmlt
     ("door", "scenes/door.xml", ("bdpt", None), 256, 8192),
 ]
 TARGET_RMSE = 0.01
+# measured-variant configs reuse another config's converged reference
+REF_ALIAS = {"glass_pssmlt": "glass_caustics"}
 
 
 def _load(name, path, integrator, res, for_ref=False):
@@ -84,6 +91,8 @@ def _rmse(img, ref):
 def make_refs():
     os.makedirs(REF_DIR, exist_ok=True)
     for name, path, integ, res, ref_spp in CONFIGS:
+        if name in REF_ALIAS:
+            continue  # reuses another config's reference
         out = os.path.join(REF_DIR, f"{name}_{res}.npz")
         if os.path.exists(out):
             print(f"{name}: ref exists, skipping")
@@ -100,7 +109,9 @@ def measure(only=None):
     for name, path, integ, res, _ in CONFIGS:
         if only and name not in only:
             continue
-        ref_file = os.path.join(REF_DIR, f"{name}_{res}.npz")
+        ref_file = os.path.join(
+            REF_DIR, f"{REF_ALIAS.get(name, name)}_{res}.npz"
+        )
         if not os.path.exists(ref_file):
             print(f"# {name}: no ref ({ref_file}); run --make-refs first",
                   file=sys.stderr)

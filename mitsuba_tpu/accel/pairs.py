@@ -362,16 +362,51 @@ def _overflow(ov, best_t):
 
 def _pair_queue(cids, r, c, o, d, tmax):
     """Flatten [R, K] lists into a cluster-sorted pair queue of static
-    length P_cap.  The per-pair ray data (o, d, t_max) rides THROUGH
-    the sort as extra value operands — broadcasting before the sort is
-    free, while gathering rows by slot afterwards measured 6.4 ms per
-    262k rays (in-jit) on the v5e.
+    length P_cap.
+
+    Two strategies for moving the per-pair ray data (o, d, t_max):
+
+    * "packed" (default when the bits fit): ONE int32 key sort of
+      (cid << slot_bits | slot) — the minimum possible sort traffic —
+      followed by 7 per-component 1D gathers for only the P_cap kept
+      pairs.
+    * "ride": the 9-operand kv-sort (key + slot + 7 ray floats);
+      broadcasting before the sort is free and no gather is needed.
+      Required when cid/slot can't share an int32 (huge meshes).
 
     Returns (cid_q [P], slot_q [P], rays_q [P, 7], cid_tail,
     slot_tail); the tail is the truncated remainder."""
     kk = cids.shape[1]
+    n = r * kk
     flat_cid = cids.reshape(-1)
-    slot = jnp.arange(r * kk, dtype=jnp.int32)
+    slot = jnp.arange(n, dtype=jnp.int32)
+    p_cap = min(int(r * BUDGET), n)
+    p_cap = max(((p_cap + W - 1) // W) * W, W)
+
+    slot_bits = max((n - 1).bit_length(), 1)
+    fits = (c + 1) < (1 << (31 - slot_bits))
+    sort_mode = os.environ.get("MTS_PAIR_SORT", "packed")
+    if fits and sort_mode == "packed":
+        s = jax.lax.sort((flat_cid << slot_bits) | slot)
+        cid_s = s >> slot_bits
+        slot_s = s & ((1 << slot_bits) - 1)
+        if p_cap > n:
+            pad = p_cap - n
+            cid_s = jnp.concatenate(
+                [cid_s, jnp.full((pad,), c, jnp.int32)]
+            )
+            slot_s = jnp.concatenate(
+                [slot_s, n + jnp.arange(pad, dtype=jnp.int32)]
+            )
+        ridx = jnp.minimum(slot_s[:p_cap], n - 1) // kk
+        rays_q = jnp.stack(
+            [o[:, 0][ridx], o[:, 1][ridx], o[:, 2][ridx],
+             d[:, 0][ridx], d[:, 1][ridx], d[:, 2][ridx],
+             tmax[ridx]],
+            axis=-1,
+        )
+        return (cid_s[:p_cap], slot_s[:p_cap], rays_q,
+                cid_s[p_cap:], slot_s[p_cap:])
 
     def rep(x):
         return jnp.broadcast_to(x[:, None], (r, kk)).reshape(-1)
@@ -381,8 +416,6 @@ def _pair_queue(cids, r, c, o, d, tmax):
     # sentinel (cid == c) sorts last
     out = jax.lax.sort((flat_cid, slot, *vals), num_keys=1)
     cid_s, slot_s, vals_s = out[0], out[1], out[2:]
-    p_cap = min(int(r * BUDGET), r * kk)
-    p_cap = max(((p_cap + W - 1) // W) * W, W)
     if p_cap > r * kk:
         # tiny batches: pad to one window with sentinel pairs whose
         # slot ids sort past every real slot (the restore sort slices

@@ -369,6 +369,13 @@ def render(
     # it finishes (reference src/films/tiledhdrfilm.cpp's out-of-core
     # contract, minus its custom EXR tile writer: the host map is the
     # spill store and the final write is one standard image)
+    # MTS_TPU_DONATE=0 disables film-buffer donation: some axon
+    # tunnel builds panic in their buffer-alias bookkeeping after many
+    # donated executions (client.rs index-out-of-bounds) — the copy
+    # costs one film-sized HBM pass per chunk, correctness unchanged
+    donate = (
+        (0,) if os.environ.get("MTS_TPU_DONATE", "1") != "0" else ()
+    )
     out_of_core = bool(getattr(film_rec, "out_of_core", False))
     if out_of_core or (
         pack.meta.get("has_media", False) and w * h > media_lanes
@@ -388,7 +395,7 @@ def render(
                     pack, integ, sensor_rec, film_rec, sampler_rec,
                     spp_chunk, band_rows_arg=hbe,
                 ),
-                donate_argnums=(0,),
+                donate_argnums=donate,
             )
 
         from mitsuba_tpu.parallel import elastic
@@ -472,7 +479,7 @@ def render(
             make_render_pass(
                 pack, integ, sensor_rec, film_rec, sampler_rec, spp_chunk
             ),
-            donate_argnums=(0,),
+            donate_argnums=donate,
         )
 
     def reload_state():

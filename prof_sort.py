@@ -97,6 +97,23 @@ def main():
         tb2 = timed(loop(body_b2, lambda *a: jnp.float32(0)),
                     cid, rays_r)
 
+        # (b3) packed sort + 7 per-column 1D gathers (column-major
+        # ray table: gathers along a flat [R] axis per component)
+        cols = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+                tm]
+
+        def body_b3(i, acc, cid, *cols):
+            packed = ((cid + i) << 20) | jnp.arange(n, dtype=jnp.int32)
+            s = jax.lax.sort(packed)[:p_cap]
+            ridx = (s & ((1 << 20) - 1)) // kk
+            acc2 = acc
+            for cx in cols:
+                acc2 = acc2 + jnp.sum(cx[ridx]) * 1e-9
+            return acc2
+
+        tb3 = timed(loop(body_b3, lambda *a: jnp.float32(0)),
+                    cid, *cols)
+
         # (c) 2-operand sort only (cid, slot), no ray data at all
         def body_c(i, acc, cid, slot):
             out = jax.lax.sort((cid + i, slot), num_keys=1)
@@ -108,6 +125,7 @@ def main():
         print(f"  (a) 9-op sort                 {ta:7.2f} ms")
         print(f"  (b) packed sort + [n,7] gather{tb:7.2f} ms")
         print(f"  (b2) packed sort + [R,7] gthr {tb2:7.2f} ms")
+        print(f"  (b3) packed sort + 7x1D gthr  {tb3:7.2f} ms")
         print(f"  (c) 2-op sort, no payload     {tc:7.2f} ms")
 
 
