@@ -180,6 +180,125 @@ def _cluster_lists(pack, o, d, tmax):
 
 # ray block width of the fused culling kernel
 CULL_B = int(os.environ.get("MTS_PAIR_CULL_B", 512))
+# meshes with at most this many clusters use the single-level dense
+# cull (slab every cluster box per ray) instead of the two-level
+# super/member walk: ~4x less VPU work at bunny scale and no
+# supercluster overflow class at all
+DENSE_C = int(os.environ.get("MTS_PAIR_DENSE_C", 2048))
+
+
+def _dense_cull_kernel(c, kk, rays_ref, box_ref, cid_ref, ent_ref,
+                       ov_ref):
+    """Single-level dense cull: slab-test EVERY cluster box against
+    the block's rays, keep the kk nearest entries.  Replaces the
+    two-level super/member kernel for small cluster counts — the
+    two-level version spends most of its 30 ms/262k rays on ks=8
+    member expansions (one-hot MXU fetches + per-super slabs) that a
+    [C, B] dense slab avoids entirely.
+
+    rays_ref [1, 8, B]: rows ox,oy,oz, 1/dx,1/dy,1/dz, tmax, pad.
+    box_ref [6, Cp]: rows lox,loy,loz,hix,hiy,hiz (padding past c is
+    masked by row index, so the inverted-box sentinel is harmless).
+    outputs: cid [1, kk, B] i32 (c = miss), ent [1, kk, B],
+    ov [1, 4, B] = (0, BIG, n_cl, kept_max_cl) — no super level, so
+    the super-overflow class never fires."""
+    rays = rays_ref[0]
+    o = rays[0:3]
+    inv = rays[3:6]
+    tmax = rays[6:7]  # [1, B]
+    boxes = box_ref[...]  # [6, Cp]
+    cp = boxes.shape[1]
+    b = o.shape[1]
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (cp, b), 0)
+    tn = jnp.full((cp, b), -BIG, jnp.float32)
+    tf = jnp.full((cp, b), BIG, jnp.float32)
+    for a in range(3):
+        t0 = (boxes[a][:, None] - o[a][None, :]) * inv[a][None, :]
+        t1 = (boxes[3 + a][:, None] - o[a][None, :]) * inv[a][None, :]
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    ent = jnp.maximum(tn, 0.0)
+    hit = (tf >= ent) & (tn < tmax) & (row < c)
+    key = jnp.where(hit, ent, BIG)
+    n_cl = jnp.sum(hit.astype(jnp.float32), axis=0)
+
+    kept_max = None
+    for j in range(kk):
+        m = jnp.min(key, axis=0)
+        i = jnp.argmin(key, axis=0).astype(jnp.int32)
+        cid_ref[0, j] = jnp.where(m < BIG, i, c)
+        ent_ref[0, j] = m
+        kept_max = m
+        key = jnp.where(row == i[None, :], BIG, key)
+
+    ov_ref[0, 0] = jnp.zeros((b,), jnp.float32)
+    ov_ref[0, 1] = jnp.full((b,), BIG, jnp.float32)
+    ov_ref[0, 2] = n_cl
+    ov_ref[0, 3] = kept_max
+
+
+def _cluster_lists_dense(pack, o, d, tmax, interpret):
+    """Same contract as _cluster_lists, via the dense one-level cull."""
+    import functools as _ft
+
+    c = pack.meta["n_clusters"]
+    kk = min(K, c)
+    r = o.shape[0]
+    b = CULL_B
+    nb = -(-r // b)
+    pad = nb * b - r
+
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-20, 1e-20, d)
+    rays = jnp.concatenate(
+        [o.T, inv.T, tmax[None, :], jnp.zeros((1, r), jnp.float32)],
+        axis=0,
+    )
+    if pad:
+        rays = jnp.concatenate(
+            [rays, jnp.zeros((8, pad), jnp.float32)], axis=1
+        )
+    rays = jnp.swapaxes(rays.reshape(8, nb, b), 0, 1)  # [nb, 8, B]
+    boxes = pack.cl_mbox.reshape(-1, 6).T  # [6, Sp*G] (pad masked)
+
+    full = lambda *shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM,
+    )
+    cid_b, ent_b, ov_b = pl.pallas_call(
+        _ft.partial(_dense_cull_kernel, c, kk),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 8, b), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(*boxes.shape),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, kk, b), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kk, b), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, b), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, kk, b), jnp.int32),
+            jax.ShapeDtypeStruct((nb, kk, b), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 4, b), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rays, boxes)
+
+    cids = jnp.swapaxes(cid_b, 1, 2).reshape(nb * b, kk)[:r]
+    ent_k = jnp.swapaxes(ent_b, 1, 2).reshape(nb * b, kk)[:r]
+    ov_f = jnp.swapaxes(ov_b, 1, 2).reshape(nb * b, 4)[:r]
+    ov = dict(
+        n_sup=ov_f[:, 0].astype(jnp.int32), ks=1,
+        kept_max_sup=ov_f[:, 1],
+        n_cl=ov_f[:, 2].astype(jnp.int32), kk=kk,
+        kept_max_cl=ov_f[:, 3],
+    )
+    return cids, ent_k, ov
 
 
 def _cull_kernel(s, c, g, ks, kk, rays_ref, sup_ref, mboxt_ref,
@@ -385,7 +504,11 @@ def _pair_queue(cids, r, c, o, d, tmax):
 
     slot_bits = max((n - 1).bit_length(), 1)
     fits = (c + 1) < (1 << (31 - slot_bits))
-    sort_mode = os.environ.get("MTS_PAIR_SORT", "packed")
+    # default "ride": in-context on the v5e the 9-operand kv-sort costs
+    # ~5 ms/262k rays while packed's 7 post-sort gathers cost ~35 ms
+    # (XLA row gathers are the slow path, prof_pairs2) — packed stays
+    # available for cases where sort bytes dominate
+    sort_mode = os.environ.get("MTS_PAIR_SORT", "ride")
     if fits and sort_mode == "packed":
         s = jax.lax.sort((flat_cid << slot_bits) | slot)
         cid_s = s >> slot_bits
@@ -450,6 +573,37 @@ def _window_runs(cid_q, c):
     run_cids = jnp.sort(jnp.where(fw, cw, _I32MAX), axis=-1)
     n_runs = jnp.sum(fw, axis=-1).astype(jnp.int32)
     return run_cids, n_runs
+
+
+def _run_list(cid_q, c):
+    """Flat run list for the run-grid kernel.  A run is a maximal
+    stretch of equal-cluster pairs within one W window.  Because the
+    queue is sorted by cluster id with the miss sentinel (cid == c)
+    last, each cluster occupies ONE contiguous range, so the number of
+    runs is bounded by (#windows + #clusters) — a static cap.
+
+    Returns (cid_raw [R] i32 (c = sentinel), win [R] i32 nondecreasing,
+    first [R] i32: 1 on each window's first run — the kernel
+    initializes that window's output block before accumulating)."""
+    p = cid_q.shape[0]
+    nw = p // W
+    valid = cid_q < c
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), cid_q[:-1]])
+    lane = jnp.arange(p, dtype=jnp.int32) % W
+    flag = valid & ((lane == 0) | (cid_q != prev))
+    pos = jnp.arange(p, dtype=jnp.int32)
+    pos_s = jax.lax.sort(jnp.where(flag, pos, _I32MAX))
+    r_cap = min(p, c + nw)
+    pos_r = pos_s[:r_cap]
+    sent = pos_r >= p
+    idx = jnp.minimum(pos_r, p - 1)
+    cid_raw = jnp.where(sent, c, cid_q[idx])
+    win = jnp.where(sent, nw - 1, idx // W).astype(jnp.int32)
+    # sentinel runs (cid == c) never match a valid pair's cluster, so
+    # masking makes them no-ops; they map to the last window with
+    # first = 0 so they cannot re-initialize it
+    first = (~sent & (idx % W == 0)).astype(jnp.int32)
+    return cid_raw, win, first
 
 
 # ---------------------------------------------------------------------------
@@ -602,6 +756,111 @@ def _run_kernel(pack, mode, run_cids, n_runs, cid_q, feats_q, tmax_q,
     )(*args)
 
 
+def _runs_kernel(tc, mode, cidf_s, win_s, first_s, cidr_s, cidv_ref,
+                 feats_ref, tmax_ref, mt_ref, *outs):
+    """Run-grid kernel: ONE grid step per (window, cluster) run.  The
+    cluster's MT operand block is fetched by the scalar-prefetched
+    index map (mt_ref), so the pipeline double-buffers the HBM->VMEM
+    copies across grid steps automatically — unlike the window kernel
+    (_pair_kernel), whose manual per-run DMA serializes a full HBM
+    round-trip per run (~25 us each, measured: 1280 runs = 32 ms for a
+    262k-ray bunny tile; this kernel re-fetches nothing by hand).
+
+    Output blocks are revisited: consecutive runs of the same window
+    map to the same block, initialized on the window's first run."""
+    r = pl.program_id(0)
+    cid = cidr_s[r]  # RAW id: the sentinel (== c) matches no pair
+    cidv = cidv_ref[0, 0:1, :]  # [1, W]
+    tmaxv = tmax_ref[0, 0:1, :]
+    mask_c = cidv == cid
+
+    if mode == "closest":
+        t_ref, s_ref = outs
+    else:
+        (o_ref,) = outs
+
+    @pl.when(first_s[r] == 1)
+    def _():
+        if mode == "closest":
+            t_ref[0, 0:1, :] = tmaxv
+            s_ref[0, 0:1, :] = jnp.full(tmaxv.shape, -1, jnp.int32)
+        else:
+            o_ref[0, 0:1, :] = (tmaxv <= 0.0).astype(jnp.int32)
+
+    prod = jax.lax.dot_general(
+        mt_ref[0], feats_ref[0],
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [4*Tc, W]
+
+    if mode == "closest":
+        t_b = t_ref[0, 0:1, :]
+        s_b = s_ref[0, 0:1, :]
+        t = _mt_epilogue(prod, tc, jnp.where(mask_c, t_b, 0.0))
+        tmin = jnp.min(t, axis=0, keepdims=True)
+        row = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]
+        better = (tmin < t_b) & mask_c
+        s_ref[0, 0:1, :] = jnp.where(better, cid * tc + row, s_b)
+        t_ref[0, 0:1, :] = jnp.where(better, tmin, t_b)
+    else:
+        occ = o_ref[0, 0:1, :]
+        t = _mt_epilogue(
+            prod, tc, jnp.where(mask_c & (occ < 1), tmaxv, 0.0)
+        )
+        found = jnp.any(t < BIG, axis=0, keepdims=True)
+        o_ref[0, 0:1, :] = jnp.maximum(occ, found.astype(jnp.int32))
+
+
+def _run_kernel_runs(pack, mode, run_cid, run_win, run_first, cid_q,
+                     feats_q, tmax_q, interpret):
+    tc = pack.meta["cluster_tc"]
+    nw = cid_q.shape[0] // W
+    n_mt = pack.cl_mt.shape[0]
+    cid_fetch = jnp.minimum(run_cid, n_mt - 1)
+
+    wspec = lambda d1: pl.BlockSpec(  # noqa: E731
+        (1, d1, W),
+        lambda r, cf, ws, fs, cr: (ws[r], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(run_cid.shape[0],),
+        in_specs=[
+            wspec(1),  # cidv
+            wspec(16),  # feats
+            wspec(1),  # tmax
+            pl.BlockSpec(
+                (1, 16, 4 * tc),
+                lambda r, cf, ws, fs, cr: (cf[r], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            [wspec(1), wspec(1)] if mode == "closest" else [wspec(1)]
+        ),
+    )
+    out_shape = (
+        [
+            jax.ShapeDtypeStruct((nw, 1, W), jnp.float32),
+            jax.ShapeDtypeStruct((nw, 1, W), jnp.int32),
+        ]
+        if mode == "closest"
+        else [jax.ShapeDtypeStruct((nw, 1, W), jnp.int32)]
+    )
+    return pl.pallas_call(
+        functools.partial(_runs_kernel, tc, mode),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        cid_fetch, run_win, run_first, run_cid,
+        cid_q.reshape(nw, 1, W), feats_q, tmax_q.reshape(nw, 1, W),
+        pack.cl_mt,
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
@@ -627,7 +886,12 @@ def _run_tile(pack, o, d, t_max, mode, interpret):
     tc = pack.meta["cluster_tc"]
     r = o.shape[0]
 
-    if os.environ.get("MTS_PAIR_CULL", "pallas") == "pallas":
+    cull = os.environ.get("MTS_PAIR_CULL", "pallas")
+    if cull == "pallas" and c <= DENSE_C:
+        cids, ent_k, ov = _cluster_lists_dense(
+            pack, o, d, t_max, interpret
+        )
+    elif cull == "pallas":
         cids, ent_k, ov = _cluster_lists_pallas(
             pack, o, d, t_max, interpret
         )
@@ -637,16 +901,24 @@ def _run_tile(pack, o, d, t_max, mode, interpret):
     cid_q, slot_q, rays_q, cid_tail, slot_tail = _pair_queue(
         cids, r, c, o, d, t_max
     )
-    run_cids, n_runs = _window_runs(cid_q, c)
 
     fq = _feats(rays_q[:, 0:3], rays_q[:, 3:6])  # [P, 16]
     p = cid_q.shape[0]
     feats_q = jnp.swapaxes(fq.reshape(p // W, W, 16), 1, 2)
     tmax_q = jnp.where(cid_q < c, rays_q[:, 6], 0.0)
 
-    outs = _run_kernel(
-        pack, mode, run_cids, n_runs, cid_q, feats_q, tmax_q, interpret
-    )
+    if os.environ.get("MTS_PAIR_KERNEL", "runs") == "runs":
+        run_cid, run_win, run_first = _run_list(cid_q, c)
+        outs = _run_kernel_runs(
+            pack, mode, run_cid, run_win, run_first, cid_q, feats_q,
+            tmax_q, interpret
+        )
+    else:
+        run_cids, n_runs = _window_runs(cid_q, c)
+        outs = _run_kernel(
+            pack, mode, run_cids, n_runs, cid_q, feats_q, tmax_q,
+            interpret
+        )
 
     # restore the dense [R, K] slot order with ONE kv-sort by slot
     # (the concatenated queue + truncated tail together hold every
