@@ -485,13 +485,15 @@ def _pair_queue(cids, r, c, o, d, tmax):
 
     Two strategies for moving the per-pair ray data (o, d, t_max):
 
-    * "packed" (default when the bits fit): ONE int32 key sort of
+    * "ride" (default): the 9-operand kv-sort (key + slot + 7 ray
+      floats); broadcasting before the sort is free and no gather is
+      needed.  Measured ~5 ms/262k rays on the v5e.  Also the only
+      option when cid/slot can't share an int32 (huge meshes).
+    * "packed" (opt-in, MTS_PAIR_SORT=packed): ONE int32 key sort of
       (cid << slot_bits | slot) — the minimum possible sort traffic —
       followed by 7 per-component 1D gathers for only the P_cap kept
-      pairs.
-    * "ride": the 9-operand kv-sort (key + slot + 7 ray floats);
-      broadcasting before the sort is free and no gather is needed.
-      Required when cid/slot can't share an int32 (huge meshes).
+      pairs (~35 ms measured: XLA row gathers are the slow path; kept
+      for cases where sort bytes dominate).
 
     Returns (cid_q [P], slot_q [P], rays_q [P, 7], cid_tail,
     slot_tail); the tail is the truncated remainder."""
@@ -907,7 +909,15 @@ def _run_tile(pack, o, d, t_max, mode, interpret):
     feats_q = jnp.swapaxes(fq.reshape(p // W, W, 16), 1, 2)
     tmax_q = jnp.where(cid_q < c, rays_q[:, 6], 0.0)
 
-    if os.environ.get("MTS_PAIR_KERNEL", "runs") == "runs":
+    # kernel default: the run-grid kernel sizes its grid as
+    # min(P, n_clusters + n_windows) — at large cluster counts most
+    # grid steps would be sentinel runs that still pay a full MXU
+    # contraction, so big meshes default to the window kernel whose
+    # grid is O(windows) regardless of c (ADVICE r4 #1)
+    kern = os.environ.get("MTS_PAIR_KERNEL")
+    if kern is None:
+        kern = "runs" if c <= DENSE_C else "window"
+    if kern == "runs":
         run_cid, run_win, run_first = _run_list(cid_q, c)
         outs = _run_kernel_runs(
             pack, mode, run_cid, run_win, run_first, cid_q, feats_q,

@@ -48,7 +48,15 @@ def _check_closest(pack, o, d, t_max=1e30):
     )
 
 
-def test_pair_closest_matches_bvh():
+@pytest.mark.parametrize("kernel", ["runs", "window"])
+@pytest.mark.parametrize("dense_c", [0, None])
+def test_pair_closest_matches_bvh(monkeypatch, kernel, dense_c):
+    """Covers every (kernel, cull) default combination: dense_c=None
+    keeps the dense one-level cull (small-mesh default), dense_c=0
+    forces the two-level super/member pipeline (big-mesh path)."""
+    monkeypatch.setenv("MTS_PAIR_KERNEL", kernel)
+    if dense_c is not None:
+        monkeypatch.setattr(prs, "DENSE_C", dense_c)
     pack = cluster_pack(n_tris=3000, tc=64)
     o, d = _rays(pack, 2048)
     _check_closest(pack, o, d)
@@ -116,6 +124,32 @@ def test_pair_fast_path_engages():
     assert n_cl.mean() > 0.3, n_cl.mean()
     _, _, overflow = prs._run_tile(pack, o, d, t_max, "closest", True)
     assert np.asarray(overflow).mean() < 0.20, np.asarray(overflow).mean()
+
+
+def test_dense_cull_matches_xla():
+    """The one-level dense cull must keep the same k smallest entry
+    distances as the two-level XLA culling (cluster ids can differ
+    only where entries tie — e.g. rays starting inside several
+    boxes), and its kept ids must all be real slab hits."""
+    pack = cluster_pack(n_tris=3000, tc=64)
+    o, d = _rays(pack, 1024, seed=9)
+    t_max = jnp.broadcast_to(jnp.asarray(1e30), (1024,))
+    cx, ex, ovx = prs._cluster_lists(pack, o, d, t_max)
+    cd, ed, ovd = prs._cluster_lists_dense(pack, o, d, t_max, True)
+    np.testing.assert_allclose(
+        np.asarray(ex), np.asarray(ed), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ovx["n_cl"]), np.asarray(ovd["n_cl"])
+    )
+    # where entries are unique within the row, ids must agree exactly
+    exn = np.asarray(ex)
+    unique = np.array([
+        len(np.unique(row)) == len(row) for row in exn
+    ])
+    np.testing.assert_array_equal(
+        np.asarray(cx)[unique], np.asarray(cd)[unique]
+    )
 
 
 def test_pallas_cull_matches_xla():
