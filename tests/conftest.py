@@ -26,6 +26,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Modules that dominate the ~60-min full-suite wall clock (golden
+# images, full integrator renders, multi-process bring-up).  Every
+# test in them is auto-marked `slow`; iterate with
+#     python -m pytest tests/ -q -m "not slow"
+# (a ~5-min correctness sweep) and run the full suite before commits
+# that touch integrators or the film.
+_SLOW_MODULES = {
+    "test_golden", "test_render", "test_volpath", "test_bdpt",
+    "test_mlt", "test_manifold_mlt", "test_sppm", "test_photonmapper",
+    "test_irrcache", "test_irrcache_gradients", "test_sss",
+    "test_multihost", "test_service", "test_irawan", "test_adaptive",
+    "test_spectral", "test_samplers", "test_motion", "test_pairs",
+    "test_instancing", "test_elastic",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def cbox_scene():
