@@ -104,7 +104,7 @@ def make_refs():
         np.savez_compressed(out, img=img.astype(np.float16))
 
 
-def measure(only=None):
+def measure(only=None, max_spp=4096):
     results = []
     for name, path, integ, res, _ in CONFIGS:
         if only and name not in only:
@@ -125,7 +125,7 @@ def measure(only=None):
         spp = 2
         prev = None  # (spp, seconds, rmse)
         hit = None
-        while spp <= 4096:
+        while spp <= max_spp:
             t0 = time.time()
             img = _render(scene, spp, seed=1)
             dt = time.time() - t0
@@ -168,8 +168,10 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--make-refs", action="store_true")
     p.add_argument("--only", help="comma-separated scene names")
+    p.add_argument("--max-spp", type=int, default=4096,
+                   help="cap the doubling budget (curve-only configs)")
     args = p.parse_args()
     if args.make_refs:
         make_refs()
     else:
-        measure(args.only.split(",") if args.only else None)
+        measure(args.only.split(",") if args.only else None, args.max_spp)

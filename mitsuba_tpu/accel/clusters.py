@@ -139,6 +139,17 @@ def pack_clusters(bvh, tri_v0, tri_e1, tri_e2, n_tris, tc: int = CLUSTER_TC):
     cl_box[0:3, :c] = lo.T
     cl_box[3:6, :c] = hi.T
 
+    # per-cluster prim-id rows for the pair kernels' in-VMEM winner
+    # select (accel/pairs.py): row 0 of [Cp, 8, Tc] holds the padded
+    # slot -> triangle id as f32 (exact below 2^24; CLUSTER_HBM_MAX
+    # caps slots at ~3M).  Selecting the winner's prim INSIDE the
+    # kernel replaces a [R] cl_pad2prim gather measured at ~8.7 ms per
+    # 262k rays on the v5e (XLA 1d gathers are the slow path).  8
+    # sublane rows keep the f32 (8, 128) tiling natural; rows 1-7 are
+    # zero.
+    cl_primf = np.zeros((cp, 8, tc), np.float32)
+    cl_primf[:c, 0, :] = tri_idx.reshape(c, tc).astype(np.float32)
+
     cl_sph = np.zeros((4, cp), np.float32)
     cl_sph[3, :] = -1e30
     center = (lo + hi) * 0.5
@@ -178,6 +189,7 @@ def pack_clusters(bvh, tri_v0, tri_e1, tri_e2, n_tris, tc: int = CLUSTER_TC):
     return {
         "cl_tri": cl_tri,
         "cl_mt": cl_mt,
+        "cl_primf": cl_primf,
         "cl_box": cl_box,
         "cl_sph": cl_sph,
         "cl_sup": cl_sup,

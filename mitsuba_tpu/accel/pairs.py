@@ -45,7 +45,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mitsuba_tpu.accel.pallas_bvh import BIG, RAY_EPS, _winner_uv
+from mitsuba_tpu.accel.pallas_bvh import BIG, RAY_EPS
 
 # max superclusters kept per ray (exact-culling level 1; cheap since
 # the member-box fetch is a one-hot matmul, and each extra unit cuts
@@ -613,7 +613,7 @@ def _run_list(cid_q, c):
 # ---------------------------------------------------------------------------
 
 def _mt_epilogue(prod, tc, t_lim):
-    """[4*Tc, W] MXU product -> (t [Tc, W] with BIG misses)."""
+    """[4*Tc, W] MXU product -> (t [Tc, W] with BIG misses, u, v)."""
     det = prod[0 * tc:1 * tc]
     u_n = prod[1 * tc:2 * tc]
     v_n = prod[2 * tc:3 * tc]
@@ -631,7 +631,30 @@ def _mt_epilogue(prod, tc, t_lim):
         & (t > RAY_EPS)
         & (t < t_lim)
     )
-    return jnp.where(hit, t, BIG)
+    return jnp.where(hit, t, BIG), u, v
+
+
+def _winner_select(t, u, v, primf, tc):
+    """Per-lane winner over the [Tc, W] candidate tile, entirely in
+    VMEM: (tmin [1, W], and the winner row's prim/u/v [1, W]).
+
+    prim rides a [1, Tc] x [Tc, W] one-hot dot (ids are exact f32);
+    u/v ride masked reduces.  Selecting the winner HERE kills the
+    wrapper's post-kernel gathers (cl_pad2prim + _winner_uv row
+    gathers, ~15 ms per 262k rays measured on the v5e)."""
+    tmin = jnp.min(t, axis=0, keepdims=True)
+    row = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, t.shape, 0) == row
+    )
+    p_w = jax.lax.dot_general(
+        primf, onehot.astype(jnp.float32),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [1, W]
+    u_w = jnp.sum(jnp.where(onehot, u, 0.0), axis=0, keepdims=True)
+    v_w = jnp.sum(jnp.where(onehot, v, 0.0), axis=0, keepdims=True)
+    return tmin, p_w, u_w, v_w
 
 
 def _pair_kernel(tc, mode, *refs):
@@ -640,7 +663,8 @@ def _pair_kernel(tc, mode, *refs):
     the lanes whose pair is this cluster."""
     if mode == "closest":
         (rc_ref, nr_ref, cidv_ref, feats_ref, tmax_ref, mt_hbm,
-         o1_ref, o2_ref, scratch, sem) = refs
+         pr_hbm, t_ref, p_ref, u_ref, v_ref, scratch, sem,
+         pscr, psem) = refs
     else:
         (rc_ref, nr_ref, cidv_ref, feats_ref, tmax_ref, mt_hbm,
          o1_ref, scratch, sem) = refs
@@ -656,12 +680,23 @@ def _pair_kernel(tc, mode, *refs):
             mt_hbm.at[cid], scratch.at[slot_b], sem.at[slot_b]
         )
 
+    def get_pdma(slot_b, rr):
+        cid = rc_ref[0, 0, jnp.minimum(rr, W - 1)]
+        cid = jnp.minimum(cid, pr_hbm.shape[0] - 1)
+        return pltpu.make_async_copy(
+            pr_hbm.at[cid], pscr.at[slot_b], psem.at[slot_b]
+        )
+
     @pl.when(nr > 0)
     def _():
         get_dma(0, 0).start()
+        if mode == "closest":
+            get_pdma(0, 0).start()
 
     if mode == "closest":
-        init = (tmaxv, jnp.full(tmaxv.shape, -1, jnp.int32))
+        zero = jnp.zeros(tmaxv.shape, jnp.float32)
+        init = (tmaxv, jnp.full(tmaxv.shape, -1.0, jnp.float32),
+                zero, zero)
     else:
         init = ((tmaxv <= 0.0).astype(jnp.int32),)
 
@@ -669,8 +704,12 @@ def _pair_kernel(tc, mode, *refs):
         @pl.when(r + 1 < nr)
         def _():
             get_dma((r + 1) % 2, r + 1).start()
+            if mode == "closest":
+                get_pdma((r + 1) % 2, r + 1).start()
 
         get_dma(r % 2, r).wait()
+        if mode == "closest":
+            get_pdma(r % 2, r).wait()
         cid = rc_ref[0, 0, r]
         mask_c = cidv == cid  # [1, W]
         prod = jax.lax.dot_general(
@@ -680,16 +719,21 @@ def _pair_kernel(tc, mode, *refs):
             precision=jax.lax.Precision.HIGHEST,
         )  # [4*Tc, W]
         if mode == "closest":
-            t_b, s_b = carry
-            t = _mt_epilogue(prod, tc, jnp.where(mask_c, t_b, 0.0))
-            tmin = jnp.min(t, axis=0, keepdims=True)
-            row = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]
+            t_b, p_b, u_b, v_b = carry
+            t, u, v = _mt_epilogue(
+                prod, tc, jnp.where(mask_c, t_b, 0.0)
+            )
+            tmin, p_w, u_w, v_w = _winner_select(
+                t, u, v, pscr[r % 2, 0:1, :], tc
+            )
             better = (tmin < t_b) & mask_c
-            s_b = jnp.where(better, cid * tc + row, s_b)
+            p_b = jnp.where(better, p_w, p_b)
+            u_b = jnp.where(better, u_w, u_b)
+            v_b = jnp.where(better, v_w, v_b)
             t_b = jnp.where(better, tmin, t_b)
-            return t_b, s_b
+            return t_b, p_b, u_b, v_b
         (occ,) = carry
-        t = _mt_epilogue(
+        t, _, _ = _mt_epilogue(
             prod, tc, jnp.where(mask_c & (occ < 1), tmaxv, 0.0)
         )
         found = jnp.any(t < BIG, axis=0, keepdims=True)
@@ -701,8 +745,10 @@ def _pair_kernel(tc, mode, *refs):
     out = jax.lax.fori_loop(0, nr, body, init)
 
     if mode == "closest":
-        o1_ref[0, 0:1, :] = out[0]
-        o2_ref[0, 0:1, :] = out[1]
+        t_ref[0, 0:1, :] = out[0]
+        p_ref[0, 0:1, :] = out[1].astype(jnp.int32)
+        u_ref[0, 0:1, :] = out[2]
+        v_ref[0, 0:1, :] = out[3]
     else:
         o1_ref[0, 0:1, :] = out[0]
 
@@ -727,22 +773,30 @@ def _run_kernel(pack, mode, run_cids, n_runs, cid_q, feats_q, tmax_q,
         vspec(1), vspec(16), vspec(1),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
-    args = (
+    args = [
         run_cids.reshape(nw, 1, W), n_runs.reshape(nw, 1, 1),
         cid_q.reshape(nw, 1, W),
         feats_q, tmax_q.reshape(nw, 1, W),
         pack.cl_mt,
-    )
+    ]
     scratch_shapes = [
         pltpu.VMEM((2, 16, 4 * tc), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     ]
     ospec = vspec(1)
     if mode == "closest":
-        out_specs = [ospec, ospec]
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        args.append(pack.cl_primf)
+        scratch_shapes += [
+            pltpu.VMEM((2, 8, tc), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        out_specs = [ospec, ospec, ospec, ospec]
         out_shape = [
             jax.ShapeDtypeStruct((nw, 1, W), jnp.float32),
             jax.ShapeDtypeStruct((nw, 1, W), jnp.int32),
+            jax.ShapeDtypeStruct((nw, 1, W), jnp.float32),
+            jax.ShapeDtypeStruct((nw, 1, W), jnp.float32),
         ]
     else:
         out_specs = [ospec]
@@ -759,7 +813,7 @@ def _run_kernel(pack, mode, run_cids, n_runs, cid_q, feats_q, tmax_q,
 
 
 def _runs_kernel(tc, mode, cidf_s, win_s, first_s, cidr_s, cidv_ref,
-                 feats_ref, tmax_ref, mt_ref, *outs):
+                 feats_ref, tmax_ref, mt_ref, *rest):
     """Run-grid kernel: ONE grid step per (window, cluster) run.  The
     cluster's MT operand block is fetched by the scalar-prefetched
     index map (mt_ref), so the pipeline double-buffers the HBM->VMEM
@@ -777,15 +831,18 @@ def _runs_kernel(tc, mode, cidf_s, win_s, first_s, cidr_s, cidv_ref,
     mask_c = cidv == cid
 
     if mode == "closest":
-        t_ref, s_ref = outs
+        primf_ref = rest[0]
+        t_ref, p_ref, u_ref, v_ref = rest[1:]
     else:
-        (o_ref,) = outs
+        (o_ref,) = rest
 
     @pl.when(first_s[r] == 1)
     def _():
         if mode == "closest":
             t_ref[0, 0:1, :] = tmaxv
-            s_ref[0, 0:1, :] = jnp.full(tmaxv.shape, -1, jnp.int32)
+            p_ref[0, 0:1, :] = jnp.full(tmaxv.shape, -1, jnp.int32)
+            u_ref[0, 0:1, :] = jnp.zeros(tmaxv.shape, jnp.float32)
+            v_ref[0, 0:1, :] = jnp.zeros(tmaxv.shape, jnp.float32)
         else:
             o_ref[0, 0:1, :] = (tmaxv <= 0.0).astype(jnp.int32)
 
@@ -798,16 +855,20 @@ def _runs_kernel(tc, mode, cidf_s, win_s, first_s, cidr_s, cidv_ref,
 
     if mode == "closest":
         t_b = t_ref[0, 0:1, :]
-        s_b = s_ref[0, 0:1, :]
-        t = _mt_epilogue(prod, tc, jnp.where(mask_c, t_b, 0.0))
-        tmin = jnp.min(t, axis=0, keepdims=True)
-        row = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]
+        t, u, v = _mt_epilogue(prod, tc, jnp.where(mask_c, t_b, 0.0))
+        tmin, p_w, u_w, v_w = _winner_select(
+            t, u, v, primf_ref[0, 0:1, :], tc
+        )
         better = (tmin < t_b) & mask_c
-        s_ref[0, 0:1, :] = jnp.where(better, cid * tc + row, s_b)
+        p_ref[0, 0:1, :] = jnp.where(
+            better, p_w.astype(jnp.int32), p_ref[0, 0:1, :]
+        )
+        u_ref[0, 0:1, :] = jnp.where(better, u_w, u_ref[0, 0:1, :])
+        v_ref[0, 0:1, :] = jnp.where(better, v_w, v_ref[0, 0:1, :])
         t_ref[0, 0:1, :] = jnp.where(better, tmin, t_b)
     else:
         occ = o_ref[0, 0:1, :]
-        t = _mt_epilogue(
+        t, _, _ = _mt_epilogue(
             prod, tc, jnp.where(mask_c & (occ < 1), tmaxv, 0.0)
         )
         found = jnp.any(t < BIG, axis=0, keepdims=True)
@@ -826,41 +887,51 @@ def _run_kernel_runs(pack, mode, run_cid, run_win, run_first, cid_q,
         lambda r, cf, ws, fs, cr: (ws[r], 0, 0),
         memory_space=pltpu.VMEM,
     )
+    in_specs = [
+        wspec(1),  # cidv
+        wspec(16),  # feats
+        wspec(1),  # tmax
+        pl.BlockSpec(
+            (1, 16, 4 * tc),
+            lambda r, cf, ws, fs, cr: (cf[r], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    args = [
+        cid_q.reshape(nw, 1, W), feats_q, tmax_q.reshape(nw, 1, W),
+        pack.cl_mt,
+    ]
+    if mode == "closest":
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 8, tc),
+                lambda r, cf, ws, fs, cr: (cf[r], 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(pack.cl_primf)
+        out_specs = [wspec(1)] * 4
+        out_shape = [
+            jax.ShapeDtypeStruct((nw, 1, W), jnp.float32),
+            jax.ShapeDtypeStruct((nw, 1, W), jnp.int32),
+            jax.ShapeDtypeStruct((nw, 1, W), jnp.float32),
+            jax.ShapeDtypeStruct((nw, 1, W), jnp.float32),
+        ]
+    else:
+        out_specs = [wspec(1)]
+        out_shape = [jax.ShapeDtypeStruct((nw, 1, W), jnp.int32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(run_cid.shape[0],),
-        in_specs=[
-            wspec(1),  # cidv
-            wspec(16),  # feats
-            wspec(1),  # tmax
-            pl.BlockSpec(
-                (1, 16, 4 * tc),
-                lambda r, cf, ws, fs, cr: (cf[r], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=(
-            [wspec(1), wspec(1)] if mode == "closest" else [wspec(1)]
-        ),
-    )
-    out_shape = (
-        [
-            jax.ShapeDtypeStruct((nw, 1, W), jnp.float32),
-            jax.ShapeDtypeStruct((nw, 1, W), jnp.int32),
-        ]
-        if mode == "closest"
-        else [jax.ShapeDtypeStruct((nw, 1, W), jnp.int32)]
+        in_specs=in_specs,
+        out_specs=out_specs,
     )
     return pl.pallas_call(
         functools.partial(_runs_kernel, tc, mode),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(
-        cid_fetch, run_win, run_first, run_cid,
-        cid_q.reshape(nw, 1, W), feats_q, tmax_q.reshape(nw, 1, W),
-        pack.cl_mt,
-    )
+    )(cid_fetch, run_win, run_first, run_cid, *args)
 
 
 # ---------------------------------------------------------------------------
@@ -939,29 +1010,39 @@ def _run_tile(pack, o, d, t_max, mode, interpret):
 
     if mode == "closest":
         t_q = outs[0].reshape(-1)
-        s_q = outs[1].reshape(-1)
+        p_q = outs[1].reshape(-1)
+        u_q = outs[2].reshape(-1)
+        v_q = outs[3].reshape(-1)
+        tail0 = jnp.zeros(slot_tail.shape, jnp.float32)
         t_full = jnp.concatenate([
             jnp.where(cid_q < c, t_q, BIG),
             jnp.full(slot_tail.shape, BIG, jnp.float32),
         ])
-        s_full = jnp.concatenate([
-            jnp.where(cid_q < c, s_q, -1),
+        p_full = jnp.concatenate([
+            jnp.where(cid_q < c, p_q, -1),
             jnp.where(cid_tail < c, -2, -1),
         ])
-        _, t_rk, s_rk = jax.lax.sort(
-            (slot_full, t_full, s_full), num_keys=1
+        u_full = jnp.concatenate([u_q, tail0])
+        v_full = jnp.concatenate([v_q, tail0])
+        _, t_rk, p_rk, u_rk, v_rk = jax.lax.sort(
+            (slot_full, t_full, p_full, u_full, v_full), num_keys=1
         )
         # pad slots (tiny batches) sort past every real slot
         t_rk = t_rk[: r * kk].reshape(r, kk)
-        s_rk = s_rk[: r * kk].reshape(r, kk)
-        dropped = jnp.any(s_rk == -2, axis=-1)
-        kbest = jnp.argmin(t_rk, axis=-1)  # ties -> nearest entry
-        best_t = jnp.take_along_axis(t_rk, kbest[:, None], 1)[:, 0]
-        best_s = jnp.take_along_axis(s_rk, kbest[:, None], 1)[:, 0]
-        hit = best_s >= 0
+        p_rk = p_rk[: r * kk].reshape(r, kk)
+        u_rk = u_rk[: r * kk].reshape(r, kk)
+        v_rk = v_rk[: r * kk].reshape(r, kk)
+        dropped = jnp.any(p_rk == -2, axis=-1)
+        kbest = jnp.argmin(t_rk, axis=-1)[:, None]  # ties -> nearest
+        best_t = jnp.take_along_axis(t_rk, kbest, 1)[:, 0]
+        best_p = jnp.take_along_axis(p_rk, kbest, 1)[:, 0]
+        best_u = jnp.take_along_axis(u_rk, kbest, 1)[:, 0]
+        best_v = jnp.take_along_axis(v_rk, kbest, 1)[:, 0]
+        hit = best_p >= 0
+        best_p = jnp.where(hit, best_p, -1)
         best_t = jnp.where(hit, best_t, jnp.broadcast_to(t_max, (r,)))
         overflow = _overflow(ov, best_t) | dropped
-        return best_t, best_s, overflow
+        return best_t, best_p, best_u, best_v, overflow
 
     occ_q = outs[0].reshape(-1)
     occ_full = jnp.concatenate([
@@ -1002,17 +1083,21 @@ def pair_closest(pack, o, d, t_max, interpret=False):
         )
         t_max = jnp.concatenate([t_max, jnp.zeros((pad,), jnp.float32)])
 
-    ts, ss, ovs = [], [], []
+    ts, ps, us, vs, ovs = [], [], [], [], []
     for i in range(n):
         sl = slice(i * t, (i + 1) * t)
-        bt, bs, ov = _run_tile(
+        bt, bp, bu, bv, ov = _run_tile(
             pack, o[sl], d[sl], t_max[sl], "closest", interpret
         )
         ts.append(bt)
-        ss.append(bs)
+        ps.append(bp)
+        us.append(bu)
+        vs.append(bv)
         ovs.append(ov)
     best_t = jnp.concatenate(ts)[:r]
-    best_s = jnp.concatenate(ss)[:r]
+    best_p = jnp.concatenate(ps)[:r]
+    best_u = jnp.concatenate(us)[:r]
+    best_v = jnp.concatenate(vs)[:r]
     overflow = jnp.concatenate(ovs)[:r]
     o, d, t_max = o[:r], d[:r], t_max[:r]
 
@@ -1025,21 +1110,22 @@ def pair_closest(pack, o, d, t_max, interpret=False):
 
     def fb_full(_):
         tm = jnp.where(overflow, t_max, 0.0)
-        fb_t, fb_p, _, _ = pb.cluster_closest(
+        return pb.cluster_closest(
             pack, o, d, tm, sort=True, interpret=interpret
         )
-        return fb_t, fb_p
 
     def fb_compact(_):
         order = jnp.argsort(~overflow)  # overflow rays first (stable)
         sel = order[:cap]
         tm = jnp.where(overflow[sel], t_max[sel], 0.0)
-        ft, fp, _, _ = pb.cluster_closest(
+        ft, fp, fu, fv = pb.cluster_closest(
             pack, o[sel], d[sel], tm, sort=True, interpret=interpret
         )
         t_fb = jnp.full((r,), BIG, jnp.float32).at[sel].set(ft)
         p_fb = jnp.full((r,), -1, jnp.int32).at[sel].set(fp)
-        return t_fb, p_fb
+        u_fb = jnp.zeros((r,), jnp.float32).at[sel].set(fu)
+        v_fb = jnp.zeros((r,), jnp.float32).at[sel].set(fv)
+        return t_fb, p_fb, u_fb, v_fb
 
     def fb(_):
         return jax.lax.cond(
@@ -1047,16 +1133,17 @@ def pair_closest(pack, o, d, t_max, interpret=False):
         )
 
     def no_fb(_):
-        return t_max, jnp.full((r,), -1, jnp.int32)
+        z = jnp.zeros((r,), jnp.float32)
+        return t_max, jnp.full((r,), -1, jnp.int32), z, z
 
-    fb_t, fb_p = jax.lax.cond(jnp.any(overflow), fb, no_fb, None)
-    prim0 = jnp.where(
-        best_s >= 0, pack.cl_pad2prim[jnp.maximum(best_s, 0)], -1
+    fb_t, fb_p, fb_u, fb_v = jax.lax.cond(
+        jnp.any(overflow), fb, no_fb, None
     )
     use_fb = overflow & (fb_p >= 0) & (fb_t < best_t)
     best_t = jnp.where(use_fb, fb_t, best_t)
-    prim = jnp.where(use_fb, fb_p, prim0)
-    u, v = _winner_uv(pack, o, d, prim)
+    prim = jnp.where(use_fb, fb_p, best_p)
+    u = jnp.where(use_fb, fb_u, best_u)
+    v = jnp.where(use_fb, fb_v, best_v)
     hit = prim >= 0
     return (
         jnp.where(hit, best_t, t_max),

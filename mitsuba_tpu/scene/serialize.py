@@ -20,7 +20,7 @@ import json
 
 import numpy as np
 
-FORMAT_VERSION = 2  # v2: homogeneous strategy + max-exp table columns
+FORMAT_VERSION = 3  # v3: cl_primf winner-select table (accel/clusters.py)
 
 
 def _meta_to_json(meta):

@@ -122,7 +122,7 @@ def test_pair_fast_path_engages():
     cids, ent_k, ov = prs._cluster_lists(pack, o, d, t_max)
     n_cl = np.asarray(ov["n_cl"])
     assert n_cl.mean() > 0.3, n_cl.mean()
-    _, _, overflow = prs._run_tile(pack, o, d, t_max, "closest", True)
+    *_, overflow = prs._run_tile(pack, o, d, t_max, "closest", True)
     assert np.asarray(overflow).mean() < 0.20, np.asarray(overflow).mean()
 
 
