@@ -67,6 +67,13 @@ _SLOTS = 4  # RNG slots per walk step
 _SLOT_BSDF = 2
 _SLOT_NEE = 3
 
+# null-BSDF boundaries are NOT vertices: each walk step resolves up
+# to _NULL_CROSSINGS index-matched crossings (accumulating medium
+# transmittance/scatter sampling per segment) before the next REAL
+# vertex — matching volpath's depth semantics and the reference's
+# pathConnectAndCollapse null handling (bdpt_proc.cpp:259)
+_NULL_CROSSINGS = 3
+
 INV_FOURPI = 0.25 / math.pi
 BDPT_KINDS = (AREA, POINT, SPOT, DIRECTIONAL, COLLIMATED, CONSTANT,
               ENVMAP)
@@ -105,7 +112,7 @@ def supports_bdpt(pack):
 # -----------------------------------------------------------------------------
 
 def _walk(pack, o0, d0, beta0, pdf_w0, lane, sidx, seed, n_steps, present,
-          delta0, planar0=None, med0=None, u_bsdf=None):
+          delta0, planar0=None, med0=None, u_bsdf=None, u_med=None):
     """Unrolled random walk of up to n_steps vertices (surface AND
     medium — the SoA analogue of Path::randomWalk through participating
     media, reference path.cpp + vertex.h EMediumInteraction).
@@ -120,6 +127,9 @@ def _walk(pack, o0, d0, beta0, pdf_w0, lane, sidx, seed, n_steps, present,
       is_medium, med (ambient medium id at the vertex).
     delta0: whether the generating distribution of d0 is delta in
     direction (directional/collimated light starts).
+    u_med: optional (k, nn) -> [r, >=2] explicit primary samples for
+    medium distance sampling (chain re-trace; homogeneous media only —
+    heterogeneous delta tracking draws unbounded extra randomness).
     """
     has_media = pack.meta.get("has_media", False)
     from mitsuba_tpu.medium import eval as med_eval
@@ -138,12 +148,6 @@ def _walk(pack, o0, d0, beta0, pdf_w0, lane, sidx, seed, n_steps, present,
     )
     seed_m = rng.stream_seed(seed, rng.STREAM_MEDIUM_DIST)
 
-    # null-BSDF boundaries are NOT vertices: each walk step resolves up
-    # to _NULL_CROSSINGS index-matched crossings (accumulating medium
-    # transmittance/scatter sampling per segment) before the next REAL
-    # vertex — matching volpath's depth semantics and the reference's
-    # pathConnectAndCollapse null handling (bdpt_proc.cpp:259)
-    _NULL_CROSSINGS = 3
     from mitsuba_tpu.bsdf.plugins import NULL_BSDF as _NULLB
 
     for k in range(n_steps):
@@ -159,8 +163,11 @@ def _walk(pack, o0, d0, beta0, pdf_w0, lane, sidx, seed, n_steps, present,
                 hit_n = intersect(pack, o_cur, d)
                 its_n = fill_interaction(pack, o_cur, d, hit_n)
                 t_seg = jnp.where(hit_n.valid, hit_n.t, 1e7)
-                u_m = rng.rand4(
-                    lane, sidx, (k * _NULL_CROSSINGS + nn) * 2, seed_m
+                u_m = (
+                    u_med(k, nn) if u_med is not None
+                    else rng.rand4(
+                        lane, sidx, (k * _NULL_CROSSINGS + nn) * 2, seed_m
+                    )
                 )
                 ms = med_eval.sample_distance(
                     pack, cur_med, o_cur, d, t_seg, u_m[..., :3], lane,
@@ -691,14 +698,21 @@ def bdpt_max_edges(integ):
     return max_edges
 
 
-def primary_dims(max_edges):
+def primary_dims(max_edges, has_media=False):
     """Primary-sample dimension count of one bidirectional sample
     (= the explicit-U layout chunk_fn consumes when driven by a chain;
     reference pathsampler.h:53 EBidirectional + pssmlt_sampler.h).
 
     Layout: [0:2] film pos, [2:4] lens; 3/step camera bsdf; 3/step NEE
-    (s=1 re-sampling); 6 light-vertex init; 3/step light bsdf."""
-    return 4 + 3 * max_edges + 3 * max_edges + 6 + 3 * (max_edges - 1)
+    (s=1 re-sampling); 6 light-vertex init; 3/step light bsdf; with
+    homogeneous media, 2 per (step, null-crossing) medium-distance
+    samples for the camera then the light walk (the reference's
+    PathSampler consumes sampler draws for medium events the same way,
+    pathsampler.h:53 + vertex.h:67-94)."""
+    n = 4 + 3 * max_edges + 3 * max_edges + 6 + 3 * (max_edges - 1)
+    if has_media:
+        n += 2 * _NULL_CROSSINGS * (max_edges + max(max_edges - 1, 1))
+    return n
 
 
 def make_bdpt_chunk(pack, integ, sen, w, h, seed, exclude_direct=False):
@@ -712,8 +726,10 @@ def make_bdpt_chunk(pack, integ, sen, w, h, seed, exclude_direct=False):
     path sampler the chain family (pssmlt) re-traces mutations through,
     like the reference's PathSampler::sampleSplats with
     technique=EBidirectional (pathsampler.cpp:93-127, the pssmlt.cpp:170
-    default).  Media scenes are counter-RNG only (heterogeneous distance
-    sampling needs unbounded randomness).
+    default).  Homogeneous-media scenes are fully primary-driven
+    (closed-form distance sampling consumes 2 dims per segment);
+    heterogeneous scenes are counter-RNG only (delta tracking needs
+    unbounded randomness).
 
     exclude_direct: drop strategies of <= 2 edges (the separateDirect
     mode, reference BidirectionalUtils + pssmlt directSamples)."""
@@ -757,11 +773,12 @@ def make_bdpt_chunk(pack, integ, sen, w, h, seed, exclude_direct=False):
         vis_slot = [1000]  # unique RNG slots per connection strategy
 
         if U is not None:
-            if has_media:
+            if pack.meta.get("n_het", 0) > 0:
                 raise NotImplementedError(
-                    "primary-driven bdpt sampling requires a "
-                    "media-free scene (heterogeneous distance sampling "
-                    "draws unbounded randomness)"
+                    "primary-driven bdpt sampling requires homogeneous "
+                    "media (heterogeneous delta tracking draws unbounded "
+                    "randomness that cannot live in a finite primary "
+                    "vector)"
                 )
             off_cam = 4
             off_nee = off_cam + 3 * n_cam
@@ -784,11 +801,32 @@ def make_bdpt_chunk(pack, integ, sen, w, h, seed, exclude_direct=False):
                 ),
             )
             u_light_bsdf = lambda k: u3(off_lb + 3 * k)  # noqa: E731
+            u_cam_med = u_light_med = None
+            if has_media:
+                # homogeneous medium-distance samples: 2 dims per
+                # (walk step, null crossing), camera walk then light
+                off_cmed = off_lb + 3 * (max_edges - 1)
+                off_lmed = off_cmed + 2 * _NULL_CROSSINGS * n_cam
+
+                def u2(off):
+                    return jnp.concatenate(
+                        [U[:, off:off + 2],
+                         jnp.zeros((r, 2), jnp.float32)], axis=-1,
+                    )
+
+                u_cam_med = lambda k, nn: u2(  # noqa: E731
+                    off_cmed + 2 * (k * _NULL_CROSSINGS + nn)
+                )
+                u_light_med = lambda k, nn: u2(  # noqa: E731
+                    off_lmed + 2 * (k * _NULL_CROSSINGS + nn)
+                )
         else:
             u_cam_bsdf = None
             u_nee = None
             u_light01 = None
             u_light_bsdf = None
+            u_cam_med = None
+            u_light_med = None
 
         def conn_tr(v_from, d_c, dist):
             """Visibility (and transmittance with media) of a
@@ -837,7 +875,7 @@ def make_bdpt_chunk(pack, integ, sen, w, h, seed, exclude_direct=False):
             jnp.ones((r, 3), jnp.float32),
             cam_k(d0),
             lane, sidx, jnp.uint32(seed), n_cam, present,
-            delta0=false_arr, u_bsdf=u_cam_bsdf,
+            delta0=false_arr, u_bsdf=u_cam_bsdf, u_med=u_cam_med,
         )
 
         # ---- light subpath ----
@@ -848,7 +886,7 @@ def make_bdpt_chunk(pack, integ, sen, w, h, seed, exclude_direct=False):
         lwalk = _walk(
             pack, o1, d1, beta1, pdf_w1, lane, sidx, seed_l,
             max(n_light - 1, 1), present, delta0=delta1, planar0=planar0,
-            med0=lmed0, u_bsdf=u_light_bsdf,
+            med0=lmed0, u_bsdf=u_light_bsdf, u_med=u_light_med,
         )
         # light vertex 0's reverse pdf from vertex 1's bsdf: area measure
         # for finite emitters, SOLID ANGLE for infinite ones (their

@@ -220,10 +220,14 @@ def make_chain_trace(pack, integ, sen, cam, w, h):
     sampler (pssmlt.cpp:170 technique=EBidirectional,
     pathsampler.h:39-121): every mutation re-traces a full family of
     (s,t) strategies, which is what makes the chain family work on
-    caustic / hard-visibility scenes.  Media scenes and scenes outside
-    the bdpt envelope fall back to the unidirectional sampler
-    (heterogeneous distance sampling draws unbounded randomness that
-    cannot live in a finite primary vector).
+    caustic / hard-visibility scenes.  Homogeneous-media scenes run the
+    bidirectional sampler too (closed-form distance sampling consumes a
+    fixed 2 dims per segment of the primary vector, matching the
+    reference's medium-capable PathSampler, pathsampler.h:53 +
+    vertex.h:67-94); heterogeneous scenes and scenes outside the bdpt
+    envelope fall back to the unidirectional sampler (delta tracking
+    draws unbounded randomness that cannot live in a finite primary
+    vector).
 
     Light-image splat values are pre-scaled by 1/n_px so the combined
     luminance target and the existing b * n_px / (steps * chains)
@@ -236,9 +240,12 @@ def make_chain_trace(pack, integ, sen, cam, w, h):
     want_bidir = getattr(integ, "bidirectional", False) and os.environ.get(
         "MTS_PSSMLT_BIDIR", "1"
     ) != "0"
-    if want_bidir and _bdpt.supports_bdpt(pack) and not has_media:
+    bidir_media_ok = (
+        not has_media or pack.meta.get("n_het", 0) == 0
+    )
+    if want_bidir and _bdpt.supports_bdpt(pack) and bidir_media_ok:
         max_edges = _bdpt.bdpt_max_edges(integ)
-        D = _bdpt.primary_dims(max_edges)
+        D = _bdpt.primary_dims(max_edges, has_media=has_media)
         split_direct = getattr(integ, "direct_samples", -1) >= 0
         chunk = _bdpt.make_bdpt_chunk(
             pack, integ, sen, w, h, seed=0, exclude_direct=split_direct

@@ -154,18 +154,25 @@ def sss_lo(pack, p, cos_o, sid):
 
 def single_scatter_lo(pack, p, d_in, ng, sid, lane, sidx, depth, seed):
     """Classical single scattering along the refracted camera ray
-    (reference src/subsurface/singlescatter.cpp LoSingle:1415-1480,
+    (reference src/subsurface/singlescatter.cpp LoSingle:1326-1480,
     fastSingleScatter branch): refract the view ray into the object,
     draw exponential distance samples along the internal ray, connect
     each to an emitter through the straight exit point with boundary
     Fresnel and Beer-Lambert attenuation on both internal segments.
-    Internal-reflection recursion and the refracted-connection Newton
-    solver are not ported (documented approximation).
+
+    The reference's internal-reflection recursion (LoSingle calling
+    itself with the specularly reflected direction until
+    m_singleScatterDepth, singlescatter.cpp:1326,1378-1400) is unrolled
+    as a static bounce loop: at each far boundary the ray reflects with
+    the inside Fresnel weight, the whole-segment Beer-Lambert factor
+    multiplies the carried throughput, and the next segment draws its
+    own distance/light samples.  The refracted-connection Newton solver
+    is not ported (documented approximation).
 
     p: surface hit [R,3]; d_in: incident ray direction (toward the
     surface) [R,3]; ng: outward geometric normal [R,3]; sid: SSS
     object id per lane (mask <0 outside)."""
-    from mitsuba_tpu.accel.intersect import intersect, occluded
+    from mitsuba_tpu.accel.intersect import fill_interaction, intersect, occluded
 
     r = p.shape[0]
     s = jnp.maximum(sid, 0)
@@ -173,6 +180,7 @@ def single_scatter_lo(pack, p, d_in, ng, sid, lane, sidx, depth, seed):
         s, pack.sss_sigs, pack.sss_sigt, pack.sss_g, pack.sss_eta
     )
     ns = int(pack.meta.get("sss_ss_samples", 2))
+    n_bounce = int(pack.meta.get("sss_ss_depth", 4))
     sseed = rng.stream_seed(seed, rng.STREAM_SSS)
 
     # refract the view ray into the medium (frame: +z = outward normal)
@@ -185,66 +193,92 @@ def single_scatter_lo(pack, p, d_in, ng, sid, lane, sidx, depth, seed):
     d_int = frame.to_world(wt_l)  # points into the object
     valid0 = (sid >= 0) & (cos_i > 0) & ~tir
 
-    # internal span: distance to the far boundary
-    o_int = p + d_int * 1e-4
-    hit2 = intersect(pack, o_int, d_int)
-    thickness = jnp.where(hit2.valid, hit2.t, 0.0)
-    valid0 = valid0 & hit2.valid & (thickness > 1e-6)
-
     # exponential sampling radius = mean free path (ref m_radius)
     radius = 1.0 / jnp.maximum(jnp.mean(sigt, axis=-1), 1e-6)
-    s_max = 1.0 - jnp.exp(-thickness / radius)
 
     lo = jnp.zeros((r, 3), jnp.float32)
-    for k in range(ns):
-        u = rng.rand4(
-            lane, sidx, 64 + depth * 2 * ns + 2 * k, sseed
+    o_seg = p + d_int * 1e-4  # segment origin (entry point)
+    d_seg = d_int
+    # carried throughput into the segment: entry transmittance times
+    # the product of reflection Fresnels and per-segment Beer-Lambert
+    # factors of all PREVIOUS internal bounces (ref: bsdfAtt *
+    # attenuation(m_sigmaT, -thickness) applied as the recursion
+    # unwinds, singlescatter.cpp:1393-1397)
+    thr = ft_in[..., None] * jnp.ones((r, 3), jnp.float32)
+    alive = valid0
+
+    for b in range(n_bounce):
+        # internal span: distance to the far boundary of this segment
+        hit2 = intersect(pack, o_seg, d_seg)
+        thickness = jnp.where(hit2.valid, hit2.t, 0.0)
+        seg_ok = alive & hit2.valid & (thickness > 1e-6)
+        s_max = 1.0 - jnp.exp(-thickness / radius)
+
+        for k in range(ns):
+            slot = 64 + ((depth * 8 + b) * ns + k) * 2
+            u = rng.rand4(lane, sidx, slot, sseed)
+            dist = -radius * jnp.log(
+                jnp.maximum(1.0 - u[..., 0] * s_max, 1e-20)
+            )
+            dist = jnp.minimum(dist, thickness * (1.0 - 1e-4))
+            # 1/pdf of the truncated-exponential distance sample
+            w_dist = radius * s_max * jnp.exp(dist / radius) / ns
+            v = o_seg + d_seg * dist[..., None]
+
+            u2 = rng.rand4(lane, sidx, slot + 1, sseed)
+            ds = em.sample_direct(pack, v, u2[..., :3])
+
+            # straight exit point toward the light
+            hit3 = intersect(pack, v, ds.d)
+            s_exit = jnp.where(hit3.valid, hit3.t, 0.0)
+            # the connection must leave through a boundary closer than
+            # the light itself
+            ok = seg_ok & hit3.valid & (s_exit < ds.dist - 1e-4)
+
+            # Fresnel transmittance at the exit crossing
+            its3 = fill_interaction(pack, v, ds.d, hit3)
+            cos_x = jnp.abs(mm.dot(ds.d, its3.ng))
+            fr_out, _, _ = mm.fresnel_dielectric(cos_x, eta)
+            ft_out = 1.0 - fr_out
+
+            # occlusion from the exit point to the emitter
+            o_sh = its3.p + ds.d * 1e-4
+            rem = jnp.where(
+                ds.dist >= em.ENV_DIST, 1e7,
+                (ds.dist - s_exit) * (1.0 - 1e-3),
+            )
+            occ = occluded(pack, o_sh, ds.d, jnp.maximum(rem, 0.0))
+            ok = ok & ~occ & (jnp.max(ds.value, axis=-1) > 0)
+
+            # phase function at the internal vertex (HG, g=0 -> iso)
+            cos_ph = mm.dot(d_seg, ds.d)
+            denom = jnp.maximum(1.0 + g * g - 2.0 * g * cos_ph, 1e-6)
+            ph = INV_FOURPI * (1.0 - g * g) / (denom * jnp.sqrt(denom))
+
+            att = jnp.exp(-sigt * (dist + s_exit)[..., None])
+            contrib = (
+                (eta * eta * ph * w_dist)[..., None]
+                * ft_out[..., None] * thr * sigs * att * ds.value
+            )
+            lo = lo + jnp.where(ok[..., None], contrib, 0.0)
+
+        if b + 1 >= n_bounce:
+            break
+        # internal (Fresnel/total) reflection at the far boundary:
+        # reflect d_seg about the boundary normal, carry F and the
+        # whole-segment attenuation (singlescatter.cpp:1378-1400)
+        its2 = fill_interaction(pack, o_seg, d_seg, hit2)
+        n2 = its2.ng
+        cos2 = mm.dot(d_seg, n2)  # >0: n2 points along travel? sign-safe below
+        # cosine of incidence measured from inside: negative cos flags
+        # the inside branch of fresnel_dielectric
+        fr2, _, _ = mm.fresnel_dielectric(-jnp.abs(cos2), eta)
+        d_seg = d_seg - 2.0 * cos2[..., None] * n2
+        thr = thr * fr2[..., None]
+        thr = thr * jnp.exp(-sigt * thickness[..., None])
+        o_seg = jnp.where(
+            seg_ok[..., None], its2.p + d_seg * 1e-4, o_seg
         )
-        dist = -radius * jnp.log(
-            jnp.maximum(1.0 - u[..., 0] * s_max, 1e-20)
-        )
-        dist = jnp.minimum(dist, thickness * (1.0 - 1e-4))
-        # 1/pdf of the truncated-exponential distance sample
-        w_dist = radius * s_max * jnp.exp(dist / radius) / ns
-        v = o_int + d_int * dist[..., None]
+        alive = seg_ok & (fr2 > 1e-4)
 
-        u2 = rng.rand4(
-            lane, sidx, 64 + depth * 2 * ns + 2 * k + 1, sseed
-        )
-        ds = em.sample_direct(pack, v, u2[..., :3])
-
-        # straight exit point toward the light
-        hit3 = intersect(pack, v, ds.d)
-        s_exit = jnp.where(hit3.valid, hit3.t, 0.0)
-        # the connection must leave through a boundary closer than the
-        # light itself
-        ok = valid0 & hit3.valid & (s_exit < ds.dist - 1e-4)
-
-        # Fresnel transmittance at the exit crossing
-        from mitsuba_tpu.accel.intersect import fill_interaction
-
-        its3 = fill_interaction(pack, v, ds.d, hit3)
-        cos_x = jnp.abs(mm.dot(ds.d, its3.ng))
-        fr_out, _, _ = mm.fresnel_dielectric(cos_x, eta)
-        ft_out = 1.0 - fr_out
-
-        # occlusion from the exit point to the emitter
-        o_sh = its3.p + ds.d * 1e-4
-        rem = jnp.where(
-            ds.dist >= em.ENV_DIST, 1e7, (ds.dist - s_exit) * (1.0 - 1e-3)
-        )
-        occ = occluded(pack, o_sh, ds.d, jnp.maximum(rem, 0.0))
-        ok = ok & ~occ & (jnp.max(ds.value, axis=-1) > 0)
-
-        # phase function at the internal vertex (HG, g=0 -> isotropic)
-        cos_ph = mm.dot(d_int, ds.d)
-        denom = jnp.maximum(1.0 + g * g - 2.0 * g * cos_ph, 1e-6)
-        ph = INV_FOURPI * (1.0 - g * g) / (denom * jnp.sqrt(denom))
-
-        att = jnp.exp(-sigt * (dist + s_exit)[..., None])
-        contrib = (
-            (eta * eta * ft_in * ft_out * ph * w_dist)[..., None]
-            * sigs * att * ds.value
-        )
-        lo = lo + jnp.where(ok[..., None], contrib, 0.0)
     return lo

@@ -1135,6 +1135,10 @@ def pack_scene(scene) -> ScenePack:
             "sss_ss_samples": max(
                 (o[0].ss_samples for o in sss_objs), default=2
             ),
+            "sss_ss_depth": max(
+                (getattr(o[0], "ss_depth", 4) for o in sss_objs),
+                default=4,
+            ),
         }
     else:
         sss_tabs = {

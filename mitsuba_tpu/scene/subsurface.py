@@ -84,6 +84,9 @@ class SubsurfaceRecord:
     # single scattering, reference singlescatter.cpp fastSingleScatter)
     kind: str = "dipole"
     ss_samples: int = 2  # samples along the internal refracted ray
+    # internal-reflection bounces (reference singleScatterDepth,
+    # singlescatter.cpp:137-138)
+    ss_depth: int = 4
 
     def dipole_coefficients(self):
         """(zr[3], zv[3], sigma_tr[3], min_mfp) after `scale`."""
@@ -232,10 +235,11 @@ class Dipole(_SubsurfaceBase):
 class SingleScatter(_SubsurfaceBase):
     """Classical single scattering along the refracted camera ray
     (reference src/subsurface/singlescatter.cpp, fastSingleScatter
-    branch LoSingle:1415-1480): exponential distance samples inside
+    branch LoSingle:1326-1480): exponential distance samples inside
     the object, straight-line light connections with boundary Fresnel
-    and Beer-Lambert attenuation.  Internal-reflection recursion and
-    the exact refracted-connection solver are not ported."""
+    and Beer-Lambert attenuation, plus the internal-reflection bounce
+    loop up to singleScatterDepth (reference :137-138,1378-1400).  The
+    exact refracted-connection solver is not ported."""
 
     def __init__(self, props):
         super().__init__(props)
@@ -243,3 +247,4 @@ class SingleScatter(_SubsurfaceBase):
         self.record.ss_samples = props.get_int(
             "fastSingleScatterSamples", 2
         )
+        self.record.ss_depth = props.get_int("singleScatterDepth", 4)
