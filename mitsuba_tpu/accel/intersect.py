@@ -37,6 +37,7 @@ class Hit(NamedTuple):
     u: jnp.ndarray  # [R] barycentric
     v: jnp.ndarray  # [R]
     inst: jnp.ndarray | None = None  # [R] int32 instance id (-1 none)
+    is_cyl: jnp.ndarray | None = None  # [R] bool (analytic segment hit)
 
 
 def _moller_trumbore(o, d, v0, e1, e2, t_max):
@@ -758,9 +759,21 @@ def intersect(pack, o, d, t_max=jnp.inf, sort=False, time=None) -> Hit:
         is_sphere = take
         inst = jnp.where(take, -1, inst)
 
+    is_cyl = jnp.zeros(o.shape[0], bool)
+    if pack.meta.get("n_cyls", 0) > 0:
+        from mitsuba_tpu.accel.cyl import cyl_closest
+
+        ch, ct, cid = cyl_closest(pack, o, d, best_t)
+        take = ch & (ct < best_t)
+        best_t = jnp.where(take, ct, best_t)
+        prim = jnp.where(take, cid, prim)
+        is_cyl = take
+        is_sphere = is_sphere & ~take
+        inst = jnp.where(take, -1, inst)
+
     valid = prim >= 0
     return Hit(valid=valid, t=best_t, prim=prim, is_sphere=is_sphere,
-               u=u, v=v, inst=inst)
+               u=u, v=v, inst=inst, is_cyl=is_cyl)
 
 
 def occluded(pack, o, d, t_max, sort=False, time=None) -> jnp.ndarray:
@@ -799,6 +812,10 @@ def occluded(pack, o, d, t_max, sort=False, time=None) -> jnp.ndarray:
                 pack, o, d, jnp.broadcast_to(t_max, (o.shape[0],))
             )
             occ = occ | sh
+        if pack.meta.get("n_cyls", 0) > 0:
+            from mitsuba_tpu.accel.cyl import cyl_any
+
+            occ = occ | cyl_any(pack, o, d, t_max)
         if anim:
             occ = occ | _anim_any(pack, o, d, time, t_max)
         if pack.meta.get("deform_ranges", ()):
@@ -886,6 +903,26 @@ def fill_interaction(pack, o, d, hit: Hit) -> SurfaceInteraction:
     else:
         ng, ns, uv, mat, emit = ng_tri, ns_tri, uv_tri, mat_tri, emit_tri
 
+    if pack.meta.get("n_cyls", 0) > 0 and hit.is_cyl is not None:
+        # analytic segment hit: radial normal = projection of (p - p0)
+        # perpendicular to the axis (reference hair.cpp
+        # fillIntersectionRecord:838-846; uv stays (0,0) like the
+        # reference's hair primitive)
+        cp0, cp1, cmat_r, cflip = take_fused(
+            prim, pack.cyl_p0, pack.cyl_p1, pack.cyl_mat, pack.cyl_flip
+        )
+        cax = mm.normalize(cp1 - cp0)
+        relh = p - cp0
+        n_cylv = mm.normalize(
+            relh - mm.dot(relh, cax)[:, None] * cax
+        ) * cflip[:, None]
+        cylm = hit.is_cyl
+        ng = jnp.where(cylm[:, None], n_cylv, ng)
+        ns = jnp.where(cylm[:, None], n_cylv, ns)
+        uv = jnp.where(cylm[:, None], 0.0, uv)
+        mat = jnp.where(cylm, cmat_r, mat)
+        emit = jnp.where(cylm, -1, emit)
+
     # instanced hits: attributes were gathered in the group's LOCAL
     # space; rotate normals into the world by the instance's
     # inverse-transpose (accel/tlas.py; reference instance.cpp
@@ -913,6 +950,9 @@ def fill_interaction(pack, o, d, hit: Hit) -> SurfaceInteraction:
             )
             med_in = jnp.where(hit.is_sphere, med_in_s, med_in)
             med_ex = jnp.where(hit.is_sphere, med_ex_s, med_ex)
+        if pack.meta.get("n_cyls", 0) > 0 and hit.is_cyl is not None:
+            med_in = jnp.where(hit.is_cyl, -1, med_in)
+            med_ex = jnp.where(hit.is_cyl, -1, med_ex)
     else:
         med_in = jnp.full(hit.t.shape, -1, jnp.int32)
         med_ex = med_in

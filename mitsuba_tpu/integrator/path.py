@@ -691,7 +691,8 @@ def motion_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
     if len(config) == 1:
         p0 = its.p
         prim = its.prim
-        tri_hit = its.valid & ~hit.is_sphere
+        tri_hit = its.valid & ~hit.is_sphere & (
+            ~hit.is_cyl if hit.is_cyl is not None else True)
         p1 = _motion_advance(
             pack, prim, p0, hit.u, hit.v, tri_hit, t_target
         )
@@ -725,7 +726,8 @@ def motion_trace(pack, integ, o, d, lane, sample_idx, sampler, seed=0):
             if ch == "d":
                 p_end, n_end = it2.p, it2.ns
                 prim_end, u_end, v_end = it2.prim, h.u, h.v
-                tri_end = it2.valid & ~h.is_sphere
+                tri_end = it2.valid & ~h.is_sphere & (
+                    ~h.is_cyl if h.is_cyl is not None else True)
             elif ch == "r":
                 ok = ok & (
                     (mat_t == CONDUCTOR) | (mat_t == DIELECTRIC)

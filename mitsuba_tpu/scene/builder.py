@@ -357,6 +357,7 @@ def pack_scene(scene) -> ScenePack:
     tmats, temits = [], []
     tmed_in, tmed_ex = [], []
     spheres = []
+    cyls = []  # (CylData, mat_id) — analytic miter-clipped segments
 
     # subsurface (dipole) objects: sampled point sets + the material
     # rows that reference them (reference dipole.cpp:preprocess)
@@ -530,6 +531,17 @@ def pack_scene(scene) -> ScenePack:
 
         for s in sphs:
             spheres.append((s, mat_id, emit_id, med_in, med_ex))
+
+        for cy in getattr(inst, "cylinders", ()) or ():
+            if emit_id >= 0 or med_in >= 0 or med_ex >= 0 or (
+                getattr(inst, "subsurface", None) is not None
+            ):
+                raise ValueError(
+                    "analytic cylinder segments support plain surface "
+                    "BSDFs only — set exact=false on the shape to "
+                    "tessellate for emitters/media/subsurface"
+                )
+            cyls.append((cy, mat_id))
 
         for mesh in meshes:
             p = mesh.positions
@@ -882,6 +894,37 @@ def pack_scene(scene) -> ScenePack:
         sph_flip[k] = -1.0 if s.flip_normals else 1.0
         sph_med_in[k] = mi
         sph_med_ex[k] = mx
+
+    # ---------------- analytic cylinder segments ----------------
+    # miter-clipped cylinders (hair fibers / open cylinder shapes,
+    # reference hair.cpp:485-542, cylinder.cpp); padded to a 128
+    # multiple for the chunked intersector (accel/cyl.py)
+    n_cyl = sum(len(cd.p0) for cd, _ in cyls)
+    n_cyl_pad = max(-(-max(n_cyl, 1) // 128) * 128, 128)
+    cyl_p0 = np.zeros((n_cyl_pad, 3), np.float32)
+    cyl_p1 = np.tile(
+        np.asarray([[0.0, 0.0, 1.0]], np.float32), (n_cyl_pad, 1)
+    )
+    cyl_n0 = np.tile(
+        np.asarray([[0.0, 0.0, 1.0]], np.float32), (n_cyl_pad, 1)
+    )
+    cyl_n1 = np.tile(
+        np.asarray([[0.0, 0.0, 1.0]], np.float32), (n_cyl_pad, 1)
+    )
+    cyl_rad = np.zeros(n_cyl_pad, np.float32)  # 0 radius = padding
+    cyl_mat = np.zeros(n_cyl_pad, np.int32)
+    cyl_flip = np.ones(n_cyl_pad, np.float32)
+    _cc = 0
+    for cd, m in cyls:
+        sn = len(cd.p0)
+        cyl_p0[_cc:_cc + sn] = cd.p0
+        cyl_p1[_cc:_cc + sn] = cd.p1
+        cyl_n0[_cc:_cc + sn] = cd.n0
+        cyl_n1[_cc:_cc + sn] = cd.n1
+        cyl_rad[_cc:_cc + sn] = cd.radius
+        cyl_mat[_cc:_cc + sn] = m
+        cyl_flip[_cc:_cc + sn] = -1.0 if cd.flip_normals else 1.0
+        _cc += sn
 
     # ---------------- material table ----------------
     # expand mixtures into leaves (device-side 2-component mix planned;
@@ -1560,6 +1603,9 @@ def pack_scene(scene) -> ScenePack:
         "sph_center": sph_center, "sph_radius": sph_radius,
         "sph_mat": sph_mat, "sph_emit": sph_emit, "sph_flip": sph_flip,
         "sph_med_in": sph_med_in, "sph_med_ex": sph_med_ex,
+        "cyl_p0": cyl_p0, "cyl_p1": cyl_p1, "cyl_n0": cyl_n0,
+        "cyl_n1": cyl_n1, "cyl_rad": cyl_rad, "cyl_mat": cyl_mat,
+        "cyl_flip": cyl_flip,
         "bvh_lo": bvh.lo, "bvh_hi": bvh.hi, "bvh_skip": bvh.skip,
         "bvh_first": bvh.first, "bvh_count": bvh.count,
         "bvh_nodes": bvh_nodes, "tri9": tri9,
@@ -1611,6 +1657,11 @@ def pack_scene(scene) -> ScenePack:
     if n_sph > 0:
         pts += [sph_center - sph_radius[:, None],
                 sph_center + sph_radius[:, None]]
+    if n_cyl > 0:
+        pts += [cyl_p0[:n_cyl] - cyl_rad[:n_cyl, None],
+                cyl_p0[:n_cyl] + cyl_rad[:n_cyl, None],
+                cyl_p1[:n_cyl] - cyl_rad[:n_cyl, None],
+                cyl_p1[:n_cyl] + cyl_rad[:n_cyl, None]]
     if pts:
         allp = np.concatenate(pts, axis=0)
         blo, bhi = allp.min(axis=0), allp.max(axis=0)
@@ -1625,6 +1676,7 @@ def pack_scene(scene) -> ScenePack:
         "scene_radius": bradius,
         "n_tris": n_tris,
         "n_spheres": n_sph,
+        "n_cyls": n_cyl,
         "n_materials": len(materials),
         "n_emitters": len(emitters),
         "present_types": tuple(sorted(present_types)) or (DIFFUSE,),

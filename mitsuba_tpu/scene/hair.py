@@ -204,9 +204,37 @@ def tessellate_fibers(fibers, radius, sides=4):
     )
 
 
+def fibers_to_segments(fibers, radius):
+    """Fibers -> CylData segment batch with miter-plane joint normals
+    (= HairKDTree's firstMiterNormal/secondMiterNormal, the averaged
+    adjacent tangents; reference src/shapes/hair.cpp:560-575)."""
+    from mitsuba_tpu.scene.shapes import CylData
+
+    p0_l, p1_l, n0_l, n1_l = [], [], [], []
+    for pts in fibers:
+        t, _, _ = _fiber_frames(pts)  # t: miter tangents per vertex
+        p0_l.append(pts[:-1])
+        p1_l.append(pts[1:])
+        n0_l.append(t[:-1])
+        n1_l.append(t[1:])
+    p0 = np.concatenate(p0_l).astype(np.float32)
+    return CylData(
+        p0=p0,
+        p1=np.concatenate(p1_l).astype(np.float32),
+        n0=np.concatenate(n0_l).astype(np.float32),
+        n1=np.concatenate(n1_l).astype(np.float32),
+        radius=np.full((len(p0),), radius, np.float32),
+    )
+
+
 @register("shape", "hair")
 class HairShape(_ShapeBase):
-    """reference: src/shapes/hair.cpp"""
+    """reference: src/shapes/hair.cpp
+
+    `exact=true` intersects true miter-clipped cylinder segments like
+    the reference's HairKDTree (hair.cpp:485-542); the default
+    tessellates k-gon tubes, which ride the tuned triangle cluster
+    kernels on big fiber sets."""
 
     def _build(self, props):
         t, flip = _base(props)
@@ -218,5 +246,23 @@ class HairShape(_ShapeBase):
         fibers = load_hair(path, angle, reduction)
         if not fibers:
             raise ValueError(f"hair: no fibers in {path}")
+        from mitsuba_tpu.scene.shapes import uniform_scale_of
+
+        scale = uniform_scale_of(t)
+        if props.get_bool("exact", False) and scale is not None:
+            cyl = fibers_to_segments(fibers, radius)
+            cyl.p0 = t.transform_point_np(cyl.p0).astype(np.float32)
+            cyl.p1 = t.transform_point_np(cyl.p1).astype(np.float32)
+            ln = np.asarray(t.m, np.float64)[:3, :3]
+            for attr in ("n0", "n1"):
+                v = getattr(cyl, attr) @ ln.T
+                v /= np.maximum(
+                    np.linalg.norm(v, axis=-1, keepdims=True), 1e-12
+                )
+                setattr(cyl, attr, v.astype(np.float32))
+            cyl.radius = (cyl.radius * scale).astype(np.float32)
+            cyl.flip_normals = flip
+            self.instance.cylinders.append(cyl)
+            return
         mesh = tessellate_fibers(fibers, radius, sides)
         self.instance.meshes.append(_apply_transform(mesh, t, flip))

@@ -10,7 +10,9 @@ match the reference's object-space conventions:
 * `disk`: unit radius in the XY plane (src/shapes/disk.cpp)
 * `sphere`: `center`+`radius` params and/or toWorld
   (src/shapes/sphere.cpp:73-110) — kept analytic on device
-* `cylinder`: p0/p1/radius, tessellated (src/shapes/cylinder.cpp)
+* `cylinder`: p0/p1/radius, analytic open cylinder by default
+  (src/shapes/cylinder.cpp); `exact=false` or anisotropic transforms
+  tessellate
 * `obj`/`ply`/`serialized`: file loaders (src/shapes/{obj.cpp,ply,serialized.cpp})
 """
 
@@ -38,11 +40,29 @@ class SphereData:
 
 
 @dataclass
+class CylData:
+    """A batch of analytic cylinder segments (world space).
+
+    The reference intersects true cylinder segments clipped by miter
+    planes (src/shapes/hair.cpp HairKDTree::intersect:485-542,
+    src/shapes/cylinder.cpp); a point q on the side wall is kept when
+    (q - p0) . n0 >= 0 and (q - p1) . n1 <= 0."""
+
+    p0: np.ndarray  # [S, 3] segment starts
+    p1: np.ndarray  # [S, 3] segment ends
+    n0: np.ndarray  # [S, 3] miter plane normal at p0 (along fiber)
+    n1: np.ndarray  # [S, 3] miter plane normal at p1 (along fiber)
+    radius: np.ndarray  # [S]
+    flip_normals: bool = False
+
+
+@dataclass
 class ShapeInstance:
     """A shape plugin's output: world-space geometry + attachments."""
 
     meshes: list = field(default_factory=list)  # list[MeshData], world space
     spheres: list = field(default_factory=list)  # list[SphereData]
+    cylinders: list = field(default_factory=list)  # list[CylData]
     bsdf = None  # set by the XML loader
     emitter = None
     interior_medium = None
@@ -218,6 +238,17 @@ def _uv_sphere(n_phi, n_theta) -> MeshData:
     )
 
 
+def uniform_scale_of(t: Transform):
+    """Return the uniform scale factor of t's linear part, or None if
+    the scaling is anisotropic (analytic cylinders only survive
+    similarity transforms)."""
+    L = np.asarray(t.m, np.float64)[:3, :3]
+    s = np.linalg.norm(L, axis=0)
+    if np.max(s) - np.min(s) > 1e-5 * max(np.max(s), 1e-12):
+        return None
+    return float(s.mean())
+
+
 @register("shape", "cylinder")
 class CylinderShape(_ShapeBase):
     SEGMENTS = 64
@@ -227,6 +258,26 @@ class CylinderShape(_ShapeBase):
         p1 = props.get_point("p1", np.array([0.0, 0.0, 1.0]))
         radius = props.get_float("radius", 1.0)
         t, flip = _base(props)
+        scale = uniform_scale_of(t)
+        if props.get_bool("exact", True) and scale is not None:
+            # analytic open cylinder (reference src/shapes/cylinder.cpp
+            # rayIntersect: infinite-cylinder quadratic + axial clip,
+            # no end caps); clip planes are the perpendicular discs
+            q0 = t.transform_point_np(p0[None])[0]
+            q1 = t.transform_point_np(p1[None])[0]
+            ax = q1 - q0
+            ln = float(np.linalg.norm(ax))
+            if ln > 1e-9:
+                ax = ax / ln
+                self.instance.cylinders.append(CylData(
+                    p0=q0[None].astype(np.float32),
+                    p1=q1[None].astype(np.float32),
+                    n0=ax[None].astype(np.float32),
+                    n1=ax[None].astype(np.float32),
+                    radius=np.asarray([radius * scale], np.float32),
+                    flip_normals=flip,
+                ))
+                return
         axis = p1 - p0
         length = np.linalg.norm(axis)
         z = axis / length

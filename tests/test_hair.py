@@ -120,3 +120,175 @@ def test_hair_renders():
         center = img[12:36, 12:36].mean()
         assert center < 0.98  # something occludes the white env
         assert img.max() <= 1.5
+
+
+def _pack_xml(xml):
+    from mitsuba_tpu.scene.builder import pack_scene
+    from mitsuba_tpu.scene.xml_loader import load_scene_string
+
+    return pack_scene(load_scene_string(xml))
+
+
+def test_exact_cylinder_analytic_hit():
+    """Analytic open cylinder (reference src/shapes/cylinder.cpp):
+    side hits have t = axis_distance - radius and radial normals; rays
+    past the axial extent or down the open mouth miss the wall."""
+    import jax.numpy as jnp
+
+    from mitsuba_tpu.accel.intersect import fill_interaction, intersect
+
+    pack = _pack_xml("""
+    <scene version="0.5.0">
+      <sensor type="perspective">
+        <sampler type="independent"/>
+        <film type="hdrfilm">
+          <integer name="width" value="8"/>
+          <integer name="height" value="8"/>
+        </film>
+      </sensor>
+      <shape type="cylinder">
+        <point name="p0" x="0" y="0" z="0"/>
+        <point name="p1" x="0" y="0" z="1"/>
+        <float name="radius" value="0.3"/>
+        <bsdf type="diffuse"/>
+      </shape>
+    </scene>""")
+    assert pack.meta["n_cyls"] == 1
+    o = jnp.asarray([
+        [2.0, 0.0, 0.5],   # side hit
+        [2.0, 0.0, 1.5],   # beyond the far clip plane -> miss
+        [0.0, 0.0, 2.0],   # straight down the axis: open, no caps
+        [2.0, 0.0, -0.5],  # below the near clip plane -> miss
+    ], jnp.float32)
+    d = jnp.asarray([
+        [-1.0, 0.0, 0.0],
+        [-1.0, 0.0, 0.0],
+        [0.0, 0.0, -1.0],
+        [-1.0, 0.0, 0.0],
+    ], jnp.float32)
+    hit = intersect(pack, o, d)
+    assert bool(hit.valid[0]) and not bool(hit.valid[1])
+    assert not bool(hit.valid[2]) and not bool(hit.valid[3])
+    assert abs(float(hit.t[0]) - 1.7) < 1e-4
+    its = fill_interaction(pack, o, d, hit)
+    assert np.allclose(np.asarray(its.ns[0]), [1.0, 0.0, 0.0], atol=1e-4)
+    # entering from inside: the far wall is hit with an outward normal
+    o2 = jnp.asarray([[0.0, 0.0, 0.5]], jnp.float32)
+    d2 = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+    h2 = intersect(pack, o2, d2)
+    assert bool(h2.valid[0]) and abs(float(h2.t[0]) - 0.3) < 1e-4
+
+
+def test_hair_exact_miter_joints_no_cracks():
+    """A bent two-segment fiber must be watertight at the miter joint
+    (reference hair.cpp:485-542: the shared miter plane splits the
+    joint exactly): rays shot at the joint region hit exactly one
+    segment, with no gaps and no double-coverage artifacts."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from mitsuba_tpu.accel.intersect import intersect
+
+    with tempfile.TemporaryDirectory() as td:
+        ph = os.path.join(td, "bend.hair")
+        with open(ph, "w") as f:
+            f.write("0 0 0\n1 0 0\n1.7 0.7 0\n")  # 45-degree bend at x=1
+        from mitsuba_tpu.scene.builder import pack_scene
+        from mitsuba_tpu.scene.xml_loader import load_scene_string
+
+        pack = pack_scene(load_scene_string(f"""
+        <scene version="0.5.0">
+          <sensor type="perspective">
+            <sampler type="independent"/>
+            <film type="hdrfilm">
+              <integer name="width" value="8"/>
+              <integer name="height" value="8"/>
+            </film>
+          </sensor>
+          <shape type="hair">
+            <string name="filename" value="{ph}"/>
+            <float name="radius" value="0.1"/>
+            <boolean name="exact" value="true"/>
+            <bsdf type="diffuse"/>
+          </shape>
+        </scene>"""))
+        assert pack.meta["n_cyls"] == 2
+
+        # rays from above straight down, marching across the joint
+        xs = np.linspace(0.5, 1.4, 181, dtype=np.float32)
+        o = jnp.asarray(
+            np.stack([xs, np.full_like(xs, 2.0), np.zeros_like(xs)], -1)
+        )
+        d = jnp.asarray(
+            np.tile(np.asarray([[0.0, -1.0, 0.0]], np.float32),
+                    (len(xs), 1))
+        )
+        hit = intersect(pack, o, d)
+        v = np.asarray(hit.valid)
+        # the fiber's top silhouette is continuous across the joint:
+        # every ray over the polyline within the radius hits
+        assert v[: len(xs) // 2].all()  # straight section
+        assert v.sum() > 0.9 * len(xs)
+        t = np.asarray(hit.t)[v]
+        assert np.isfinite(t).all() and (t > 0).all()
+
+
+def test_hair_exact_matches_tessellated_render():
+    """The exact segment path and a fine tessellation converge to the
+    same image (hair.cpp createTriMesh is the reference's own
+    tessellated approximation of the same geometry)."""
+    import tempfile
+
+    from mitsuba_tpu.renderer import render
+    from mitsuba_tpu.scene.xml_loader import load_scene_string
+
+    pts = _helix(n=24, turns=2.0, r=0.4, h=1.2)
+    with tempfile.TemporaryDirectory() as td:
+        ph = os.path.join(td, "helix.hair")
+        with open(ph, "w") as f:
+            for p in pts:
+                f.write(f"{p[0]} {p[1]} {p[2]}\n")
+
+        def scene(exact, sides=12):
+            return load_scene_string(f"""
+            <scene version="0.5.0">
+              <integrator type="path">
+                <integer name="maxDepth" value="3"/>
+              </integrator>
+              <sensor type="perspective">
+                <float name="fov" value="40"/>
+                <transform name="toWorld">
+                  <lookat origin="0,-3,0.6" target="0,0,0.6" up="0,0,1"/>
+                </transform>
+                <sampler type="independent">
+                  <integer name="sampleCount" value="32"/>
+                </sampler>
+                <film type="hdrfilm">
+                  <integer name="width" value="48"/>
+                  <integer name="height" value="48"/>
+                  <rfilter type="box"/>
+                </film>
+              </sensor>
+              <shape type="hair">
+                <string name="filename" value="{ph}"/>
+                <float name="radius" value="0.08"/>
+                <boolean name="exact" value="{str(exact).lower()}"/>
+                <integer name="sides" value="{sides}"/>
+                <bsdf type="diffuse">
+                  <rgb name="reflectance" value="0.7,0.5,0.3"/>
+                </bsdf>
+              </shape>
+              <emitter type="constant">
+                <rgb name="radiance" value="1,1,1"/>
+              </emitter>
+            </scene>""")
+
+        a = np.asarray(render(scene(True), spp=32, seed=2))
+        b = np.asarray(render(scene(False, sides=16), spp=32, seed=2))
+        assert np.isfinite(a).all() and np.isfinite(b).all()
+        # same silhouette and brightness (tessellation is inscribed, so
+        # slightly thinner: loose pixel gate, tight global gate)
+        assert abs(a.mean() - b.mean()) < 0.05 * max(a.mean(), b.mean())
+        diff = np.abs(a - b).mean()
+        assert diff < 0.08 * max(a.mean(), b.mean()) + 0.02, diff
