@@ -50,10 +50,15 @@ def _meta_from_json(text):
 
 
 def save_pack(pack, path):
-    """Write a ScenePack to one compressed .mtspack (npz) file."""
+    """Write a ScenePack to one compressed .mtspack (npz) file, or to
+    any writable `core.stream.Stream` (the reference ships serialized
+    scenes over streams to cluster nodes, serialization.h:35 +
+    sched_remote.cpp ENewResource; here the same bytes ride a
+    SocketStream / ZStream / PipeStream)."""
+    from mitsuba_tpu.core.stream import Stream
+
     arrays = {k: np.asarray(v) for k, v in pack.arrays.items()}
-    # write through a file object so numpy can't append ".npz"
-    with open(path, "wb") as f:
+    def _write_npz(f):
         np.savez_compressed(
             f,
             __meta__=np.frombuffer(
@@ -63,11 +68,30 @@ def save_pack(pack, path):
             **arrays,
         )
 
+    if isinstance(path, Stream):
+        # npz needs a seekable file-like; stage in memory, then one
+        # length-prefixed blob on the wire
+        import io
+
+        buf = io.BytesIO()
+        _write_npz(buf)
+        path.write_blob(buf.getvalue())
+        path.flush()
+        return
+    # write through a file object so numpy can't append ".npz"
+    with open(path, "wb") as f:
+        _write_npz(f)
+
 
 def load_pack(path):
-    """Load a ScenePack written by save_pack."""
+    """Load a ScenePack written by save_pack (path or Stream)."""
+    import io
+
+    from mitsuba_tpu.core.stream import Stream
     from mitsuba_tpu.scene.builder import ScenePack
 
+    if isinstance(path, Stream):
+        path = io.BytesIO(path.read_blob())
     with np.load(path) as z:
         ver = int(z["__version__"][0])
         if ver != FORMAT_VERSION:
