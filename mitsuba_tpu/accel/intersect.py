@@ -572,66 +572,92 @@ def _deform_time(time, r):
     )
 
 
+def _deform_frames(pack, rr_, count, times, tt):
+    """Per-lane keyframe-pair selector for one deformable shape.
+
+    The reference resolves each ray's time through a 4D (space x time)
+    SAH kd-tree (sahkdtree4.h:97 — a ray only visits cells of its own
+    time slab).  The TPU-native equivalent of that time binning is
+    lane-wise: each lane computes its segment index once, and the
+    triangle rows of ITS OWN keyframe pair are fetched with a one-hot
+    [R, K] x [K, tile*9] MXU contraction — so total work is
+    O(rays x tris), independent of the keyframe count, instead of the
+    previous masked O(rays x tris x segments) loop.
+
+    Returns (fetch(slice) -> lerped [R, tile, 9] triangle rows, pad_to).
+    """
+    frames = pack.arrays[f"deform_tri9_{rr_}"]  # [K, T, 9]
+    k = len(times)
+    n_tiles = (count + TRI_TILE - 1) // TRI_TILE
+    pad_to = n_tiles * TRI_TILE
+    fp = jnp.pad(frames, ((0, 0), (0, pad_to - count), (0, 0)))
+    if pad_to > count:
+        fp = fp.at[:, count:, 0:3].set(1e30)
+
+    tgrid = jnp.asarray(times, jnp.float32)
+    seg = jnp.clip(
+        jnp.searchsorted(tgrid, tt, side="right") - 1, 0, k - 2
+    )
+    t0 = tgrid[seg]
+    t1 = tgrid[jnp.minimum(seg + 1, k - 1)]
+    w = jnp.clip((tt - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0, 1.0)
+
+    if k == 2:  # single segment: no selection needed
+        def fetch(sl):
+            a, b = fp[0, sl], fp[1, sl]
+            return a[None] + w[:, None, None] * (b - a)[None]
+    else:
+        oh_a = jax.nn.one_hot(seg, k, dtype=fp.dtype)      # [R, K]
+        oh_b = jax.nn.one_hot(seg + 1, k, dtype=fp.dtype)
+
+        def fetch(sl):
+            flat = fp[:, sl].reshape(k, -1)                # [K, tile*9]
+            fa = oh_a @ flat
+            fb = oh_b @ flat
+            r = tt.shape[0]
+            return (fa + w[:, None] * (fb - fa)).reshape(r, -1, 9)
+
+    return fetch, pad_to
+
+
 def _deform_closest(pack, o, d, time, best_t, best_prim, best_u, best_v):
     """Deformable shapes (reference deformable.cpp SpaceTimeKDTree):
-    per keyframe SEGMENT, lerp the triangle rows at each lane's time
-    and run masked tiled brute force — segments are a static python
-    loop, so no per-lane vertex gathers."""
+    each lane lerps the triangle rows of its own keyframe segment
+    (one-hot time binning, _deform_frames) and runs tiled brute force."""
     r = o.shape[0]
     tt = _deform_time(time, r)
     for rr_, (first, count, times) in enumerate(
         pack.meta["deform_ranges"]
     ):
-        frames = pack.arrays[f"deform_tri9_{rr_}"]  # [K, T, 9]
-        for seg in range(len(times) - 1):
-            t0_, t1_ = times[seg], times[seg + 1]
-            in_seg = (tt >= t0_) & (
-                (tt <= t1_) if seg == len(times) - 2 else (tt < t1_)
+        fetch, pad_to = _deform_frames(pack, rr_, count, times, tt)
+        for ti in range(pad_to // TRI_TILE):
+            sl = slice(ti * TRI_TILE, (ti + 1) * TRI_TILE)
+            tri = fetch(sl)
+            hit, t, u, v = _moller_trumbore(
+                o[:, None, :], d[:, None, :],
+                tri[..., 0:3], tri[..., 3:6], tri[..., 6:9],
+                best_t[:, None],
             )
-            if seg == 0:
-                in_seg = in_seg | (tt < t0_)
-            w = jnp.clip(
-                (tt - t0_) / max(t1_ - t0_, 1e-9), 0.0, 1.0
+            t = jnp.where(hit, t, jnp.inf)
+            k = jnp.argmin(t, axis=-1)
+            tk = jnp.take_along_axis(t, k[:, None], -1)[:, 0]
+            better = tk < best_t
+            best_prim = jnp.where(
+                better,
+                first + ti * TRI_TILE + k.astype(jnp.int32),
+                best_prim,
             )
-            a = frames[seg]
-            b = frames[seg + 1]
-            n_tiles = (count + TRI_TILE - 1) // TRI_TILE
-            pad_to = n_tiles * TRI_TILE
-            ap = _pad_rows(a, pad_to, 0.0)
-            bp = _pad_rows(b, pad_to, 0.0)
-            ap = ap.at[count:, 0:3].set(1e30) if pad_to > count else ap
-            for ti in range(n_tiles):
-                sl = slice(ti * TRI_TILE, (ti + 1) * TRI_TILE)
-                tri = (
-                    ap[None, sl]
-                    + w[:, None, None] * (bp[None, sl] - ap[None, sl])
-                )
-                hit, t, u, v = _moller_trumbore(
-                    o[:, None, :], d[:, None, :],
-                    tri[..., 0:3], tri[..., 3:6], tri[..., 6:9],
-                    best_t[:, None],
-                )
-                hit = hit & in_seg[:, None]
-                t = jnp.where(hit, t, jnp.inf)
-                k = jnp.argmin(t, axis=-1)
-                tk = jnp.take_along_axis(t, k[:, None], -1)[:, 0]
-                better = tk < best_t
-                best_prim = jnp.where(
-                    better,
-                    first + ti * TRI_TILE + k.astype(jnp.int32),
-                    best_prim,
-                )
-                best_u = jnp.where(
-                    better,
-                    jnp.take_along_axis(u, k[:, None], -1)[:, 0],
-                    best_u,
-                )
-                best_v = jnp.where(
-                    better,
-                    jnp.take_along_axis(v, k[:, None], -1)[:, 0],
-                    best_v,
-                )
-                best_t = jnp.minimum(best_t, tk)
+            best_u = jnp.where(
+                better,
+                jnp.take_along_axis(u, k[:, None], -1)[:, 0],
+                best_u,
+            )
+            best_v = jnp.where(
+                better,
+                jnp.take_along_axis(v, k[:, None], -1)[:, 0],
+                best_v,
+            )
+            best_t = jnp.minimum(best_t, tk)
     return best_t, best_prim, best_u, best_v
 
 
@@ -643,36 +669,16 @@ def _deform_any(pack, o, d, time, t_max):
     for rr_, (first, count, times) in enumerate(
         pack.meta["deform_ranges"]
     ):
-        frames = pack.arrays[f"deform_tri9_{rr_}"]
-        for seg in range(len(times) - 1):
-            t0_, t1_ = times[seg], times[seg + 1]
-            in_seg = (tt >= t0_) & (
-                (tt <= t1_) if seg == len(times) - 2 else (tt < t1_)
+        fetch, pad_to = _deform_frames(pack, rr_, count, times, tt)
+        for ti in range(pad_to // TRI_TILE):
+            sl = slice(ti * TRI_TILE, (ti + 1) * TRI_TILE)
+            tri = fetch(sl)
+            hit, _, _, _ = _moller_trumbore(
+                o[:, None, :], d[:, None, :],
+                tri[..., 0:3], tri[..., 3:6], tri[..., 6:9],
+                tm[:, None],
             )
-            if seg == 0:
-                in_seg = in_seg | (tt < t0_)
-            w = jnp.clip(
-                (tt - t0_) / max(t1_ - t0_, 1e-9), 0.0, 1.0
-            )
-            a = frames[seg]
-            b = frames[seg + 1]
-            n_tiles = (count + TRI_TILE - 1) // TRI_TILE
-            pad_to = n_tiles * TRI_TILE
-            ap = _pad_rows(a, pad_to, 0.0)
-            bp = _pad_rows(b, pad_to, 0.0)
-            ap = ap.at[count:, 0:3].set(1e30) if pad_to > count else ap
-            for ti in range(n_tiles):
-                sl = slice(ti * TRI_TILE, (ti + 1) * TRI_TILE)
-                tri = (
-                    ap[None, sl]
-                    + w[:, None, None] * (bp[None, sl] - ap[None, sl])
-                )
-                hit, _, _, _ = _moller_trumbore(
-                    o[:, None, :], d[:, None, :],
-                    tri[..., 0:3], tri[..., 3:6], tri[..., 6:9],
-                    tm[:, None],
-                )
-                occ = occ | (jnp.any(hit, axis=-1) & in_seg)
+            occ = occ | jnp.any(hit, axis=-1)
     return occ
 
 
