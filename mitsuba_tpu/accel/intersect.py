@@ -381,6 +381,19 @@ def _use_pairs(pack):
     return CLUSTER_MODE == "pair" and "cl_sup" in pack.arrays
 
 
+def _use_inst_pairs(pack):
+    """Instance traversal: pair fast path (accel/tlas.py
+    inst_closest_pairs) on TPU when every group built cluster tables;
+    MTS_TLAS_PAIRS=0 forces the while-loop path."""
+    if _os.environ.get("MTS_TLAS_PAIRS", "auto") == "0":
+        return False
+    return (
+        pack.meta.get("inst_pairs_ok", False)
+        and CLUSTER_MODE == "pair"
+        and _use_pallas()
+    )
+
+
 # sorted-chunked traversal: lockstep while_loops pay the WORST lane's
 # node-visit count, so incoherent batches are sorted by direction
 # octant + quantized direction + origin morton and traversed in chunks —
@@ -750,9 +763,12 @@ def intersect(pack, o, d, t_max=jnp.inf, sort=False, time=None) -> Hit:
 
     inst = jnp.full((o.shape[0],), -1, jnp.int32)
     if pack.meta.get("has_instances", False):
-        from mitsuba_tpu.accel.tlas import inst_closest
+        from mitsuba_tpu.accel.tlas import inst_closest, inst_closest_pairs
 
-        best_t, prim, u, v, inst = inst_closest(
+        inst_fn = (
+            inst_closest_pairs if _use_inst_pairs(pack) else inst_closest
+        )
+        best_t, prim, u, v, inst = inst_fn(
             pack, o, d, best_t, prim, u, v, inst
         )
 
@@ -827,9 +843,12 @@ def occluded(pack, o, d, t_max, sort=False, time=None) -> jnp.ndarray:
         if pack.meta.get("deform_ranges", ()):
             occ = occ | _deform_any(pack, o, d, time, t_max)
         if pack.meta.get("has_instances", False):
-            from mitsuba_tpu.accel.tlas import inst_any
+            from mitsuba_tpu.accel.tlas import inst_any, inst_any_pairs
 
-            occ = occ | inst_any(pack, o, d, t_max)
+            any_fn = (
+                inst_any_pairs if _use_inst_pairs(pack) else inst_any
+            )
+            occ = occ | any_fn(pack, o, d, t_max)
         return occ
     hit = intersect(pack, o, d, t_max, time=time)
     return hit.valid

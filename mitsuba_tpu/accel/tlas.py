@@ -210,6 +210,62 @@ def build_instance_accel(groups, tri_v0, tri_e1, tri_e2):
         "inst_fwd": inst_fwd,
     }
     meta = {"has_instances": n_inst > 0, "n_instances": n_inst}
+
+    # ---- pair fast-path tables (instances-as-clusters front end) ----
+    # Each GROUP gets its own cluster tables over the shared LOCAL
+    # template triangles, so the pair-compaction traversal
+    # (accel/pairs.py) can run template-space rays at full lane
+    # occupancy — the reference analogue is instance.cpp rayIntersect
+    # transforming the ray and querying the group's kd-tree
+    # (shapegroup.h:63-76); here whole WAVEFRONTS of rebased rays hit
+    # one group's tables at once instead of one ray walking one tree.
+    from mitsuba_tpu.accel.clusters import pack_clusters
+
+    ip = max(((n_inst + 7) // 8) * 8, 8)
+    wbox = np.full((ip, 6), 1e30, np.float32)  # point boxes: never hit
+    wbox[:n_inst, 0:3] = w_lo
+    wbox[:n_inst, 3:6] = w_hi
+    arrays["inst_wbox"] = wbox
+    grp = np.zeros(ip, np.int32)
+    grp[:n_inst] = np.asarray(g_of_inst, np.int32)
+    arrays["inst_group"] = grp
+
+    groups_meta = []
+    pairs_ok = n_inst > 0
+    for gi, (lo_r, hi_r, _) in enumerate(groups):
+        count = hi_r - lo_r
+        bvh, tri9_g, t2p_g = blas[gi]
+        # bvh.first/count index BVH-leaf-ordered rows (= tri9_g)
+        v0 = tri9_g[:, 0:3]
+        e1 = tri9_g[:, 3:6]
+        e2 = tri9_g[:, 6:9]
+        # pad with LEAF_SIZE far triangles; index `count` is the far
+        # triangle the cluster tables route dummy slots to
+        padv = np.full((LEAF_SIZE, 3), 1e30, np.float32)
+        padz = np.zeros((LEAF_SIZE, 3), np.float32)
+        v0p = np.concatenate([v0, padv])
+        e1p = np.concatenate([e1, padz])
+        e2p = np.concatenate([e2, padz])
+        cl = pack_clusters(bvh, v0p, e1p, e2p, count)
+        if cl is None:
+            groups_meta.append((int(lo_r), int(count), None))
+            pairs_ok = False
+            continue
+        g_arrays, g_meta = cl
+        for k_, v_ in g_arrays.items():
+            arrays[f"ig{gi}_{k_}"] = v_
+        arrays[f"ig{gi}_tri_v0"] = v0p
+        arrays[f"ig{gi}_tri_e1"] = e1p
+        arrays[f"ig{gi}_tri_e2"] = e2p
+        # leaf-order row -> global prim id (pad rows -> -1)
+        arrays[f"ig{gi}_t2p"] = np.concatenate(
+            [t2p_g, np.full(LEAF_SIZE, -1, np.int32)]
+        )
+        groups_meta.append(
+            (int(lo_r), int(count), tuple(sorted(g_meta.items())))
+        )
+    meta["inst_groups"] = tuple(groups_meta)
+    meta["inst_pairs_ok"] = pairs_ok
     return arrays, meta
 
 
@@ -360,3 +416,184 @@ def inst_any(pack, o, d, t_max):
     init = (jnp.zeros((r,), jnp.int32), jnp.zeros((r,), bool))
     _, occ = jax.lax.while_loop(cond, step, init)
     return occ
+
+
+# ---------------------------------------------------------------------------
+# Pair fast path: instances as clusters.
+#
+# The while-loop traversal above serializes hundreds of skip-link steps
+# of tiny [R] gathers.  The fast path replaces it with the same
+# two-stage shape as the big-mesh pair traversal (accel/pairs.py):
+#
+#   1. dense slab cull of rays x INSTANCE world boxes -> each ray's
+#      K_INST nearest-entry instances (sorted by slab entry),
+#   2. per round, rebase every lane's ray into ITS instance's local
+#      frame and run the whole wavefront through the GROUP's shared
+#      cluster tables via pair_closest/pair_any — template geometry is
+#      intersected at full lane occupancy, with the per-instance
+#      transform applied once per lane (instance.cpp rayIntersect
+#      semantics, vectorized over the wavefront).
+#
+# Rays that hit more than K_INST instance boxes fall back to the exact
+# while-loop traversal (masked to those lanes), mirroring the pair
+# path's overflow contract.
+
+import os as _os
+
+K_INST = int(_os.environ.get("MTS_TLAS_K", 4))
+_CULL_R = 16384  # ray tile for the instance cull
+_CULL_I = 512    # instance chunk per cull step
+_BIG = 1e30
+
+
+def _group_view(pack, gi, g_items):
+    """ScenePack view of one group's cluster tables (keys ig{gi}_*)."""
+    from mitsuba_tpu.scene.builder import ScenePack
+
+    pre = f"ig{gi}_"
+    arrays = {
+        k[len(pre):]: v
+        for k, v in pack.arrays.items()
+        if k.startswith(pre)
+    }
+    return ScenePack(arrays, dict(g_items))
+
+
+def _inst_lists_tile(o, d, tmax, boxes, k):
+    """[rt] rays x all instance boxes -> (ids [rt, k] by ascending slab
+    entry, -1 pad; overflow bool[rt])."""
+    rt = o.shape[0]
+    ip = boxes.shape[0]
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-20, 1e-20, d)
+    keys = jnp.full((rt, k), _BIG, jnp.float32)
+    ids = jnp.full((rt, k), -1, jnp.int32)
+    cnt = jnp.zeros((rt,), jnp.int32)
+    for c0 in range(0, ip, _CULL_I):
+        ch = min(_CULL_I, ip - c0)
+        lo = boxes[c0:c0 + ch, 0:3]
+        hi = boxes[c0:c0 + ch, 3:6]
+        t0 = (lo[None] - o[:, None]) * inv[:, None]   # [rt, ch, 3]
+        t1 = (hi[None] - o[:, None]) * inv[:, None]
+        tn = jnp.maximum(jnp.minimum(t0, t1).max(-1), 0.0)
+        tf = jnp.maximum(t0, t1).min(-1)
+        hit = (tf >= tn) & (tn < tmax[:, None])
+        cnt = cnt + hit.sum(-1).astype(jnp.int32)
+        allk = jnp.concatenate([keys, jnp.where(hit, tn, _BIG)], axis=1)
+        alli = jnp.concatenate(
+            [ids, jnp.broadcast_to(
+                jnp.arange(c0, c0 + ch, dtype=jnp.int32)[None],
+                (rt, ch))],
+            axis=1,
+        )
+        negk, idx = jax.lax.top_k(-allk, k)
+        keys = -negk
+        ids = jnp.take_along_axis(alli, idx, axis=1)
+    ids = jnp.where(keys < _BIG, ids, -1)
+    return ids, cnt > k
+
+
+def _inst_lists(pack, o, d, tmax, k):
+    r = o.shape[0]
+    boxes = jnp.asarray(pack.inst_wbox)
+    ids_t, ov_t = [], []
+    for r0 in range(0, r, _CULL_R):
+        sl = slice(r0, min(r0 + _CULL_R, r))
+        i_, o_ = _inst_lists_tile(o[sl], d[sl], tmax[sl], boxes, k)
+        ids_t.append(i_)
+        ov_t.append(o_)
+    if len(ids_t) == 1:
+        return ids_t[0], ov_t[0]
+    return jnp.concatenate(ids_t), jnp.concatenate(ov_t)
+
+
+def inst_closest_pairs(pack, o, d, best_t, best_prim, best_u, best_v,
+                       best_inst, interpret=False):
+    """Closest hit over instances via the pair fast path (bit-identical
+    to inst_closest: the overflow fallback carries exactness)."""
+    from mitsuba_tpu.accel.pairs import pair_closest
+
+    r = o.shape[0]
+    ids, overflow = _inst_lists(pack, o, d, best_t, K_INST)
+    grp = jnp.asarray(pack.inst_group)
+    for rd in range(K_INST):
+        iid = ids[:, rd]
+        valid = iid >= 0
+        safe = jnp.maximum(iid, 0)
+        o2, d2 = _rebase(o, d, pack.inst_inv[safe])
+        gsel = grp[safe]
+        for gi, (lo_r, count, g_items) in enumerate(
+            pack.meta["inst_groups"]
+        ):
+            sel = valid & (gsel == gi)
+            gv = _group_view(pack, gi, g_items)
+            tm = jnp.where(sel, best_t, 0.0)
+            t, p, u, v = pair_closest(gv, o2, d2, tm,
+                                      interpret=interpret)
+            better = sel & (p >= 0) & (t < best_t)
+            gp = pack.arrays[f"ig{gi}_t2p"][jnp.maximum(p, 0)]
+            best_prim = jnp.where(better, gp, best_prim)
+            best_u = jnp.where(better, u, best_u)
+            best_v = jnp.where(better, v, best_v)
+            best_inst = jnp.where(better, iid, best_inst)
+            best_t = jnp.where(better, t, best_t)
+
+    def fb(_):
+        z = jnp.zeros((r,), jnp.float32)
+        return inst_closest(
+            pack, o, d,
+            jnp.where(overflow, best_t, 0.0),
+            jnp.full((r,), -1, jnp.int32), z, z,
+            jnp.full((r,), -1, jnp.int32),
+        )
+
+    def no_fb(_):
+        z = jnp.zeros((r,), jnp.float32)
+        return (z, jnp.full((r,), -1, jnp.int32), z, z,
+                jnp.full((r,), -1, jnp.int32))
+
+    ft, fp, fu, fv, fi = jax.lax.cond(
+        jnp.any(overflow), fb, no_fb, None
+    )
+    use = overflow & (fp >= 0) & (ft < best_t)
+    return (
+        jnp.where(use, ft, best_t),
+        jnp.where(use, fp, best_prim),
+        jnp.where(use, fu, best_u),
+        jnp.where(use, fv, best_v),
+        jnp.where(use, fi, best_inst),
+    )
+
+
+def inst_any_pairs(pack, o, d, t_max, interpret=False):
+    """Boolean occlusion over instances via the pair fast path."""
+    from mitsuba_tpu.accel.pairs import pair_any
+
+    r = o.shape[0]
+    tm0 = jnp.broadcast_to(t_max, (r,)).astype(jnp.float32)
+    ids, overflow = _inst_lists(pack, o, d, tm0, K_INST)
+    occ = jnp.zeros((r,), bool)
+    grp = jnp.asarray(pack.inst_group)
+    for rd in range(K_INST):
+        iid = ids[:, rd]
+        valid = iid >= 0
+        safe = jnp.maximum(iid, 0)
+        o2, d2 = _rebase(o, d, pack.inst_inv[safe])
+        gsel = grp[safe]
+        for gi, (lo_r, count, g_items) in enumerate(
+            pack.meta["inst_groups"]
+        ):
+            sel = valid & (gsel == gi) & ~occ
+            gv = _group_view(pack, gi, g_items)
+            hit = pair_any(gv, o2, d2, jnp.where(sel, tm0, 0.0),
+                           interpret=interpret)
+            occ = occ | (hit & sel)
+
+    def fb(_):
+        return inst_any(
+            pack, o, d, jnp.where(overflow & ~occ, tm0, 0.0)
+        )
+
+    def no_fb(_):
+        return jnp.zeros((r,), bool)
+
+    return occ | jax.lax.cond(jnp.any(overflow), fb, no_fb, None)

@@ -133,3 +133,91 @@ def test_group_restrictions(monkeypatch):
     </scene>""")
     with pytest.raises(ValueError, match="instanced shapegroup"):
         pack_scene(sc)
+
+
+def _rays_toward_instances(n=1024, seed=0):
+    rng = np.random.default_rng(seed)
+    o = np.array([0.0, 1.5, -4.0], np.float32) + 0.2 * rng.standard_normal(
+        (n, 3)
+    ).astype(np.float32)
+    tgt = np.stack(
+        [
+            rng.uniform(-1.8, 1.8, n),
+            rng.uniform(0.0, 1.0, n),
+            rng.uniform(-0.6, 0.8, n),
+        ],
+        -1,
+    ).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return o, d
+
+
+def test_inst_pairs_matches_while_loop(monkeypatch):
+    """The pair fast path (instances-as-clusters + per-group cluster
+    tables, interpret mode) must agree with the exact skip-link
+    traversal on both closest and any-hit."""
+    import jax.numpy as jnp
+
+    from mitsuba_tpu.accel.tlas import (
+        inst_any,
+        inst_any_pairs,
+        inst_closest,
+        inst_closest_pairs,
+    )
+
+    monkeypatch.setenv("MTS_INSTANCE_EXPAND_MAX", "0")
+    pack = pack_scene(_scene())
+    assert pack.meta["inst_pairs_ok"]
+    o, d = _rays_toward_instances(512)
+    r = o.shape[0]
+    bt0 = jnp.full((r,), 1e30, jnp.float32)
+    init = (
+        bt0,
+        jnp.full((r,), -1, jnp.int32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.full((r,), -1, jnp.int32),
+    )
+    ref = inst_closest(pack, o, d, *init)
+    got = inst_closest_pairs(pack, o, d, *init, interpret=True)
+    assert int(np.sum(np.asarray(ref[1]) >= 0)) > 50  # rays do hit
+    for a, b, name in zip(ref, got, "t prim u v inst".split()):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, err_msg=name
+        )
+    occ_ref = np.asarray(inst_any(pack, o, d, 1e30))
+    occ_got = np.asarray(inst_any_pairs(pack, o, d, 1e30,
+                                        interpret=True))
+    np.testing.assert_array_equal(occ_ref, occ_got)
+
+
+def test_inst_pairs_overflow_fallback(monkeypatch):
+    """With K_INST forced to 1, rays crossing several instance boxes
+    overflow and must be completed exactly by the while-loop fallback."""
+    import jax.numpy as jnp
+
+    from mitsuba_tpu.accel import tlas
+
+    monkeypatch.setenv("MTS_INSTANCE_EXPAND_MAX", "0")
+    monkeypatch.setattr(tlas, "K_INST", 1)
+    pack = pack_scene(_scene())
+    # horizontal rays that sweep across all three instances
+    n = 64
+    ys = np.linspace(0.1, 0.8, n).astype(np.float32)
+    o = np.stack([np.full(n, -3.0), ys, np.full(n, 0.1)], -1)
+    d = np.tile(np.array([[1.0, 0.0, 0.0]], np.float32), (n, 1))
+    r = o.shape[0]
+    init = (
+        jnp.full((r,), 1e30, jnp.float32),
+        jnp.full((r,), -1, jnp.int32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.full((r,), -1, jnp.int32),
+    )
+    ref = tlas.inst_closest(pack, o, d, *init)
+    got = tlas.inst_closest_pairs(pack, o, d, *init, interpret=True)
+    for a, b, name in zip(ref, got, "t prim u v inst".split()):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, err_msg=name
+        )
