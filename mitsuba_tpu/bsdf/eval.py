@@ -776,7 +776,8 @@ def _rcoating_sample(sp, spB, wi, u2, ulobe, present):
     spec_sel = ulobe <= prob
 
     # glossy boundary reflection: sample a microfacet normal
-    m = mf.sample_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], wi, u2)
+    m = mf.sample_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], wi, u2,
+                    sp.get("mf_dists"))
     wo_spec = mm.normalize(
         2.0 * mm.dot(wi, m)[..., None] * m - wi
     )
@@ -1012,7 +1013,8 @@ def bsdf_sample(sp, wi, u2, ulobe, present):
             w_t = _mask3(ci > 0, sp["cB"] * f)
             put(tm, wo_t, jnp.where(tm[..., None], w_t, 0.0), 1.0, True, 1.0)
         elif t == ROUGHCONDUCTOR:
-            m = mf.sample_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], wi, u2)
+            m = mf.sample_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], wi, u2,
+                    sp.get("mf_dists"))
             wo_t = 2.0 * mm.dot(wi, m, keepdims=True) * m - wi
             pdf_t = _roughconductor_pdf(sp, wi, wo_t)
             f = _roughconductor_eval(sp, wi, wo_t)
@@ -1077,7 +1079,8 @@ def bsdf_sample(sp, wi, u2, ulobe, present):
             # m keeps its +z orientation (= outside of the interface), so
             # the SIGNED dot(wi, m) carries the entering/exiting info just
             # like cos_theta does for the smooth case
-            m = mf.sample_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], wi, u2)
+            m = mf.sample_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], wi, u2,
+                    sp.get("mf_dists"))
             wih = mm.dot(wi, m)
             F, _, eta_rel = mm.fresnel_dielectric(wih, sp["eta"])
             refl = ulobe <= F
@@ -1116,7 +1119,8 @@ def bsdf_sample(sp, wi, u2, ulobe, present):
                 pdf_spec = prob
                 delta_spec = True
             else:
-                m = mf.sample_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], wi, u2)
+                m = mf.sample_m(sp["dist"], sp["alpha_u"], sp["alpha_v"], wi, u2,
+                    sp.get("mf_dists"))
                 wo_spec = 2.0 * mm.dot(wi, m, keepdims=True) * m - wi
                 delta_spec = False
             wo_diff = _sample_cosine(sp, wi, u2)

@@ -26,8 +26,16 @@ from mitsuba_tpu.bsdf.plugins import (
     DIFFUSE,
     IRAWAN,
     MIXTURE,
+    ROUGHCOATING,
+    ROUGHCONDUCTOR,
+    ROUGHDIELECTRIC,
     ROUGHPLASTIC,
 )
+
+# BSDF types whose lobes sample a microfacet normal (mf.sample_m) —
+# drives the static mf_dists meta so absent distributions compile away
+_MF_TYPES = (ROUGHCONDUCTOR, ROUGHDIELECTRIC, ROUGHPLASTIC,
+             ROUGHCOATING)
 from mitsuba_tpu.core.distribution import Distribution2D, build_alias
 from mitsuba_tpu.emitter.plugins import (
     AREA,
@@ -1047,6 +1055,7 @@ def pack_scene(scene) -> ScenePack:
         mt["mat_mix_wb"][rid] = wb
 
     present_types = set()
+    mf_dists = set()  # microfacet distributions actually in use
     for i, rec in enumerate(materials):
         if rec.type == MIXTURE:
             a_rec, w_a, b_id, w_b = mix_lookup[i]
@@ -1055,6 +1064,8 @@ def pack_scene(scene) -> ScenePack:
             mt["mat_mix_wa"][i] = w_a
             mt["mat_mix_wb"][i] = w_b
         present_types.add(rec.type)
+        if rec.type in _MF_TYPES:
+            mf_dists.add(int(rec.dist))
         mt["mat_type"][i] = rec.type
         mt["mat_cA"][i] = rec.cA
         mt["mat_cB"][i] = rec.cB
@@ -1680,6 +1691,7 @@ def pack_scene(scene) -> ScenePack:
         "n_materials": len(materials),
         "n_emitters": len(emitters),
         "present_types": tuple(sorted(present_types)) or (DIFFUSE,),
+        "mf_dists": tuple(sorted(mf_dists)),
         "use_bvh": use_bvh,
         "n_static_tris": int(n_static),
         "anim_ranges": tuple(anim_ranges),

@@ -381,6 +381,9 @@ def _gather_params(pack, m, uv, fp=None, geom=None):
         "eta": eta,
         "exponent": expo,
         "dist": dist,
+        # STATIC: which distributions the scene's microfacet lobes use
+        # (builder mf_dists) — lets sample_m skip absent samplers
+        "mf_dists": pack.meta.get("mf_dists"),
         "nonlinear": nonlin,
         "twosided": twos,
         "fdr_int": fdr,
