@@ -119,8 +119,10 @@ def measure(only=None, max_spp=4096):
         ref = np.load(ref_file)["img"].astype(np.float32)
         scene = _load(name, path, integ, res)
 
-        # warm the compile cache outside the timed renders
-        _render(scene, 1, seed=1)
+        # warm the compile cache outside the timed renders (spp=2 = the
+        # first ladder step; an spp=1 smoke program reproducibly
+        # crashed the axon tunnel client in round 5)
+        _render(scene, 2, seed=1)
 
         spp = 2
         prev = None  # (spp, seconds, rmse)
