@@ -104,6 +104,37 @@ def make_refs():
         np.savez_compressed(out, img=img.astype(np.float16))
 
 
+def measure_one(name, spp, warmup=True):
+    """Render ONE config at ONE spp budget and print a single
+    measurement line (same format as the ladder).  Used to run each
+    rung in a fresh process: round 5 hit an axon-client crash
+    (client.rs:2008 index-out-of-bounds panic) on REPEATED volpath
+    executions within one process, while one-render-per-process is
+    stable; a bash loop over --spp sidesteps it without changing what
+    is measured (the compile cache persists across processes)."""
+    cfg = next(c for c in CONFIGS if c[0] == name)
+    _, path, integ, res, _ = cfg
+    ref_file = os.path.join(REF_DIR, f"{REF_ALIAS.get(name, name)}_{res}.npz")
+    ref = np.load(ref_file)["img"].astype(np.float32)
+    if warmup:
+        # warm the tunnel + process on a SMALL frame.  NOTE: media
+        # scenes must pass --no-warmup — ANY second render() call in
+        # the same process (even at a different film size) trips the
+        # axon client.rs:2008 panic on volpath programs, so their
+        # rungs run one-render-per-process and the timed number
+        # includes one executable-cache load (~20-40 s, pessimistic)
+        wscene = _load(name, path, integ, 64)
+        _render(wscene, 2, seed=1)
+    scene = _load(name, path, integ, res)
+    t0 = time.time()
+    img = _render(scene, spp, seed=1)
+    dt = time.time() - t0
+    r = _rmse(img, ref)
+    print(f"# {name}: {spp:5d}spp {dt:7.2f}s rmse {r:.4f}", file=sys.stderr)
+    print(json.dumps({"scene": name, "spp": spp, "seconds": round(dt, 2),
+                      "rmse": round(r, 6)}))
+
+
 def measure(only=None, max_spp=4096):
     results = []
     for name, path, integ, res, _ in CONFIGS:
@@ -172,8 +203,14 @@ if __name__ == "__main__":
     p.add_argument("--only", help="comma-separated scene names")
     p.add_argument("--max-spp", type=int, default=4096,
                    help="cap the doubling budget (curve-only configs)")
+    p.add_argument("--spp", type=int,
+                   help="render ONE rung at this spp (requires --only "
+                        "with a single scene); fresh-process ladders")
+    p.add_argument("--no-warmup", action="store_true")
     args = p.parse_args()
     if args.make_refs:
         make_refs()
+    elif args.spp:
+        measure_one(args.only, args.spp, warmup=not args.no_warmup)
     else:
         measure(args.only.split(",") if args.only else None, args.max_spp)

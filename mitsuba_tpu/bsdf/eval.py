@@ -920,8 +920,12 @@ def bsdf_sample(sp, wi, u2, ulobe, present):
                 sp[k],
             )
             for k in spB
-            if k != "mix"
+            if k not in ("mix", "mf_dists")
         }
+        if "mf_dists" in sp:
+            # STATIC scene-global tuple (same for every component) —
+            # must not go through jnp.where
+            sp_sel["mf_dists"] = sp["mf_dists"]
         if "mix" in spB:
             # N-ary chain: lanes that picked B continue selecting down
             # B's own chain; lanes that picked A see degenerate weights
