@@ -113,18 +113,15 @@ def sweep(tc, k, budget):
                                             "closest", False)
         return bt, bp
 
-    bench(f"  tc={tc} K={k} B={budget} pipeline (no fallback)", nofb)
+    if os.environ.get("SWEEP_NOFB", "1") == "1":
+        bench(f"  tc={tc} K={k} B={budget} pipeline (no fallback)", nofb)
     bench(f"  tc={tc} K={k} B={budget} pair_closest (full)", full)
 
 
 if __name__ == "__main__":
-    for tc, k, budget in [
-        (128, 3, 1.25),   # current default (baseline)
-        (128, 2, 1.25),
-        (128, 4, 1.5),
-        (256, 3, 1.25),
-        (256, 2, 1.25),
-        (384, 2, 1.25),
-    ]:
-        sweep(tc, k, budget)
+    default_cfgs = "128,3,1.25 128,2,1.25 128,4,1.5 256,3,1.25 256,2,1.25 384,2,1.25"
+    cfgs = os.environ.get("SWEEP_CONFIGS", default_cfgs).split()
+    for cfg in cfgs:
+        tc, k, budget = cfg.split(",")
+        sweep(int(tc), int(k), float(budget))
     print("done", flush=True)
