@@ -183,8 +183,14 @@ CULL_B = int(os.environ.get("MTS_PAIR_CULL_B", 512))
 # meshes with at most this many clusters use the single-level dense
 # cull (slab every cluster box per ray) instead of the two-level
 # super/member walk: ~4x less VPU work at bunny scale and no
-# supercluster overflow class at all
-DENSE_C = int(os.environ.get("MTS_PAIR_DENSE_C", 2048))
+# supercluster overflow class at all.  The ceiling is a VMEM budget,
+# not a constant: _dense_cull_kernel holds ~3.2 live f32 [Cp, CULL_B]
+# temporaries on the scoped-vmem stack (measured: 19.39 MiB scoped
+# allocation at Cp=3072, B=512 -> 6.3 KiB per cluster row -> OOM past
+# ~2500 rows against the v5e's 16 MiB limit; prof/prof_dense_c.py).
+# 12 MiB of the 16 leaves headroom for the rays/cid/ent blocks.
+_DENSE_C_VMEM = int(12 * 2**20 / (3.25 * CULL_B * 4))
+DENSE_C = int(os.environ.get("MTS_PAIR_DENSE_C", min(2048, _DENSE_C_VMEM)))
 
 
 def _dense_cull_kernel(c, kk, rays_ref, box_ref, cid_ref, ent_ref,

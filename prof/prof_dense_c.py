@@ -21,11 +21,13 @@ T = int(os.environ.get("T", 1 << 16))
 from mitsuba_tpu.accel import pairs as prs
 from tests.test_cluster import cluster_pack
 
-# tc=128 over a uniform soup: leaves pack near-full, so ~2048 clusters
-pack = cluster_pack(n_tris=2048 * 128, tc=128)
+# measured: the uniform soup packs ~87 tris/cluster at tc=128, and the
+# kernel OOMed scoped vmem at Cp=3072 (19.39 MiB vs the 16 MiB limit)
+# — so target the VMEM-formula ceiling itself and prove it compiles.
+N_TRIS = int(os.environ.get("N_TRIS", prs.DENSE_C * 87))
+pack = cluster_pack(n_tris=N_TRIS, tc=128)
 c = pack.meta["n_clusters"]
-if c > prs.DENSE_C:
-    prs.DENSE_C = c  # force the dense cull at (or past) the ceiling
+prs.DENSE_C = max(c, prs.DENSE_C)  # force the dense cull at the ceiling
 print(f"n_tris={pack.meta['n_tris']} clusters={c} "
       f"(DENSE_C={prs.DENSE_C})", flush=True)
 
